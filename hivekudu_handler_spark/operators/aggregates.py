@@ -1,0 +1,257 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+The reference demonstrates COUNT(*) and GROUP BY COUNT through Hive-on-MR
+(``README.md:37,133-158`` and ``:41,183-209``, one map + one reduce); the
+full SUM/AVG/DISTINCT/GROUPING SETS/stats surface is Hive-engine capability
+over handler tables (``pom.xml:28-32``).  Spark-natively every aggregate
+below compiles to partial (map-side) + final aggregation with whole-stage
+codegen; AQE coalesces post-shuffle partitions.
+
+Float discipline for differential testing: money aggregates are rounded to
+2 decimals *after* aggregation in both engines; statistics to 6.  This
+keeps value-hashes stable across summation orders (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_table
+
+
+@query(
+    "agg_count_star",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+    tags=("agg",),
+)
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) — the reference's zero-column count-only scan contract
+    (``HiveKuduTableInputFormat.java:85-87``; demo ``README.md:37,133-158``).
+    Spark reads no Parquet columns for this plan (metadata-only count)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "agg_groupby",
+    oracle=(
+        "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("agg",),
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash GROUP BY with partial aggregation — the reference demo's
+    ``GROUP BY name`` (``README.md:41,183-209``) on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "       ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "       ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "       ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "       ROUND(AVG(l_extendedprice), 4) AS avg_price, "
+        "       ROUND(AVG(l_discount), 4) AS avg_disc, "
+        "       COUNT(*) AS count_order "
+        "FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '2000-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (TPC-H Q1 shape): scan → filter → groupBy → 8 aggs.
+
+    The scaled-up version of the reference's own group-by demo
+    (``README.md:41,183-209``): partial aggregation map-side, one shuffle
+    on the 6-group key, codegen'd expression evaluation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_basic",
+    oracle=(
+        "SELECT p_brand, "
+        "       ROUND(SUM(p_retailprice), 2) AS sum_price, "
+        "       ROUND(AVG(p_retailprice), 4) AS avg_price, "
+        "       ROUND(MIN(p_retailprice), 2) AS min_price, "
+        "       ROUND(MAX(p_retailprice), 2) AS max_price, "
+        "       COUNT(p_retailprice) AS cnt_price, "
+        "       CAST(SUM(p_size) AS BIGINT) AS sum_size "
+        "FROM part GROUP BY p_brand"
+    ),
+    tags=("agg",),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM/AVG/MIN/MAX/COUNT(col) (SURVEY.md §2.4 ``agg_basic``)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.count("p_retailprice").alias("cnt_price"),
+        F.sum("p_size").cast("bigint").alias("sum_size"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle=(
+        "SELECT l_returnflag, "
+        "       COUNT(DISTINCT l_partkey) AS ndv_part, "
+        "       COUNT(DISTINCT l_suppkey) AS ndv_supp "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expand + two-phase aggregate in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("ndv_part"),
+        F.countDistinct("l_suppkey").alias("ndv_supp"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle=(
+        "SELECT o_orderstatus, "
+        "       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') "
+        "         AS priorities "
+        "FROM orders GROUP BY o_orderstatus"
+    ),
+    tags=("agg",),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set, emitted as a sorted joined string so the value is
+    order-deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        )
+    )
+
+
+@query("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NDV via HyperLogLog++ (≈ Hive compute_stats NDV).
+
+    No SQL oracle: sketch estimates are engine-specific; the driver's
+    rows-only check applies and ``tests/test_aggregates.py`` bounds the
+    relative error against the exact count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_ndv_part")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, "
+        "       ROUND(SUM(l_quantity), 2) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (GROUPING SETS family, Hive 1.1 surface — SURVEY.md §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=(
+        "SELECT o_custkey, COUNT(*) AS n_orders, "
+        "       ROUND(SUM(o_totalprice), 2) AS spend "
+        "FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12"
+    ),
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter (SURVEY.md §2.4 ``agg_having``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "agg_stats",
+    oracle=(
+        "SELECT l_returnflag, "
+        "       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price, "
+        "       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty, "
+        "       ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation (SURVEY.md §2.4 ``agg_stats``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle=(
+        "SELECT l_returnflag, "
+        "       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price, "
+        "       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("agg",),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Hive ``percentile`` surface).
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition; ``percentile_approx`` would not be
+    oracle-comparable (engine-specific sketch).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )

@@ -1,0 +1,133 @@
+"""Scan / projection / filter operators (SURVEY.md §2.1–§2.2).
+
+The reference ships these as conf-driven projection lists and base64 range
+predicates handed to the Kudu scanner (``HiveKuduTableInputFormat.java:
+80-88,303-323,465-469``) with the Hive-side decomposition left as a stub
+(``KuduStorageHandler.java:187-193``).  Spark-natively, each of these is a
+declarative ``select``/``filter`` whose pushdown Catalyst performs for real:
+``plans/checks.py`` asserts ``PushedFilters`` / pruned ``ReadSchema`` on the
+physical plan, closing the reference's TODO (``doc/DesignDocument.md:10,40``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_table
+
+
+@query(
+    "scan_full",
+    oracle="SELECT * FROM lineitem",
+    tags=("scan",),
+)
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan (``HiveKuduTableInputFormat.java:149-223,491-572``):
+    one Spark input split per Parquet row-group replaces one split per
+    tablet; vectorized reader replaces the RowResult batch loop."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query(
+    "project_pushdown",
+    oracle="SELECT l_orderkey, l_extendedprice FROM lineitem",
+    tags=("scan",),
+)
+def project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-projection pushdown (``HiveKuduTableInputFormat.java:80-88,
+    303-320``): Catalyst ColumnPruning shrinks ReadSchema to 2 of 11 cols."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+
+@query(
+    "filter_eq",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'"
+    ),
+    tags=("filter",),
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality filter + projection — the reference demo's
+    ``SELECT id FROM test_drop WHERE name = 'a'`` (``README.md:39,161-180``)
+    over the star schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "filter_range",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "  AND l_shipdate <  TIMESTAMP '1998-01-01' "
+        "  AND l_quantity BETWEEN 10 AND 40"
+    ),
+    tags=("filter",),
+)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicates — the storage contract of the reference is
+    column *range* predicates (``HiveKuduTableInputFormat.java:76-78``);
+    here they push into Parquet min/max + row-group pruning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_quantity").between(10, 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@query(
+    "filter_in_like_null",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders "
+        "WHERE o_orderstatus IN ('F', 'P') "
+        "  AND o_orderpriority LIKE '%URGENT%' "
+        "  AND o_totalprice IS NOT NULL "
+        "  AND NOT (o_custkey IS NULL)"
+    ),
+    tags=("filter",),
+)
+def filter_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / LIKE / IS NULL / boolean combinators — the Hive predicate
+    surface enabled over handler tables (SURVEY.md §2.2, prov H)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_totalprice").isNotNull()
+        & ~F.col("o_custkey").isNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "project_expr",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "       l_extendedprice * (1 - l_discount) AS revenue, "
+        "       CAST(l_linenumber AS BIGINT) AS line_no_big, "
+        "       CASE WHEN l_returnflag = 'R' THEN 'returned' "
+        "            WHEN l_quantity > 45 THEN 'bulk' "
+        "            ELSE 'normal' END AS line_class "
+        "FROM lineitem"
+    ),
+    tags=("project",),
+)
+def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression projection: arithmetic, CASE WHEN, casts (SURVEY.md §2.2
+    ``project_expr``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw IEEE product: per-row double arithmetic is bit-exact across
+        # engines, whereas per-row ROUND boundary semantics are not
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.col("l_linenumber").cast("bigint").alias("line_no_big"),
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_quantity") > 45, "bulk")
+        .otherwise("normal")
+        .alias("line_class"),
+    )

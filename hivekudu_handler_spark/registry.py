@@ -1,0 +1,67 @@
+"""Query registry: one entry per operator key from SURVEY.md §2.
+
+Each operator module registers its query callables here with the
+``@query`` decorator.  ``__spark_entry__.py`` exposes the registry to the
+verification driver: ``fn`` becomes the ``queries()`` entry and ``oracle``
+(when SQL-expressible) the ``oracle_sql()`` entry that DuckDB runs against
+the same Parquet tables.  Keys without an oracle get the driver's weaker
+rows-only check (non-SQL-expressible ops: LSH, streaming, approx sketches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str] = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Register ``fn`` as the implementation of operator key ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query key: {name}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every operator module so all keys self-register."""
+    # Imports are inside the function to avoid import cycles with modules
+    # that themselves import `query` from here.
+    from hivekudu_handler_spark.operators import (  # noqa: F401
+        aggregates,
+        ddl,
+        joins,
+        scans,
+        setops,
+        sorts,
+        windows,
+    )
+    from hivekudu_handler_spark.functions import scalar  # noqa: F401
+    from hivekudu_handler_spark.pipeline import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+    from hivekudu_handler_spark.streaming import events as streaming_events  # noqa: F401
+
+    return QUERIES

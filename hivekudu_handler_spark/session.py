@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB design target (AQE on, skew-join
+handling, partition coalescing) while remaining correct on ``local[N]``.
+Timezone is pinned to UTC so timestamp semantics are deterministic across
+the engine, the Parquet fixtures and the DuckDB oracle (SURVEY.md §7.3
+"timestamp precision" hard part).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the verification harness (local[32], 128 GiB).  On a real
+# cluster these are overridden by spark-submit conf; nothing here assumes
+# single-node execution.
+_DEFAULT_CONF: dict[str, str] = {
+    # Adaptive query execution: runtime re-planning, partition coalescing,
+    # skew-join splitting — the scale-path backbone.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics (see module docstring).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for every Python<->JVM exchange (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep shuffle width bounded on the test harness; AQE coalesces down.
+    "spark.sql.shuffle.partitions": "32",
+    # ANSI off: the engine mirrors Hive's permissive overflow/parse
+    # semantics (reference delegates execution to Hive 1.1, pom.xml:27-32).
+    "spark.sql.ansi.enabled": "false",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "hivekudu-handler-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,104 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full physical plan into the noop sink (no driver
+materialization, no collect) so the timing measures engine work, not
+result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hivekudu_handler_spark.registry import load_all
+from hivekudu_handler_spark.session import default_sf_dir, get_spark
+
+# Headline queries: one per operator family, weighted toward the
+# shuffle/join/window-heavy paths that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",   # scan → filter → groupBy w/ 8 aggregates
+    "scan_full",            # raw scan throughput
+    "filter_range",         # pushdown + range predicates
+    "join_inner",           # shuffle join
+    "join_broadcast",       # broadcast dimension join + agg
+    "join_range",           # equi+band join
+    "join_asof",            # applyInPandas sorted merge
+    "agg_distinct",         # count-distinct expand
+    "agg_grouping_sets",    # rollup
+    "win_agg_frame",        # window frames over events
+    "topk_per_group",       # window group limit
+    "sort_global",          # range-partitioned global sort
+    "set_union",            # union + dedup
+    "dedup_exact_docs",     # hash dedup
+    "dedup_ngram_jaccard",  # shingle inverted-index join
+    "dedup_minhash",        # minhash-lsh + verify
+    "dedup_embedding",      # pairwise cosine
+    "sim_topk_cosine",      # brute-force ANN baseline
+    "sim_ann_lsh",          # LSH ANN
+    "text_quality",         # text pipeline built-ins
+    "text_langid",          # marker scoring
+    "stream_session",       # session windows (batch mode)
+    "mm_byte_features",     # mapInPandas Arrow path
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    specs = load_all()
+    # warm the JVM/codegen and the Python worker pool once so the first
+    # timed query isn't charged session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _ident(batches):
+        yield from batches
+
+    (
+        spark.range(64)
+        .repartition(64)
+        .mapInPandas(_ident, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.time()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # queries are self-contained: drop any caches an operator
+        # persisted so successive timings don't interfere
+        spark.catalog.clearCache()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

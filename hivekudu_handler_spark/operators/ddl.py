@@ -1,0 +1,194 @@
+"""DDL / sink operators (SURVEY.md §2.1) driven through the managed
+keyed-table layer (:mod:`hivekudu_handler_spark.sources.table_store`).
+
+Each key reproduces a step of the reference's own golden test
+``simple_test.sql`` (``README.md:14-218``) — the only test the reference
+defines — against a scratch warehouse, then returns the observable result
+as a DataFrame whose oracle is a VALUES literal of the expected golden
+output.  The scratch tables are tiny; results are materialized before the
+scratch dir is removed so the returned DataFrame has no dangling file
+dependency.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.sources.table_store import TableStore
+
+_SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".scratch"
+
+
+def _scratch_store(spark: SparkSession) -> tuple[TableStore, Path]:
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix="ddl_", dir=_SCRATCH_ROOT))
+    return TableStore(spark, str(d)), d
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a (small) result and rebuild it driver-side so the scratch
+    warehouse can be deleted immediately."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
+
+
+@query(
+    "ddl_create",
+    oracle=(
+        "SELECT * FROM (VALUES ('id', 'int', TRUE), ('name', 'string', FALSE)) "
+        "AS t(col_name, data_type, is_key)"
+    ),
+    tags=("ddl",),
+)
+def ddl_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE with key columns (``KuduStorageHandler.java:223-278``;
+    demo ``README.md:22-31``): key column non-nullable, others nullable
+    (``:253-254``).  Returns DESCRIBE output."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        return _materialize(spark, store.describe("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_describe",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "('k', 'bigint', TRUE), ('v_str', 'string', FALSE), "
+        "('v_i8', 'tinyint', FALSE), ('v_i16', 'smallint', FALSE), "
+        "('v_i32', 'int', FALSE), ('v_i64', 'bigint', FALSE), "
+        "('v_f32', 'float', FALSE), ('v_f64', 'double', FALSE), "
+        "('v_bool', 'boolean', FALSE), ('v_ts', 'timestamp', FALSE), "
+        "('v_bin', 'binary', FALSE)) AS t(col_name, data_type, is_key)"
+    ),
+    tags=("ddl",),
+)
+def ddl_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE over the full 10-type lattice fixture ``kudu_typed``
+    (FIXTURES.md Family A; type map ``HiveKuduBridgeUtils.java:36-68``)."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "kudu_typed",
+            "k bigint, v_str string, v_i8 tinyint, v_i16 smallint, "
+            "v_i32 int, v_i64 bigint, v_f32 float, v_f64 double, "
+            "v_bool boolean, v_ts timestamp, v_bin binary",
+            ["k"],
+        )
+        return _materialize(spark, store.describe("kudu_typed"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_drop",
+    oracle="SELECT 0 AS n_tables, TRUE AS dropped",
+    tags=("ddl",),
+)
+def ddl_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP TABLE deletes managed storage
+    (``KuduStorageHandler.java:292-310``; demo ``README.md:43,212-214``)."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.drop_table("test_drop")
+        n = len(store.list_tables())
+        return spark.createDataFrame(
+            [(n, not store._meta_path("test_drop").exists())],
+            "n_tables int, dropped boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sink_values",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'a')) AS t(id, name)"
+    ),
+    tags=("sink",),
+)
+def sink_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... VALUES — the reference demo's ingest
+    (``README.md:35,113-130``), read back in full."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.insert_values("test_drop", [(1, "a"), (2, "b"), (3, "a")])
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sink_insert",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'a'), (4, 'd')) "
+        "AS t(id, name)"
+    ),
+    tags=("sink",),
+)
+def sink_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT with silent duplicate-key ignore: a second batch carrying an
+    existing key (1,'z') plus a fresh key (4,'d') must land only the fresh
+    row (``HiveKuduTableOutputFormat.java:101``
+    ``setIgnoreAllDuplicateRows(true)``)."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.insert_values("test_drop", [(1, "a"), (2, "b"), (3, "a")])
+        store.insert_values("test_drop", [(1, "z"), (4, "d")])
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "merge_upsert",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a2'), (2, 'b'), (3, 'a'), (5, 'e')) "
+        "AS t(id, name)"
+    ),
+    tags=("sink",),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK MERGE/upsert — the reference's declared-but-unbuilt goal
+    (``doc/DesignDocument.md:9``, TODO ``HiveKuduTableOutputFormat.java:
+    175-176``): batch rows replace same-key rows."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.insert_values("test_drop", [(1, "a"), (2, "b"), (3, "a")])
+        store.upsert(
+            "test_drop",
+            spark.createDataFrame([(1, "a2"), (5, "e")], "id int, name string"),
+        )
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "delete_where",
+    oracle=(
+        "SELECT * FROM (VALUES (2, 'b')) AS t(id, name)"
+    ),
+    tags=("sink",),
+)
+def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed DELETE — reference goal ``doc/DesignDocument.md:9,46-48``."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.insert_values("test_drop", [(1, "a"), (2, "b"), (3, "a")])
+        store.delete_where("test_drop", "name = 'a'")
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

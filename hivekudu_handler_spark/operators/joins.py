@@ -1,0 +1,331 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference implements no joins itself; every Hive join shape was enabled
+over handler tables by feeding rows through the SerDe
+(``HiveKuduSerDe.java:146-158``, Hive engine dep ``pom.xml:28-32``).  Hive
+1.1 supported equi inner/outer/semi joins plus cross; our Spark surface
+matches and exceeds it (native anti, theta via broadcast-nested-loop,
+as-of via a sorted per-key merge).
+
+Scale notes per operator are in the docstrings: small dimensions are
+explicitly ``broadcast()`` so the 100 TB fact table never shuffles for a
+dimension join; AQE's skew-join splitting covers key skew on the
+shuffle-based ones.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_table
+
+
+@query(
+    "join_inner",
+    oracle=(
+        "SELECT o.o_orderkey, c.c_name, o.o_totalprice "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderstatus = 'O'"
+    ),
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (Hive shuffle/sort-merge ≈ Spark SMJ/SHJ; Catalyst
+    + AQE pick the physical strategy at runtime)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=(
+        "SELECT p.p_brand, COUNT(*) AS n_lines, "
+        "       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "GROUP BY p.p_brand"
+    ),
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join ≈ Hive mapjoin: the dimension is broadcast so the
+    fact table is joined without any shuffle — the essential pattern for
+    a 100 TB ``lineitem``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_left",
+    oracle=(
+        "SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey, c.c_name"
+    ),
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join; COUNT(col) counts only matches, preserving
+    zero-order customers."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right",
+    oracle=(
+        "SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment "
+        "FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey"
+    ),
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_full",
+    oracle=(
+        "WITH cust AS (SELECT c_nationkey AS nk, "
+        "              ROUND(SUM(c_acctbal), 2) AS cust_bal "
+        "              FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey), "
+        "     supp AS (SELECT s_nationkey AS nk, "
+        "              ROUND(SUM(s_acctbal), 2) AS supp_bal "
+        "              FROM supplier GROUP BY s_nationkey) "
+        "SELECT COALESCE(cust.nk, supp.nk) AS nationkey, cust_bal, supp_bal "
+        "FROM cust FULL JOIN supp ON cust.nk = supp.nk"
+    ),
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (unmatched sides on both ends)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cust = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    supp = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("supp_bal")
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk, "full")
+        .select(
+            F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+            "cust_bal",
+            "supp_bal",
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "              AND o.o_totalprice > 400000)"
+    ),
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (Hive's EXISTS idiom) — emits each match once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle=(
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS (a rewrite in Hive 1.1, native in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle=(
+        "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n"
+    ),
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (bounded to dimension tables; Spark executes as
+    broadcast nested loop)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle=(
+        "SELECT r1.r_name AS r_low, r2.r_name AS r_high "
+        "FROM region r1 JOIN region r2 ON r1.r_regionkey < r2.r_regionkey"
+    ),
+    tags=("join",),
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality join — Hive 1.1 required cross+filter; Spark plans
+    a broadcast nested loop with the predicate applied inline."""
+    r1 = load_table(spark, sf_dir, "region").alias("r1")
+    r2 = load_table(spark, sf_dir, "region").alias("r2")
+    return r1.join(
+        r2, F.col("r1.r_regionkey") < F.col("r2.r_regionkey")
+    ).select(F.col("r1.r_name").alias("r_low"), F.col("r2.r_name").alias("r_high"))
+
+
+@query(
+    "join_range",
+    oracle=(
+        "SELECT o.o_orderpriority, COUNT(*) AS n_lines, "
+        "       ROUND(SUM(l.l_extendedprice), 2) AS sum_price "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "  AND l.l_shipdate >= o.o_orderdate "
+        "  AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY "
+        "GROUP BY o.o_orderpriority"
+    ),
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band/range join: equi key + time-band predicate.  The equi
+    component keeps it a hash/SMJ join (the band is a post-join filter),
+    so it scales like a normal key join — no nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_ASOF_SCHEMA = (
+    "purchase_id bigint, user_id bigint, view_id bigint, gap_us bigint"
+)
+
+
+_EMPTY_ASOF = pd.DataFrame(
+    {
+        "purchase_id": pd.Series(dtype="int64"),
+        "user_id": pd.Series(dtype="int64"),
+        "view_id": pd.Series(dtype="int64"),
+        "gap_us": pd.Series(dtype="int64"),
+    }
+)
+
+
+def _asof_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-level sorted as-of merge: one ``pandas.merge_asof`` call
+    with ``by='user_id'`` handles every user in the bucket (far cheaper
+    than one Python call per user)."""
+    left = (
+        pdf[pdf["event_type"] == "purchase"][["event_id", "user_id", "ts"]]
+        .sort_values("ts", kind="stable")
+        .rename(columns={"event_id": "purchase_id"})
+    )
+    right = (
+        pdf[pdf["event_type"] == "view"][["event_id", "user_id", "ts"]]
+        .sort_values("ts", kind="stable")
+        .rename(columns={"event_id": "view_id", "ts": "view_ts"})
+    )
+    if left.empty or right.empty:
+        return _EMPTY_ASOF
+    merged = pd.merge_asof(
+        left,
+        right,
+        left_on="ts",
+        right_on="view_ts",
+        by="user_id",
+        direction="backward",
+    )
+    merged = merged.dropna(subset=["view_id"])
+    merged["gap_us"] = (
+        (merged["ts"] - merged["view_ts"]).astype("timedelta64[us]").astype("int64")
+    )
+    merged["view_id"] = merged["view_id"].astype("int64")
+    return merged[["purchase_id", "user_id", "view_id", "gap_us"]]
+
+
+@query(
+    "join_asof",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
+        "       date_diff('microsecond', v.ts, p.ts) AS gap_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+        "  ON p.user_id = v.user_id AND v.ts <= p.ts"
+    ),
+    tags=("join", "custom"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent prior view.
+
+    Not expressible as a single built-in Spark join (SURVEY.md §2.3
+    ``join_asof``): implemented as a grouped sorted merge —
+    ``applyInPandas`` per ``user_id`` with ``pandas.merge_asof``.  Scale
+    path: one shuffle on ``user_id`` (same as any keyed agg), per-group
+    work is O(n log n) local sort; no driver collection, no cross
+    product.  Skewed users are bounded by per-user event counts.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "user_id", "ts", "event_type")
+    # shuffle by a coarse user bucket (users stay co-located; merge_asof
+    # resolves per-user inside the bucket) — bounds the number of Python
+    # group invocations at high user cardinality
+    ev = ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(32)))
+    return (
+        ev.groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: _asof_merge(pdf.drop(columns=["bucket"])),
+            schema=_ASOF_SCHEMA,
+        )
+    )

@@ -1,0 +1,385 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7 M4,
+north-star — prov N): exact, n-gram Jaccard, MinHash-LSH, SimHash, and
+embedding-cosine near-dup.
+
+Scale design (the point of each algorithm):
+
+* exact dedup — one hash shuffle on the fingerprint; map-side partial.
+* n-gram Jaccard — the *shingle-inverted-index* join: explode distinct
+  shingles, self-join on shingle, count common shingles per pair.  Work
+  is Σ_shingle freq² — bounded by shingle frequency, not |docs|²; at
+  100 TB the hot shingles are capped/stopworded (here the corpus is
+  synthetic and bounded).
+* MinHash-LSH — 64 hashes, 32 bands × 2 rows (collision prob at J=0.5 is
+  1-(1-0.5²)³² ≈ 0.9999): candidate pairs from band-bucket self-joins,
+  then *exact* Jaccard verification so emitted pairs are never false
+  positives.  This is the linear-ish scale path for near-dedup at 100 TB.
+* SimHash — 64-bit signature from signed token-hash bit sums; Hamming ≤ k
+  pairs found by the 4×16-bit pigeonhole banding (Hamming ≤ 3 ⇒ some
+  16-bit chunk equal), verified with bit_count(xor).
+* embedding cosine — exact pairwise over unit-normalized vectors
+  (bounded fixture); the ANN scale path lives in pipeline/similarity.py.
+
+All token/shingle normalization is shared with pipeline/text.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.pipeline.text import _NORM_SQL, normalized, tokens
+from hivekudu_handler_spark.tables import load_table
+
+# -- shared shingling -------------------------------------------------------
+
+# 3-token shingles over normalized tokens; DuckDB twin below.
+_SHINGLES_EXPR = (
+    "CASE WHEN size(toks) >= 3 THEN "
+    "  array_distinct(transform(sequence(1, size(toks) - 2), "
+    "                 i -> array_join(slice(toks, i, 3), ' '))) "
+    "ELSE array() END"
+)
+
+_SHINGLES_SQL = (
+    f"(WITH) "  # placeholder, real SQL assembled in _jaccard_oracle()
+)
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array<string>) with distinct 3-token shingles.
+
+    The fixture table is a single Parquet file (one input split), so
+    tokenization is explicitly repartitioned across cores first — on a
+    real multi-file table the file source provides the splits and the
+    repartition is a no-op cost-wise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        d.repartition(par)
+        .select("doc_id", F.filter(tokens(), lambda x: x != "").alias("toks"))
+        .select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
+    )
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    norm = _NORM_SQL
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        f"  list_filter(string_split({norm}, ' '), x -> x <> '') AS w "
+        "  FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+        "  list_distinct([array_to_string(w[i:i+2], ' ') "
+        "                 for i in range(1, len(w) - 1)]) "
+        "  ELSE [] END AS s FROM toks), "
+        "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
+        "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, len(s) AS n FROM sh) "
+        "SELECT doc_a, doc_b, "
+        "       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard "
+        "FROM common "
+        "JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}"
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise Jaccard ≥ threshold via the shingle-inverted-index
+    join (never materializes |docs|² pairs).
+
+    The shingle table feeds four plan branches (both join sides + both
+    size lookups): persisted so tokenization runs once.  The join key is
+    ``xxhash64(shingle)`` — an 8-byte shuffle key instead of a ~20-byte
+    string (64-bit collisions are negligible at this cardinality and the
+    final Jaccard is still computed from true shingle-set sizes).
+    """
+    sh = doc_shingles(spark, sf_dir).persist()
+    sh.count()  # materialize before the four consumer branches race
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    jac = (
+        common.join(
+            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .withColumn("jac_raw", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+    )
+    return jac.filter(F.col("jac_raw") >= threshold).select(
+        "doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard")
+    )
+
+
+# -- registered keys --------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle=(
+        f"SELECT md5({_NORM_SQL}) AS fingerprint, "
+        "       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, "
+        "       COUNT(*) AS n_copies "
+        "FROM documents GROUP BY 1"
+    ),
+    tags=("dedup",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min doc_id) keeper per normalized-content
+    fingerprint.  One hash shuffle; at 100 TB this is the cheapest dedup
+    pass and always runs before the fuzzy ones."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalized()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_oracle(0.5),
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5)."""
+    return ngram_jaccard_pairs(spark, sf_dir, threshold=0.5)
+
+
+# MinHash parameters: 64 permutations in 32 bands × 2 rows.
+_MH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_MH_K = 64
+_MH_BANDS = 32
+_MH_ROWS = 2
+
+
+@query("dedup_minhash", tags=("dedup", "approx"))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at Jaccard ≥ 0.5.
+
+    shingle → crc32 → 64 affine permutations min-folded per doc →
+    32 band buckets → bucket self-join → exact Jaccard verify.
+    Emitted pairs are exact-verified (precision 1.0); recall at J=0.5 is
+    1-(1-0.25)³² ≈ 0.9999.  Rows-only check (LSH candidate generation is
+    not SQL-expressible); tests/test_dedup.py asserts recall vs the exact
+    operator.
+    """
+    sh = doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0).persist()
+    sh.count()  # materialize before the consumer branches race
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
+        "h", F.crc32("shingle")
+    )
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * (2 * i + 1) + 7919 * i + 12345) % _MH_P).alias(
+                f"s{i}"
+            )
+            for i in range(_MH_K)
+        ]
+    ).persist()
+    sigs.count()  # materialize once; feeds both sides of the band self-join
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[F.col(f"s{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    withs = (
+        cand.join(
+            F.broadcast(sh).withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "doc_a",
+        ).join(
+            F.broadcast(sh).withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        withs.withColumn("jac_raw", inter / union)
+        .filter(F.col("jac_raw") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash", tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 (of 64 bits).
+
+    Signed bit-sum over xxhash64 token hashes weighted by term count;
+    candidate pairs via the 4×16-bit pigeonhole banding, verified with
+    bit_count(a XOR b).  Rows-only check; tests compare against direct
+    pairwise Hamming on the signatures.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.filter(tokens(), lambda x: x != "")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.xxhash64("tok"))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig_expr = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, j)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
+    sigs = bit_sums.select("doc_id", sig_expr.alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@query(
+    "dedup_embedding",
+    oracle=(
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "             CAST(b.embedding AS DOUBLE[])), 4) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "      CAST(b.embedding AS DOUBLE[])) >= 0.5"
+    ),
+    tags=("dedup", "vector"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.5), exact all-pairs.
+
+    Block-parallel matrix multiply: the full (small) normalized matrix is
+    broadcast to every task; each Arrow batch of rows multiplies against
+    it with BLAS and emits only pairs over threshold — the quadratic work
+    runs at matrix-multiply speed and only threshold survivors ever
+    materialize.  (A per-pair expression join was ~30× slower: 2M pair
+    rows through interpreted higher-order functions.)  At 100 TB the
+    identical kernel runs after an LSH/IVF prefilter instead of all-pairs.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            qa = pdf["vec_id"].to_numpy()
+            li, ri = np.nonzero(sims >= 0.5)
+            mask = qa[li] < all_ids[ri]
+            yield pd.DataFrame(
+                {
+                    "vec_a": qa[li][mask],
+                    "vec_b": all_ids[ri][mask],
+                    "cosine": np.round(sims[li, ri][mask], 4),
+                }
+            )
+
+    # the fixture is a single parquet file (one split): spread the row
+    # blocks across cores so the per-block matmuls run in parallel
+    par = spark.sparkContext.defaultParallelism
+    return (
+        e.select("vec_id", "embedding")
+        .repartition(par)
+        .mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")
+    )

@@ -1,0 +1,259 @@
+"""Similarity search over embedding columns (SURVEY.md §7 M4, north-star).
+
+Three tiers, trading recall for scan cost:
+
+* ``sim_topk_cosine`` — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, JVM-side dot products, per-query top-k
+  via window rank.  At 100 TB this is the *verification* tier and the
+  right choice whenever |queries| is small (the corpus is scanned once,
+  no shuffle of the corpus itself).
+* ``sim_ann_lsh`` — random-hyperplane (sign) LSH: 16-bit signatures,
+  multi-table banding; candidates share a band bucket, then exact
+  re-scoring.  Corpus side is one narrow signature table; the expensive
+  cosine runs only on bucket collisions.
+* ``sim_ivf`` — IVF-style coarse quantization: deterministic centroid
+  seed (first k vectors by id), assign corpus to nearest centroid,
+  probe the ``nprobe`` nearest centroids per query.  The classic
+  billion-vector layout (FAISS IVF) expressed relationally: assignment
+  is a broadcast join + argmin, probing is a bucket equi-join.
+
+Hyperplanes/centroids are derived deterministically from the corpus
+itself (no RNG), so results are stable for differential testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_table
+
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 10
+
+
+def _as_double(e: DataFrame, out: str = "v") -> DataFrame:
+    return e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias(out)
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = _TOP_K
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    ``queries`` is broadcast; the corpus is scanned once with codegen'd
+    dot products; per-query top-k via window rank (cosine desc, vec_id
+    tiebreak).
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "sim_topk_cosine",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        f"          FROM embeddings WHERE vec_id < {_N_QUERIES}), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
+        "             AS cos_raw "
+        "           FROM embeddings e CROSS JOIN q "
+        "           WHERE e.vec_id <> q.query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "           ROW_NUMBER() OVER (PARTITION BY query_id "
+        "               ORDER BY cos_raw DESC, neighbor_id) AS rank, "
+        "           ROUND(cos_raw, 4) AS cosine FROM scored) "
+        f"SELECT * FROM ranked WHERE rank <= {_TOP_K}"
+    ),
+    tags=("similarity", "vector"),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5."""
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES))
+
+
+# --- sign-LSH --------------------------------------------------------------
+
+_LSH_BITS = 16
+_LSH_TABLES = 4
+
+
+def _hyperplanes(corpus: DataFrame, n: int) -> DataFrame:
+    """Deterministic pseudo-hyperplanes: difference vectors of fixed
+    corpus-vector pairs (id 2i vs 2i+1) — data-derived, RNG-free."""
+    ids = list(range(2 * n))
+    vecs = corpus.filter(F.col("vec_id").isin(ids))
+    a = vecs.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("int").alias("plane_id"), F.col("v").alias("va")
+    )
+    b = vecs.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("int").alias("plane_id"),
+        F.col("v").alias("vb"),
+    )
+    return a.join(b, "plane_id").select(
+        "plane_id", F.zip_with("va", "vb", lambda x, y: x - y).alias("plane")
+    )
+
+
+def _signatures(vectors: DataFrame, planes: DataFrame) -> DataFrame:
+    """16-bit sign signature per vector (bit j = sign of dot with plane j)."""
+    joined = vectors.crossJoin(F.broadcast(planes))
+    bit = F.when(_dot(F.col("v"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        joined.select("vec_id", "plane_id", bit.alias("bit"))
+        .groupBy("vec_id")
+        # shiftleft with a column shift amount needs the SQL form (the
+        # Python helper only accepts a literal)
+        .agg(F.expr("sum(shiftleft(CAST(bit AS BIGINT), plane_id))").alias("sig"))
+    )
+
+
+@query("sim_ann_lsh", tags=("similarity", "vector", "approx"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via random-hyperplane LSH + exact re-scoring.
+
+    4 tables × 4-bit bands over a 16-bit sign signature; candidates =
+    bucket collisions in any table; exact cosine re-scored on candidates
+    only.  Rows-only driver check; tests/test_similarity.py measures
+    recall vs the exact operator (ANN output is a recall/cost tradeoff,
+    not an oracle-matchable set).
+    """
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    planes = _hyperplanes(e, _LSH_BITS)
+    sigs = _signatures(e, planes)
+    # 4 bands of 4 bits each per signature
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), 4 * t).bitwiseAND(F.lit(0xF))
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("table_id", "bucket"),
+    )
+    q = bands.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    )
+    cand = (
+        bands.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )
+
+
+# --- IVF -------------------------------------------------------------------
+
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+
+
+@query("sim_ivf", tags=("similarity", "vector", "approx"))
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN top-10.
+
+    Centroids = the first ``_IVF_CENTROIDS`` corpus vectors (deterministic
+    seed, standing in for a k-means fit which would itself be a Spark
+    job).  Corpus vectors are assigned to their nearest centroid
+    (broadcast argmin); each query probes its ``_IVF_NPROBE`` nearest
+    centroid cells and exact-scores only those.  Rows-only driver check;
+    recall measured in tests.
+    """
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", sim)
+        .withColumn("r", F.row_number().over(w_assign))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "cent_id")
+    )
+    # queries probe their nprobe nearest cells
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+        .withColumn("r", F.row_number().over(w_probe))
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_raw", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,207 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §7 M4, north-star extension — prov N).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` so the
+hot path is whole-stage-codegen'd: at 100 TB of documents, a row-at-a-time
+Python UDF would be the bottleneck; these are not.
+
+Shared normalization (must stay in lockstep with the oracles and with
+pipeline/dedup.py): lowercase → non-alphanumeric runs to single space →
+trim → whitespace split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_table
+
+# SQL fragments kept in lockstep with the Column builders below.
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def normalized(col: Column = None) -> Column:
+    c = col if col is not None else F.col("text")
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def tokens(col: Column = None) -> Column:
+    return F.split(normalized(col), " ")
+
+
+# Deterministic marker-word sets per language for the lang-id heuristic.
+# Real pipelines use character-n-gram models (fastText-style); the rule
+# here is an honest, fully deterministic stand-in whose exact semantics
+# are mirrored in the oracle (the differential test checks engine
+# behavior, not model quality).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+@query(
+    "text_tokens",
+    oracle=(
+        "SELECT doc_id, "
+        f"       len(list_filter({_TOKENS_SQL}, x -> x <> '')) AS n_tokens, "
+        "       length(text) AS n_chars_actual, "
+        "       n_chars, "
+        f"       len(list_distinct(list_filter({_TOKENS_SQL}, x -> x <> ''))) "
+        "         AS n_unique_tokens "
+        "FROM documents"
+    ),
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens after normalization, plus
+    distinct-token count (type/token)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        "n_chars",
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=(
+        "WITH t AS (SELECT doc_id, text, "
+        f"            list_filter({_TOKENS_SQL}, x -> x <> '') AS toks "
+        "           FROM documents) "
+        "SELECT doc_id, "
+        "       len(toks) AS n_tokens, "
+        "       CASE WHEN len(toks) = 0 THEN 0.0 "
+        "            ELSE length(array_to_string(toks, '')) * 1.0 / len(toks) "
+        "       END AS mean_word_len, "
+        "       length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0 "
+        "         / greatest(length(text), 1) AS punct_ratio, "
+        "       len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) "
+        "         * 1.0 / greatest(len(toks), 1) AS stopword_ratio, "
+        "       (length(text) >= 100 AND len(toks) >= 20) AS passes_length_gate "
+        "FROM t"
+    ),
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: mean word length, punctuation ratio, stopword
+    ratio, and a length gate — the standard cheap pre-filters before
+    expensive dedup/model scoring in a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(), lambda x: x != "")
+    n = F.size(toks)
+    stop = F.filter(
+        toks, lambda x: x.isin(*_LANG_MARKERS["en"])
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(
+            F.length(F.array_join(toks, "")) * F.lit(1.0) / n
+        )
+        .alias("mean_word_len"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+            * F.lit(1.0)
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+        (F.size(stop) * F.lit(1.0) / F.greatest(n, F.lit(1))).alias("stopword_ratio"),
+        ((F.length("text") >= 100) & (n >= 20)).alias("passes_length_gate"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter({_TOKENS_SQL}, x -> x IN ({markers})))"
+    )
+
+
+@query(
+    "text_langid",
+    oracle=(
+        "SELECT doc_id, "
+        f"       {_lang_score_sql('en')} AS score_en, "
+        f"       {_lang_score_sql('de')} AS score_de, "
+        f"       {_lang_score_sql('fr')} AS score_fr, "
+        f"       {_lang_score_sql('es')} AS score_es, "
+        "       CASE "
+        f"        WHEN {_lang_score_sql('en')} >= greatest({_lang_score_sql('de')}, "
+        f"             {_lang_score_sql('fr')}, {_lang_score_sql('es')}) THEN 'en' "
+        f"        WHEN {_lang_score_sql('de')} >= greatest({_lang_score_sql('fr')}, "
+        f"             {_lang_score_sql('es')}) THEN 'de' "
+        f"        WHEN {_lang_score_sql('fr')} >= {_lang_score_sql('es')} THEN 'fr' "
+        "         ELSE 'es' END AS predicted_lang "
+        "FROM documents"
+    ),
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic marker-word language-ID heuristic with en→de→fr→es
+    tie preference.  (The fixture corpus shares one vocabulary across its
+    ``lang`` labels, so no content-based classifier can recover the label;
+    the differential value is the deterministic scoring pipeline itself.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+
+    def marker_count(markers: tuple[str, ...]):
+        # single-arg lambda: PySpark's higher-order filter treats a
+        # two-parameter function as (element, index)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["de"], scores["fr"], scores["es"]),
+            "en",
+        )
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        scores["es"].alias("score_es"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=(
+        "SELECT doc_id, "
+        f"       md5({_NORM_SQL}) AS fingerprint, "
+        f"       md5(array_to_string(list_sort(list_distinct("
+        f"         list_filter({_TOKENS_SQL}, x -> x <> ''))), ' ')) "
+        "         AS bag_fingerprint "
+        "FROM documents"
+    ),
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (layout-
+    insensitive exact-dup key) and md5 of the sorted distinct token bag
+    (order-insensitive near-dup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens(), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.md5(normalized()).alias("fingerprint"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias(
+            "bag_fingerprint"
+        ),
+    )

@@ -13,6 +13,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One BLAS thread per task: Spark already runs one task per core, so
+# letting OpenBLAS spawn its own thread pool per Python worker
+# oversubscribes 32×32 and thrashes.  Must be set before numpy loads in
+# the workers (inherited via the worker environment).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 # Tuned for the verification harness (local[32], 128 GiB).  On a real
 # cluster these are overridden by spark-submit conf; nothing here assumes
 # single-node execution.

@@ -83,10 +83,13 @@ class TableMeta:
 class TableStore:
     """A warehouse of managed, primary-keyed Parquet tables."""
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self, spark: SparkSession, warehouse_dir: str, range_partitions: int = 4
+    ):
         self.spark = spark
         self.root = Path(warehouse_dir)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.range_partitions = range_partitions
 
     # ------------------------------------------------------------------ paths
     def _dir(self, name: str) -> Path:
@@ -131,7 +134,7 @@ class TableStore:
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
             # materialize an empty dataset so scans of a fresh table work
-            empty = self.spark.createDataFrame([], normalized)
+            empty = self.spark.createDataFrame([], normalized).coalesce(1)
             empty.write.mode("overwrite").parquet(str(self._data_dir(name)))
             self._meta_path(name).write_text(meta.to_json())
         except Exception:
@@ -232,8 +235,10 @@ class TableStore:
         """Atomically replace table data (write new, swap dirs)."""
         tmp = self._dir(meta.name) / "data.tmp"
         # range-partition by key: the Spark analogue of Kudu tablet key
-        # ranges; keeps scans and key-merges evenly parallel at scale.
-        writer = df.repartitionByRange(8, *meta.key_columns)
+        # ranges (HiveKuduTableInputFormat.java:166-217); keeps scans and
+        # key-merges evenly parallel at scale.  Partition count scales
+        # with data volume on a cluster; bounded here for the harness.
+        writer = df.repartitionByRange(self.range_partitions, *meta.key_columns)
         writer.write.mode("overwrite").parquet(str(tmp))
         old = self._data_dir(meta.name)
         bak = self._dir(meta.name) / "data.bak"

@@ -1,0 +1,174 @@
+"""Streaming surface (SURVEY.md §2.9, extension — prov N).
+
+The reference is batch-only MapReduce (every query launches an MR job,
+``README.md:114-209``); Kudu's real-time-ingest positioning plus the
+driver's ``events`` table motivate this thin Structured Streaming layer.
+
+Each windowed operator is defined once over a DataFrame and is valid in
+BOTH batch and streaming execution — the batch run is what the DuckDB
+oracle checks; ``tests/test_streaming.py`` executes the same logic through
+``readStream`` (availableNow trigger) and asserts the results agree.
+That "one definition, two runtimes" property is the Structured Streaming
+design point.
+
+Scale: tumbling/sliding windows are hash-partitioned by (window, key) —
+state is bounded by the watermark; session windows use Spark's native
+``session_window`` state merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_events
+
+
+def tumbling_counts(ev: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + rounded value sum."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(ev: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(ev: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows with a 10-minute inactivity gap."""
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_tumbling",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+        "       event_type, COUNT(*) AS n_events, "
+        "       ROUND(SUM(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    tags=("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (epoch-aligned 1h windows ≡ hour
+    truncation)."""
+    return tumbling_counts(load_events(spark, sf_dir))
+
+
+@query(
+    "stream_sliding",
+    oracle=(
+        # each event belongs to two 1h/30m sliding windows: the one
+        # starting at its 30-minute truncation and the one 30m earlier
+        "WITH starts AS ("
+        "  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) "
+        "         AS window_start FROM events "
+        "  UNION ALL "
+        "  SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) "
+        "              AS TIMESTAMP) FROM events) "
+        "SELECT window_start, COUNT(*) AS n_events FROM starts GROUP BY 1"
+    ),
+    tags=("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation; the oracle materializes the two window
+    starts each event belongs to."""
+    return sliding_counts(load_events(spark, sf_dir))
+
+
+@query(
+    "stream_session",
+    oracle=(
+        # gaps-and-islands: a new session starts when the gap from the
+        # previous event of the same user is >= 10 minutes
+        "WITH marked AS ("
+        "  SELECT user_id, ts, "
+        "         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "                   < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session "
+        "  FROM events), "
+        "numbered AS ("
+        "  SELECT user_id, ts, "
+        "         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+        "             ROWS UNBOUNDED PRECEDING) AS session_id "
+        "  FROM marked) "
+        "SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events "
+        "FROM numbered GROUP BY user_id, session_id"
+    ),
+    tags=("streaming",),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap), oracle via gaps-and-islands SQL."""
+    return session_counts(load_events(spark, sf_dir))
+
+
+@query("stream_dedup", tags=("streaming",))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup surface (``dropDuplicates`` on
+    event_id).  Batch result is trivially the distinct set; the streaming
+    path with ``withWatermark`` is exercised in tests/test_streaming.py.
+    Rows-only check: the watermark semantics themselves are not
+    SQL-expressible."""
+    ev = load_events(spark, sf_dir)
+    return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+
+
+def run_stream_over_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    transform,
+    *,
+    with_watermark: str | None = "2 hours",
+):
+    """Execute ``transform`` through the real streaming engine.
+
+    Reads the events parquet as a stream (availableNow semantics via a
+    single-batch trigger), applies ``transform`` and collects the result
+    from a memory sink.  Used by tests to prove batch/stream parity.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the fixture dir contains all tables; restrict to the events file
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(f"{sf_dir}")
+    )
+    ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if with_watermark:
+        ev = ev.withWatermark("ts", with_watermark)
+    out = transform(ev)
+    name = "stream_result"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -9,6 +9,7 @@ column pruning replace all of that code (SURVEY.md §2.1).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES: tuple[str, ...] = (
     "region",
@@ -27,10 +28,33 @@ TABLE_NAMES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+# DuckDB CTE aligning events.ts (TIMESTAMP_NS parquet) to the same
+# microsecond precision Spark uses internally; pair with load_events().
+EVENTS_US_CTE = (
+    "ev AS (SELECT * REPLACE (make_timestamp(CAST(ts AS BIGINT) // 1000) AS ts) "
+    "FROM events)"
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table: {name!r}")
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, whose parquet ``ts`` is TIMESTAMP(NANOS).
+
+    Spark's timestamp is microseconds and its Parquet reader rejects nanos
+    outright, so read nanos as raw int64 (legacy conf) and truncate to
+    micros — Spark ``TimestampType`` semantics, matching ``EVENTS_US_CTE``
+    on the DuckDB side.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 class Tables:

@@ -1,0 +1,133 @@
+"""Tests for the LLM-pipeline operators: dedup recall/precision,
+similarity-search recall, multimodal plumbing (SURVEY.md §7 M4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.pipeline import dedup, multimodal, similarity
+from hivekudu_handler_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def _pairs(df, a="doc_a", b="doc_b"):
+    return {(r[a], r[b]) for r in df.collect()}
+
+
+def test_minhash_matches_exact_pairs(spark, specs):
+    """Exact-verified LSH: precision 1.0 by construction; recall vs the
+    exact jaccard operator should be ~1 at these band settings."""
+    exact = _pairs(dedup.ngram_jaccard_pairs(spark, SF, 0.5))
+    mh = _pairs(specs["dedup_minhash"].fn(spark, SF))
+    assert mh <= exact  # never a false positive
+    if exact:
+        recall = len(mh & exact) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} pairs"
+
+
+def test_simhash_pairs_are_near_duplicates(spark, specs):
+    """Every emitted pair must verify: hamming <= 3 is checked inside the
+    operator; here we check determinism and symmetry invariants."""
+    a = specs["dedup_simhash"].fn(spark, SF)
+    rows1 = sorted(tuple(r) for r in a.collect())
+    rows2 = sorted(tuple(r) for r in specs["dedup_simhash"].fn(spark, SF).collect())
+    assert rows1 == rows2  # deterministic
+    for doc_a, doc_b, hamming in rows1:
+        assert doc_a < doc_b and 0 <= hamming <= 3
+
+
+def test_exact_dedup_covers_all_docs(spark, specs):
+    out = specs["dedup_exact_docs"].fn(spark, SF)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, specs):
+    exact = specs["sim_topk_cosine"].fn(spark, SF)
+    ann = specs["sim_ann_lsh"].fn(spark, SF)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"LSH recall {recall}"  # ANN tier trades recall for cost
+
+
+def test_ivf_recall_vs_bruteforce(spark, specs):
+    exact = specs["sim_topk_cosine"].fn(spark, SF)
+    ivf = specs["sim_ivf"].fn(spark, SF)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.2, f"IVF recall {recall}"
+
+
+def test_bruteforce_topk_shape(spark, specs):
+    out = specs["sim_topk_cosine"].fn(spark, SF).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, 11))
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+# ---- multimodal -----------------------------------------------------------
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x89PNG")
+
+
+def test_byte_features_golden(spark, specs):
+    """Pin the mapInPandas feature extraction against a pure-Python
+    computation of the same features for one known doc."""
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    blob = doc["text"].encode("utf-8")
+    counts: dict[int, int] = {}
+    for byte in blob:
+        counts[byte] = counts.get(byte, 0) + 1
+    expected_entropy = -sum(
+        (c / len(blob)) * math.log2(c / len(blob)) for c in counts.values()
+    )
+    row = (
+        specs["mm_byte_features"].fn(spark, SF)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    assert row["n_bytes"] == len(blob)
+    assert row["max_byte"] == max(blob)
+    assert row["n_distinct_bytes"] == len(counts)
+    assert abs(row["mean_byte"] - sum(blob) / len(blob)) < 1e-12
+    assert abs(row["entropy_bits"] - expected_entropy) < 1e-12
+
+
+def test_frame_sample_fanout(spark, specs):
+    out = specs["mm_frame_sample"].fn(spark, SF)
+    one = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    blob = doc["text"].encode("utf-8")
+    n_frames = math.ceil(len(blob) / 64)
+    assert [r["frame_idx"] for r in one] == list(range(0, n_frames, 4))
+    assert bytes(one[0]["frame_bytes"]) == blob[:64]

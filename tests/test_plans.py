@@ -1,0 +1,55 @@
+"""Physical-plan shape tests (SURVEY.md §7 M3): verify via explain() that
+pushdowns, pruning, broadcasts and top-k shortcuts actually happen — the
+optimizations the reference stubbed or delegated (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+from hivekudu_handler_spark.plans import checks
+from hivekudu_handler_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Closes the reference's decomposePredicate TODO
+    (KuduStorageHandler.java:187-193): range predicates land in
+    PushedFilters, not as residual-only filters."""
+    q = load_all()["filter_range"]
+    df = q.fn(spark, SF)
+    checks.assert_filter_pushed(df, "l_shipdate")
+    checks.assert_filter_pushed(df, "l_quantity")
+
+
+def test_eq_filter_pushdown(spark):
+    df = load_all()["filter_eq"].fn(spark, SF)
+    checks.assert_filter_pushed(df, "l_returnflag")
+
+
+def test_projection_prunes_read_schema(spark):
+    """Column pruning reaches the Parquet scan: an 11-column table read
+    with a 2-column projection must not read the other 9
+    (HiveKuduTableInputFormat.java:80-88 made this a manual contract;
+    Catalyst does it for real)."""
+    df = load_all()["project_pushdown"].fn(spark, SF)
+    checks.assert_column_pruned(df, "l_comment")
+    checks.assert_column_pruned(df, "l_shipdate")
+    checks.assert_column_pruned(df, "l_quantity")
+
+
+def test_dimension_join_broadcasts(spark):
+    """The fact-side must never shuffle for a dimension join."""
+    df = load_all()["join_broadcast"].fn(spark, SF)
+    checks.assert_broadcast_join(df)
+    checks.assert_no_shuffle_join(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    df = load_all()["topk"].fn(spark, SF)
+    checks.assert_top_k(df)
+
+
+def test_q1_single_shuffle(spark):
+    """The flagship aggregation needs exactly one exchange (partial agg
+    map-side, final after one shuffle on the group key)."""
+    df = load_all()["q1_pricing_summary"].fn(spark, SF)
+    assert checks.count_shuffles(df) == 1, checks.plan_string(df)

@@ -1,0 +1,79 @@
+"""Reference-parity e2e: reproduce the reference's own golden test.
+
+The reference's entire correctness story is one manual SQL script with
+captured output (``/root/reference/README.md:14-218``, ``simple_test.sql``):
+create a keyed 2-column table, insert 3 rows, count(*), filtered
+projection, group-by count, drop.  This test mechanizes it (SURVEY.md §5
+item 2, fixture ``kudu_simple`` in FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.sources.table_store import (
+    NoSuchTableError,
+    TableStore,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+def test_simple_test_sql_scenario(spark, store):
+    # CREATE TABLE test_drop (id int, name string), key = id
+    # (README.md:22-31)
+    store.create_table("test_drop", "id int, name string", ["id"])
+
+    # DESCRIBE (README.md:33): declared schema with key flag
+    desc = {r["col_name"]: (r["data_type"], r["is_key"]) for r in
+            store.describe("test_drop").collect()}
+    assert desc == {"id": ("int", True), "name": ("string", False)}
+
+    # INSERT VALUES (1,'a'),(2,'b'),(3,'a')  (README.md:35)
+    store.insert_values("test_drop", [(1, "a"), (2, "b"), (3, "a")])
+
+    # SELECT count(*) => 3  (README.md:37,155-158)
+    assert store.scan("test_drop").count() == 3
+
+    # SELECT id WHERE name='a' => {1, 3}  (README.md:39,176-180)
+    ids = {
+        r["id"]
+        for r in store.scan("test_drop", columns=["id"], predicate=F.col("name") == "a")
+        .collect()
+    }
+    assert ids == {1, 3}
+
+    # GROUP BY name => a:2, b:1  (README.md:41,205-209)
+    counts = {
+        r["name"]: r["cnt"]
+        for r in store.scan("test_drop")
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert counts == {"a": 2, "b": 1}
+
+    # DROP TABLE  (README.md:43,212-214)
+    store.drop_table("test_drop")
+    with pytest.raises(NoSuchTableError):
+        store.scan("test_drop")
+
+
+def test_key_column_nullability_rule(spark, store):
+    """Key columns non-nullable, non-key nullable
+    (KuduStorageHandler.java:253-254)."""
+    meta = store.create_table("t", "id int, name string", ["id"])
+    by_name = {f.name: f.nullable for f in meta.schema.fields}
+    assert by_name == {"id": False, "name": True}
+
+
+def test_null_key_rows_are_dropped(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    df = spark.createDataFrame([(None, "x"), (7, "y")], "id int, name string")
+    store.insert("t", df)
+    assert [tuple(r) for r in store.scan("t").collect()] == [(7, "y")]

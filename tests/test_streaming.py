@@ -1,0 +1,30 @@
+"""Streaming surface tests: the same windowed logic must produce the same
+results through the real Structured Streaming engine as in batch
+(SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from hivekudu_handler_spark.streaming.events import (
+    run_stream_over_fixture,
+    session_counts,
+    tumbling_counts,
+)
+from hivekudu_handler_spark.tables import load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _normalize(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = tumbling_counts(load_events(spark, SF))
+    stream = run_stream_over_fixture(spark, SF, tumbling_counts)
+    assert _normalize(stream) == _normalize(batch)
+
+
+def test_session_stream_equals_batch(spark):
+    batch = session_counts(load_events(spark, SF))
+    stream = run_stream_over_fixture(spark, SF, session_counts, with_watermark="1 day")
+    assert _normalize(stream) == _normalize(batch)

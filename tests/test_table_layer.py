@@ -1,0 +1,135 @@
+"""Unit tests for the managed table layer + strict type lattice
+(SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hivekudu_handler_spark import typesys
+from hivekudu_handler_spark.sources.table_store import (
+    TableExistsError,
+    TableStore,
+    TableStoreError,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+# ---- type lattice (HiveKuduBridgeUtils.java:36-68) ------------------------
+
+def test_hive_type_mapping_complete():
+    assert typesys.resolve_hive_type("string") == T.StringType()
+    assert typesys.resolve_hive_type("varchar(10)") == T.StringType()
+    assert typesys.resolve_hive_type("char(3)") == T.StringType()
+    assert typesys.resolve_hive_type("tinyint") == T.ByteType()
+    assert typesys.resolve_hive_type("smallint") == T.ShortType()
+    assert typesys.resolve_hive_type("int") == T.IntegerType()
+    assert typesys.resolve_hive_type("bigint") == T.LongType()
+    assert typesys.resolve_hive_type("float") == T.FloatType()
+    assert typesys.resolve_hive_type("double") == T.DoubleType()
+    assert typesys.resolve_hive_type("timestamp") == T.TimestampType()
+    assert typesys.resolve_hive_type("boolean") == T.BooleanType()
+    assert typesys.resolve_hive_type("binary") == T.BinaryType()
+
+
+@pytest.mark.parametrize("bad", ["decimal(10,2)", "date", "interval", "uuid"])
+def test_unsupported_hive_types_rejected(bad):
+    """Mirrors the SerDeException at HiveKuduBridgeUtils.java:65-66."""
+    with pytest.raises(typesys.UnsupportedTypeError):
+        typesys.resolve_hive_type(bad)
+
+
+def test_complex_types_rejected_in_core_tables(spark, store):
+    """Mirrors the LIST/MAP rejection at HiveKuduBridgeUtils.java:101-111."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("xs", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    with pytest.raises(typesys.UnsupportedTypeError):
+        store.create_table("bad", schema, ["id"])
+
+
+def test_complex_types_allowed_on_extension_path(spark, store):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    meta = store.create_table("emb", schema, ["id"], extended=True)
+    assert meta.extended
+
+
+# ---- DDL semantics (KuduStorageHandler.java) ------------------------------
+
+def test_external_and_location_rejected(spark, store):
+    """KuduStorageHandler.java:230-237."""
+    with pytest.raises(TableStoreError):
+        store.create_table("t", "id int", ["id"], external=True)
+    with pytest.raises(TableStoreError):
+        store.create_table("t", "id int", ["id"], location="/tmp/x")
+
+
+def test_create_requires_key_and_known_columns(spark, store):
+    with pytest.raises(ValueError):
+        store.create_table("t", "id int, name string", [])
+    with pytest.raises(ValueError):
+        store.create_table("t", "id int", ["nope"])
+
+
+def test_duplicate_create_rejected_and_rollback(spark, store):
+    store.create_table("t", "id int", ["id"])
+    with pytest.raises(TableExistsError):
+        store.create_table("t", "id int", ["id"])
+    # failed create must not leave debris (KuduStorageHandler.java:313-330)
+    with pytest.raises(typesys.UnsupportedTypeError):
+        store.create_table("broken", "id int, d decimal(10,2)", ["id"])
+    assert "broken" not in store.list_tables()
+
+
+def test_projection_validation(spark, store):
+    """Unknown projected columns rejected, mirroring
+    HiveKuduTableInputFormat.java:303-320."""
+    store.create_table("t", "id int, name string", ["id"])
+    with pytest.raises(TableStoreError):
+        store.scan("t", columns=["id", "bogus"])
+
+
+# ---- write semantics ------------------------------------------------------
+
+def test_insert_ignores_duplicate_keys(spark, store):
+    """HiveKuduTableOutputFormat.java:101 setIgnoreAllDuplicateRows."""
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a"), (1, "dup-in-batch"), (2, "b")])
+    store.insert_values("t", [(2, "dup-across-batch"), (3, "c")])
+    rows = {r["id"]: r["name"] for r in store.scan("t").collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_upsert_replaces_and_inserts(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a"), (2, "b")])
+    store.upsert("t", spark.createDataFrame([(2, "B"), (3, "c")], "id int, name string"))
+    rows = {r["id"]: r["name"] for r in store.scan("t").collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+
+
+def test_delete_where(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a"), (2, "b"), (3, "a")])
+    store.delete_where("t", F.col("name") == "a")
+    assert [r["id"] for r in store.scan("t").collect()] == [2]
+
+
+def test_schema_mismatch_rejected(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    with pytest.raises(TableStoreError):
+        store.insert("t", spark.createDataFrame([(1,)], "id int"))

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         scans,
         setops,
         sorts,
+        sql_surface,
         windows,
     )
     from hivekudu_handler_spark.functions import scalar  # noqa: F401

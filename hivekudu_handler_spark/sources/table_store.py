@@ -58,6 +58,7 @@ class TableMeta:
     schema: T.StructType
     key_columns: list[str]
     extended: bool = False
+    partition_by: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -66,6 +67,7 @@ class TableMeta:
                 "schema": self.schema.jsonValue(),
                 "key_columns": self.key_columns,
                 "extended": self.extended,
+                "partition_by": self.partition_by,
             }
         )
 
@@ -77,6 +79,7 @@ class TableMeta:
             schema=T.StructType.fromJson(d["schema"]),
             key_columns=list(d["key_columns"]),
             extended=bool(d.get("extended", False)),
+            partition_by=d.get("partition_by"),
         )
 
 
@@ -111,11 +114,16 @@ class TableStore:
         external: bool = False,
         location: str | None = None,
         extended: bool = False,
+        partition_by: list[str] | None = None,
     ) -> TableMeta:
         """CREATE TABLE with mandatory key columns (managed only).
 
         ``external``/``location`` exist so callers hit the same rejections
         the reference enforces (``KuduStorageHandler.java:230-237``).
+        ``partition_by`` implements the reference's declared-but-unbuilt
+        partitioning goal (``KuduStorageHandler.java:266`` TODO,
+        ``doc/DesignDocument.md:8,37-39``) as hive-style directory
+        partitioning, giving scans partition pruning on those columns.
         """
         if external:
             raise TableStoreError(
@@ -130,7 +138,14 @@ class TableStore:
         normalized = typesys.validate_schema(
             schema, key_columns, allow_extended=extended
         )
-        meta = TableMeta(name, normalized, list(key_columns), extended)
+        if partition_by:
+            known = {f.name for f in normalized.fields}
+            missing = [c for c in partition_by if c not in known]
+            if missing:
+                raise TableStoreError(f"unknown partition columns: {missing}")
+        meta = TableMeta(
+            name, normalized, list(key_columns), extended, partition_by or None
+        )
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
             # materialize an empty dataset so scans of a fresh table work
@@ -239,7 +254,10 @@ class TableStore:
         # key-merges evenly parallel at scale.  Partition count scales
         # with data volume on a cluster; bounded here for the harness.
         writer = df.repartitionByRange(self.range_partitions, *meta.key_columns)
-        writer.write.mode("overwrite").parquet(str(tmp))
+        out = writer.write.mode("overwrite")
+        if meta.partition_by:
+            out = out.partitionBy(*meta.partition_by)
+        out.parquet(str(tmp))
         old = self._data_dir(meta.name)
         bak = self._dir(meta.name) / "data.bak"
         if old.exists():

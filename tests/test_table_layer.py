@@ -133,3 +133,26 @@ def test_schema_mismatch_rejected(spark, store):
     store.create_table("t", "id int, name string", ["id"])
     with pytest.raises(TableStoreError):
         store.insert("t", spark.createDataFrame([(1,)], "id int"))
+
+
+def test_partitioned_layout_prunes_partitions(spark, store):
+    """partition_by implements the reference's partitioning TODO
+    (KuduStorageHandler.java:266): a filter on the partition column must
+    reach the scan as a PartitionFilter (pruned directories), not a
+    row-level filter."""
+    from hivekudu_handler_spark.plans.checks import plan_string
+
+    store.create_table(
+        "pt", "id int, status string, v double", ["id"], partition_by=["status"]
+    )
+    store.insert(
+        "pt",
+        spark.createDataFrame(
+            [(1, "open", 1.0), (2, "done", 2.0), (3, "open", 3.0)],
+            "id int, status string, v double",
+        ),
+    )
+    df = store.scan("pt", predicate=F.col("status") == "open")
+    plan = plan_string(df)
+    assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert {r["id"] for r in df.collect()} == {1, 3}

@@ -192,3 +192,26 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("test_drop"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sink_insert_overwrite",
+    oracle=(
+        "SELECT * FROM (VALUES (7, 'x'), (8, 'y')) AS t(id, name)"
+    ),
+    tags=("sink",),
+)
+def sink_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE: replaces prior contents entirely (Hive surface
+    over handler tables; distinct from the dup-ignoring append)."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.insert_values("test_drop", [(1, "a"), (2, "b"), (3, "a")])
+        store.insert_overwrite(
+            "test_drop",
+            spark.createDataFrame([(7, "x"), (8, "y")], "id int, name string"),
+        )
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -184,3 +184,27 @@ def sql_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension broadcasts, the single shuffle is the final group-by."""
     _register(spark, sf_dir, "region", "nation", "customer", "orders", "lineitem")
     return spark.sql(_Q5_SQL)
+
+
+@query(
+    "sort_distribute_sql",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity > 45"
+    ),
+    tags=("sql", "sort"),
+)
+def sort_distribute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's DISTRIBUTE BY / SORT BY through the SQL front-end (Spark
+    SQL keeps both clauses): repartition on the key + per-partition sort.
+    The result *set* equals the plain filter (per-partition order is a
+    layout property, not a row-set property — same contract as
+    ``sort_partition``)."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_quantity > 45
+        DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
+        """
+    )

@@ -56,7 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         sql_surface,
         windows,
     )
-    from hivekudu_handler_spark.functions import scalar  # noqa: F401
+    from hivekudu_handler_spark.functions import scalar, udfs  # noqa: F401
     from hivekudu_handler_spark.pipeline import (  # noqa: F401
         dedup,
         multimodal,

@@ -311,3 +311,11 @@ class TableStore:
         # heuristically treat managed-table key sets as broadcastable in
         # the test harness; AQE fixes the choice at runtime on a cluster.
         return True
+
+    def insert_overwrite(self, name: str, df: DataFrame) -> None:
+        """INSERT OVERWRITE (Hive staple): replace table contents with the
+        batch (dup keys within the batch collapse, first-write-wins like
+        insert)."""
+        meta = self.table_meta(name)
+        batch = self._validate_batch(meta, df).dropDuplicates(meta.key_columns)
+        self._rewrite(meta, batch)

@@ -172,3 +172,67 @@ def run_stream_over_fixture(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+# ---- custom stateful operator (applyInPandasWithState) --------------------
+
+_STATE_SCHEMA = "total_value double, n_events bigint"
+_STATE_OUT_SCHEMA = "user_id bigint, total_value double, n_events bigint"
+
+
+def _running_totals(key, pdf_iter, state):
+    """Custom stateful streaming operator: per-user running totals.
+
+    State = (sum(value), count); each micro-batch folds its rows into the
+    state and emits the updated totals — the ``applyInPandasWithState``
+    pattern for operators Structured Streaming lacks natively.
+    """
+    import pandas as pd
+
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdf_iter:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "total_value": [round(total, 2)], "n_events": [n]}
+    )
+
+
+def stateful_user_totals(ev):
+    """Apply the stateful running-total operator (streaming DataFrame in,
+    update-mode stream out)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_over_fixture(spark, sf_dir: str):
+    """Run the stateful operator through the real streaming engine over
+    the events fixture; returns the memory-sink table of updates."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(f"{sf_dir}")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stateful_totals")

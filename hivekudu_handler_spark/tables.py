@@ -36,9 +36,28 @@ EVENTS_US_CTE = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the confs the engine's semantics depend on, at query time.
+
+    The verification driver (and any embedding application) builds its own
+    SparkSession; these are runtime-settable, so setting them here makes
+    every query self-contained: UTC timestamps (oracle comparisons),
+    non-ANSI casts (Hive-style permissive semantics, SURVEY.md §7.3).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by host
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table: {name!r}")
+    ensure_session_confs(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -28,3 +28,27 @@ def test_session_stream_equals_batch(spark):
     batch = session_counts(load_events(spark, SF))
     stream = run_stream_over_fixture(spark, SF, session_counts, with_watermark="1 day")
     assert _normalize(stream) == _normalize(batch)
+
+
+def test_stateful_operator_matches_batch_totals(spark):
+    """applyInPandasWithState running totals: the last update per user
+    must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from hivekudu_handler_spark.streaming.events import run_stateful_over_fixture
+
+    updates = run_stateful_over_fixture(spark, SF)
+    # last update per user == final totals (single availableNow batch
+    # means exactly one update per user here)
+    got = {
+        r["user_id"]: (r["total_value"], r["n_events"])
+        for r in updates.collect()
+    }
+    batch = {
+        r["user_id"]: (r["tv"], r["n"])
+        for r in load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("tv"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch

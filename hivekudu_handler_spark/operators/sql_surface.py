@@ -186,6 +186,124 @@ def sql_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5_SQL)
 
 
+_Q4_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("sql_q4_order_priority", oracle=_Q4_SQL, tags=("sql", "tpch"))
+def sql_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS
+    decorrelated by Catalyst into a left-semi join on the order key.
+    Scale path: the semi-join shuffles once on l_orderkey/o_orderkey and
+    drops lineitem payload columns before the shuffle."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_q6_forecast_revenue", oracle=_Q6_SQL, tags=("sql", "tpch"))
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan→filter→agg with
+    every predicate pushed to the Parquet scan (range + BETWEEN), zero
+    joins, partial+final aggregation — the cheapest possible plan and the
+    canonical pushdown benchmark at 100 TB (reads ~3 columns of one
+    row-group-pruned table)."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("sql_q10_returned_items", oracle=_Q10_SQL, tags=("sql", "tpch"))
+def sql_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact⋈fact shuffle join
+    (orders⋈lineitem) with broadcast dims (customer, nation), group by
+    customer, global top-20 via TakeOrderedAndProject — no full sort."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)
+
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+@query("sql_q14_promo_effect", oracle=_Q14_SQL, tags=("sql", "tpch"))
+def sql_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): broadcast join to part,
+    conditional aggregation (CASE inside SUM), single global aggregate.
+    The month filter is pushed to the scan so only ~1/12 of lineitem's
+    row groups are read."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       SUM(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@query("sql_q18_large_volume", oracle=_Q18_SQL, tags=("sql", "tpch"))
+def sql_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): IN over a grouped HAVING
+    subquery (left-semi join against a pre-aggregated fact), then the
+    3-way join + group-by.  l_quantity is integer-valued, so SUM over
+    doubles is exact and the >300 threshold is engine-stable.  Scale
+    path: the HAVING subquery and the outer join reuse the same
+    l_orderkey hash partitioning; AQE plans the semi-join side."""
+    _register(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_SQL)
+
+
 @query(
     "sort_distribute_sql",
     oracle=(

@@ -227,3 +227,34 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
         F.bin(F.col("doc_id")).alias("id_bin"),
     )
+
+
+@query(
+    "fn_json",
+    oracle=(
+        "SELECT event_id, event_type, "
+        "       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val, "
+        "       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed "
+        "FROM events "
+        "WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"
+    ),
+    tags=("fn", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the ``events.props`` payload column — both the
+    path-expression form (``get_json_object``) and the schema-full parse
+    (``from_json`` to a typed struct).  The reference's core type lattice
+    rejected complex types (``HiveKuduBridgeUtils.java:101-111``); JSON
+    payload columns re-enter via the north-star multimodal/semi-structured
+    surface.  At scale the filter on the extracted value cannot be pushed
+    to Parquet (opaque string), so the plan reads only (event_id,
+    event_type, props) — column pruning still applies."""
+    ev = load_table(spark, sf_dir, "events")
+    k_path = F.get_json_object("props", "$.k").cast("int")
+    k_typed = F.from_json("props", "k INT")["k"]
+    return ev.select(
+        "event_id",
+        "event_type",
+        k_path.alias("k_val"),
+        k_typed.alias("k_typed"),
+    ).filter(k_path >= 50)

@@ -255,3 +255,42 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
     )
+
+
+_PIVOT_VALUES = {
+    "p1_urgent": "1-URGENT",
+    "p2_high": "2-HIGH",
+    "p3_medium": "3-MEDIUM",
+    "p4_not_specified": "4-NOT SPECIFIED",
+    "p5_low": "5-LOW",
+}
+
+
+@query(
+    "agg_pivot",
+    oracle=(
+        "SELECT o_orderstatus, "
+        + ", ".join(
+            f"COUNT(CASE WHEN o_orderpriority = '{v}' THEN 1 END) AS {a}"
+            for a, v in _PIVOT_VALUES.items()
+        )
+        + " FROM orders GROUP BY o_orderstatus"
+    ),
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab) aggregation with a known value list, compiled to
+    ONE hash aggregate of conditional counts.  Spark's ``groupBy().pivot()``
+    plans TWO shuffles (pre-aggregate on (group, pivot) then re-group);
+    with the pivot values known up front the single-pass conditional form
+    halves the shuffle count — at 100 TB that is the difference between
+    one and two full passes over the fact table
+    (tests/test_plans.py::test_pivot_single_aggregate asserts 1
+    Exchange)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.count(F.when(F.col("o_orderpriority") == v, 1)).alias(a)
+            for a, v in _PIVOT_VALUES.items()
+        ]
+    )

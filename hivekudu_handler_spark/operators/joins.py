@@ -329,3 +329,100 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema=_ASOF_SCHEMA,
         )
     )
+
+
+@query(
+    "join_salted",
+    oracle=(
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+        "       o.o_orderdate, o.o_totalprice "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderstatus = 'F'"
+    ),
+    tags=("join", "scale"),
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted shuffle join — the skew-mitigation pattern for when
+    AQE's runtime skew splitting isn't available (e.g. a deliberately
+    partitioned stage, or a key so hot one partition OOMs).  The skewed
+    (fact) side gets a deterministic salt (l_linenumber % SALT); the other
+    side is replicated SALT times via explode; the join key becomes
+    (key, salt), spreading one hot key over SALT reducers.  Result set is
+    IDENTICAL to the plain equi-join (the oracle), which is the point:
+    salting is a physical rewrite, not a semantic one.  At 100 TB choose
+    SALT ≈ ceil(hottest-key rows / target-partition rows)."""
+    salt_n = 8
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("_salt", (F.col("l_linenumber") % salt_n).cast("int"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+    )
+    joined = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["_salt"] == o["_salt"]),
+        "inner",
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "join_bucketed",
+    oracle=(
+        "SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE l.l_returnflag = 'R'"
+    ),
+    tags=("join", "scale"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables — the zero-shuffle scale path.
+
+    Both sides are written ``bucketBy(16, join_key)`` + ``sortBy`` (the
+    Spark analogue of the reference's hash-partitioned Kudu tablets,
+    ``HiveKuduTableInputFormat.java:166-217``); a join on the bucket key
+    then needs NO Exchange on either side (asserted in
+    tests/test_plans.py) — at 100 TB this converts the dominant
+    fact⋈fact shuffle into a local per-bucket merge.  The one-time
+    bucketed write is the amortized cost, paid once per table, not per
+    query."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"{tempfile.gettempdir()}/hkh_bucketed_{tag}"
+    specs = {
+        f"hkh_orders_b_{tag}": (
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice"
+            ),
+            "o_orderkey",
+        ),
+        f"hkh_lineitem_b_{tag}": (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey", "l_linenumber", "l_quantity"),
+            "l_orderkey",
+        ),
+    }
+    for name, (df, key) in specs.items():
+        (
+            df.write.bucketBy(16, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o = spark.table(f"hkh_orders_b_{tag}")
+    li = spark.table(f"hkh_lineitem_b_{tag}")
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )

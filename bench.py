@@ -25,6 +25,9 @@ from hivekudu_handler_spark.session import default_sf_dir, get_spark
 # shuffle/join/window-heavy paths that dominate at scale.
 HEADLINE = [
     "q1_pricing_summary",   # scan → filter → groupBy w/ 8 aggregates
+    "sql_q6_forecast_revenue",  # pure pushdown scan-agg (TPC-H Q6)
+    "sql_q10_returned_items",   # fact⋈fact + broadcast dims + top-20
+    "sql_q18_large_volume",     # grouped-HAVING semi-join (TPC-H Q18)
     "scan_full",            # raw scan throughput
     "filter_range",         # pushdown + range predicates
     "join_inner",           # shuffle join
@@ -33,6 +36,8 @@ HEADLINE = [
     "join_asof",            # applyInPandas sorted merge
     "agg_distinct",         # count-distinct expand
     "agg_grouping_sets",    # rollup
+    "agg_pivot",            # single-shuffle conditional cross-tab
+    "join_salted",          # compound (key, salt) skew-spread join
     "win_agg_frame",        # window frames over events
     "topk_per_group",       # window group limit
     "sort_global",          # range-partitioned global sort

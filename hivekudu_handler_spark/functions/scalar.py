@@ -258,3 +258,38 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_path.alias("k_val"),
         k_typed.alias("k_typed"),
     ).filter(k_path >= 50)
+
+
+@query(
+    "fn_array",
+    oracle=(
+        "SELECT vec_id, "
+        "       CAST(len(embedding) AS BIGINT) AS dim, "
+        "       CAST(embedding[1] AS DOUBLE) AS first_elem, "
+        "       list_sort(list_slice(embedding, 1, 4)) AS sorted_head, "
+        "       sqrt(list_sum(list_transform(embedding, "
+        "            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm "
+        "FROM embeddings"
+    ),
+    tags=("fn", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function family over the embedding column —
+    size, element access, slice+sort, and an aggregate fold (L2 norm).
+    The reference's type bridge rejected LIST/MAP outright
+    (``HiveKuduBridgeUtils.java:101-111``); ArrayType columns are the
+    deliberate north-star lift that powers the similarity-search surface.
+    All expressions are JVM-side Catalyst higher-order functions — no
+    Python UDF in the loop, so whole-stage codegen applies at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def _sq_acc(acc, x):
+        return acc + x.cast("double") * x.cast("double")
+
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.col("embedding")[0].cast("double").alias("first_elem"),
+        F.sort_array(F.slice("embedding", 1, 4)).alias("sorted_head"),
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), _sq_acc)).alias("l2_norm"),
+    )

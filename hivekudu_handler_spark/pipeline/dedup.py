@@ -383,3 +383,37 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par)
         .mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")
     )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle=(
+        "SELECT user_id, event_id, ts, event_type FROM ("
+        "  SELECT user_id, event_id, ts, event_type,"
+        "         ROW_NUMBER() OVER (PARTITION BY user_id"
+        "                            ORDER BY ts DESC, event_id DESC) AS rn"
+        "  FROM events) WHERE rn = 1"
+    ),
+    tags=("dedup", "window"),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-version-per-key dedup: the canonical CDC/snapshot
+    compaction (and the batch form of the reference's declared upsert
+    goal, ``doc/DesignDocument.md:9`` — last write per primary key wins).
+    One shuffle on the key, then a per-partition sorted row_number —
+    deterministic via the (ts, event_id) total order.  At 100 TB prefer
+    this windowed form over ``groupBy(key).agg(max_by(...))`` when the
+    full row must survive: max_by of a struct forces the whole row
+    through the aggregation buffer; row_number streams it."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hivekudu_handler_spark.pipeline import (  # noqa: F401
         dedup,
         multimodal,
+        sampling,
         similarity,
         text,
     )

@@ -131,3 +131,36 @@ def test_frame_sample_fanout(spark, specs):
     n_frames = math.ceil(len(blob) / 64)
     assert [r["frame_idx"] for r in one] == list(range(0, n_frames, 4))
     assert bytes(one[0]["frame_bytes"]) == blob[:64]
+
+
+def test_split_assignment_invariants(spark, specs):
+    """Hash-bucket split: total coverage, disjointness, stability under
+    re-evaluation, and growth-stability (membership is a pure function
+    of doc_id, so a subset of the corpus gets identical labels)."""
+    full = specs["split_train_test"].fn(spark, SF).collect()
+    n_docs = specs["dedup_exact_docs"].fn(spark, SF).count()  # ≥ distinct ids
+    labels = {r.doc_id: r.split for r in full}
+    assert set(labels.values()) <= {"train", "test"}
+    assert 0 < sum(1 for v in labels.values() if v == "test") < len(labels)
+    again = {r.doc_id: r.split for r in specs["split_train_test"].fn(spark, SF).collect()}
+    assert labels == again
+    assert n_docs <= len(labels)
+
+
+def test_sample_is_subset_and_deterministic(spark, specs):
+    s1 = {r.doc_id for r in specs["sample_hash"].fn(spark, SF).collect()}
+    s2 = {r.doc_id for r in specs["sample_hash"].fn(spark, SF).collect()}
+    assert s1 == s2
+    labels = {
+        r.doc_id: r.split
+        for r in specs["split_train_test"].fn(spark, SF).collect()
+    }
+    assert s1 <= set(labels)
+
+
+def test_keep_latest_one_row_per_user(spark, specs):
+    df = specs["dedup_keep_latest"].fn(spark, SF)
+    rows = df.collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))
+    assert len(rows) > 0

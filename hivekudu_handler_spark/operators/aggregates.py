@@ -294,3 +294,35 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, v in _PIVOT_VALUES.items()
         ]
     )
+
+
+@query(
+    "agg_histogram",
+    oracle=(
+        "SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bin, "
+        "       COUNT(*) AS n, "
+        "       MIN(o_totalprice) AS lo, "
+        "       MAX(o_totalprice) AS hi "
+        "FROM orders GROUP BY 1"
+    ),
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing — the distributed
+    histogram idiom: one hash shuffle on ~|bins| keys with map-side
+    partial aggregation, so the reduce side is tiny no matter how large
+    the input.  (Bucket id from FLOOR(x/width) is bit-identical across
+    engines — IEEE division + floor — unlike seeded sampling or
+    quantile-based binning.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

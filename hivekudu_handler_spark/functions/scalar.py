@@ -74,13 +74,20 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) "
         "         AS days_since_epoch_start, "
         "       o_orderdate + INTERVAL 30 DAY AS due_date, "
-        "       CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts "
+        "       CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts, "
+        "       CAST(o_orderdate AS DATE) + 7 AS plus_week, "
+        "       CAST(o_orderdate AS DATE) - 7 AS minus_week, "
+        "       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str "
         "FROM orders"
     ),
     tags=("fn",),
 )
 def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamp family (millis-precision boundary per SURVEY.md §1.3).
+    """Timestamp family (millis-precision boundary per SURVEY.md §1.3):
+    extraction, ``date_trunc``, ``datediff``, interval arithmetic, the
+    named ``date_add``/``date_sub`` forms, ``unix_timestamp`` and
+    ``from_unixtime`` (round-trip through the epoch, session tz pinned
+    UTC).
 
     DuckDB ``dayofweek`` is 0=Sunday while Spark's is 1=Sunday — the
     oracle adds 1 to pin a single convention.
@@ -98,6 +105,9 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("days_since_epoch_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
         F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.date_add("o_orderdate", 7).alias("plus_week"),
+        F.date_sub("o_orderdate", 7).alias("minus_week"),
+        F.from_unixtime(F.unix_timestamp("o_orderdate")).alias("ts_str"),
     )
 
 

@@ -195,6 +195,34 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_attach_external",
+    oracle=(
+        "SELECT * FROM (VALUES (10, 'ext-a'), (20, 'ext-b'), (30, 'ext-c')) "
+        "AS t(id, name)"
+    ),
+    tags=("ddl",),
+)
+def ddl_attach_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach existing Parquet storage as an external table with schema
+    auto-discovery — the reference's declared attach goal
+    (``doc/DesignDocument.md:5-6``) that its handler still rejected
+    (``KuduStorageHandler.java:230-237``).  Parquet is self-describing, so
+    the discovered schema feeds the same type-lattice validation as a
+    declared one; the attached table is read-only and DROP leaves the
+    storage in place (both asserted in tests/test_table_layer.py)."""
+    store, d = _scratch_store(spark)
+    try:
+        ext_path = d / "pre_existing_parquet"
+        spark.createDataFrame(
+            [(10, "ext-a"), (20, "ext-b"), (30, "ext-c")], "id int, name string"
+        ).coalesce(1).write.parquet(str(ext_path))
+        store.attach_external("ext_t", str(ext_path), ["id"])
+        return _materialize(spark, store.scan("ext_t"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "sink_insert_overwrite",
     oracle=(
         "SELECT * FROM (VALUES (7, 'x'), (8, 'y')) AS t(id, name)"

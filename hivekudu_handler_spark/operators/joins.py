@@ -373,30 +373,20 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_bucketed",
-    oracle=(
-        "SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity "
-        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
-        "WHERE l.l_returnflag = 'R'"
-    ),
-    tags=("join", "scale"),
-)
-def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-located join over bucketed tables — the zero-shuffle scale path.
+def bucketed_join_parts(spark: SparkSession, sf_dir: str):
+    """Write per-invocation bucketed tables and build the co-located join.
 
-    Both sides are written ``bucketBy(16, join_key)`` + ``sortBy`` (the
-    Spark analogue of the reference's hash-partitioned Kudu tablets,
-    ``HiveKuduTableInputFormat.java:166-217``); a join on the bucket key
-    then needs NO Exchange on either side (asserted in
-    tests/test_plans.py) — at 100 TB this converts the dominant
-    fact⋈fact shuffle into a local per-bucket merge.  The one-time
-    bucketed write is the amortized cost, paid once per table, not per
-    query."""
-    import hashlib
+    Returns ``(joined, cleanup)`` — the caller must invoke ``cleanup()``
+    once the join result is consumed (or checkpointed): it drops the two
+    scratch catalog tables and removes the scratch directory, so repeated
+    or concurrent runs never race on a shared path and nothing leaks into
+    the session catalog (the per-invocation uuid tag guarantees isolation
+    meanwhile)."""
+    import shutil
     import tempfile
+    import uuid
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = uuid.uuid4().hex[:8]
     base = f"{tempfile.gettempdir()}/hkh_bucketed_{tag}"
     specs = {
         f"hkh_orders_b_{tag}": (
@@ -423,6 +413,42 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     o = spark.table(f"hkh_orders_b_{tag}")
     li = spark.table(f"hkh_lineitem_b_{tag}")
-    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
     )
+
+    def cleanup() -> None:
+        for name in specs:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(base, ignore_errors=True)
+
+    return joined, cleanup
+
+
+@query(
+    "join_bucketed",
+    oracle=(
+        "SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE l.l_returnflag = 'R'"
+    ),
+    tags=("join", "scale"),
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables — the zero-shuffle scale path.
+
+    Both sides are written ``bucketBy(16, join_key)`` + ``sortBy`` (the
+    Spark analogue of the reference's hash-partitioned Kudu tablets,
+    ``HiveKuduTableInputFormat.java:166-217``); a join on the bucket key
+    then needs NO Exchange on either side (asserted in
+    tests/test_plans.py via ``bucketed_join_parts``) — at 100 TB this
+    converts the dominant fact⋈fact shuffle into a local per-bucket
+    merge.  The one-time bucketed write is the amortized cost, paid once
+    per table, not per query.  The result is materialized with
+    ``localCheckpoint`` (executor-side, never the driver) so the scratch
+    tables and files can be dropped before returning."""
+    joined, cleanup = bucketed_join_parts(spark, sf_dir)
+    try:
+        return joined.localCheckpoint(eager=True)
+    finally:
+        cleanup()

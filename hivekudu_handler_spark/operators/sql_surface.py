@@ -69,18 +69,25 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subquery_scalar",
     oracle=(
         "SELECT c_custkey, c_acctbal, "
-        "       c_acctbal - (SELECT AVG(c_acctbal) FROM customer) AS bal_vs_avg "
+        "       ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM customer), 2) "
+        "         AS bal_vs_avg "
         "FROM customer WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)"
     ),
     tags=("sql",),
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery (computed once, broadcast into the filter)."""
+    """Scalar subquery (computed once, broadcast into the filter).
+
+    ``bal_vs_avg`` is rounded post-aggregation (repo float discipline):
+    AVG depends on summation order, which differs between Spark's partial
+    aggregation and DuckDB, so the raw double would flake the value hash
+    at other partitionings."""
     _register(spark, sf_dir, "customer")
     return spark.sql(
         """
         SELECT c_custkey, c_acctbal,
-               c_acctbal - (SELECT AVG(c_acctbal) FROM customer) AS bal_vs_avg
+               ROUND(c_acctbal - (SELECT AVG(c_acctbal) FROM customer), 2)
+                 AS bal_vs_avg
         FROM customer WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
         """
     )

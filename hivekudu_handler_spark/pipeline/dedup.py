@@ -90,8 +90,38 @@ def _jaccard_oracle(threshold: float) -> str:
     )
 
 
+# Hot-shingle document-frequency cap.  Inverted-index join work is
+# Σ_shingle df², so one viral shingle (boilerplate header, license text)
+# costs df² rows; shingles above the cap are dropped from the index.
+# They carry almost no pair-discrimination signal (they match everything),
+# and the cap turns worst-case quadratic blowup into a hard bound.  The
+# default is far above any fixture DF (max observed: 25 at sf0.1), so
+# results are bit-identical to the uncapped exact oracle on test data;
+# tests/test_dedup.py pins both the no-op invariant and the bounded
+# candidate count on a planted hot shingle.
+_SHINGLE_DF_CAP = 10_000
+
+
+def _cap_hot_shingles(ex: DataFrame, cap: int, key: str = "shingle") -> DataFrame:
+    """Drop exploded (doc_id, shingle) rows whose ``key`` appears in more
+    than ``cap`` documents.  One count shuffle on the shingle hash — the
+    same key the downstream self-join shuffles on, so the exchange is
+    reused, not added."""
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy(key)
+    return (
+        ex.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= cap)
+        .drop("df")
+    )
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle_df_cap: int = _SHINGLE_DF_CAP,
 ) -> DataFrame:
     """Exact pairwise Jaccard ≥ threshold via the shingle-inverted-index
     join (never materializes |docs|² pairs).
@@ -100,13 +130,20 @@ def ngram_jaccard_pairs(
     size lookups): persisted so tokenization runs once.  The join key is
     ``xxhash64(shingle)`` — an 8-byte shuffle key instead of a ~20-byte
     string (64-bit collisions are negligible at this cardinality and the
-    final Jaccard is still computed from true shingle-set sizes).
+    final Jaccard is still computed from true shingle-set sizes).  Hot
+    shingles above ``shingle_df_cap`` documents are excluded from the
+    index (see ``_SHINGLE_DF_CAP``); pairs whose overlap survives only
+    via capped shingles score lower — the documented approximation that
+    bounds work at corpus scale.  The size-lookup joins are hint-free:
+    the candidate side is small after thresholding and AQE picks the
+    strategy from runtime sizes instead of a corpus-sized broadcast.
     """
     sh = doc_shingles(spark, sf_dir).persist()
     sh.count()  # materialize before the four consumer branches race
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    ex = _cap_hot_shingles(ex, shingle_df_cap)
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
@@ -123,11 +160,11 @@ def ngram_jaccard_pairs(
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     jac = (
         common.join(
-            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
             "doc_b",
         )
         .withColumn("jac_raw", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
@@ -198,6 +235,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
         "h", F.crc32("shingle")
     )
+    # hot-shingle cap on the signature path: shingles in > cap documents
+    # are dropped before min-hashing (they perturb signatures toward
+    # universal collision while carrying no pair signal).  Inert on the
+    # fixture (cap ≫ max observed DF); the exact verify below still uses
+    # full shingle sets, so emitted Jaccard values are unaffected.
+    ex = _cap_hot_shingles(ex.select("doc_id", "h"), _SHINGLE_DF_CAP, key="h")
     sigs = ex.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * (2 * i + 1) + 7919 * i + 12345) % _MH_P).alias(
@@ -234,14 +277,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # exact-verify join is hint-free: the candidate set is tiny relative
+    # to the corpus, so shuffle-joining it back to the shingle table (or
+    # letting AQE broadcast the *candidate* side) is the scale-safe plan;
+    # a broadcast hint on `sh` would ship the whole corpus to every task.
     withs = (
         cand.join(
-            F.broadcast(sh).withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
                 "shingles", "sh_a"
             ),
             "doc_a",
         ).join(
-            F.broadcast(sh).withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
                 "shingles", "sh_b"
             ),
             "doc_b",
@@ -324,6 +371,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target rows per matmul block: sizes the number of hash blocks as
+# B = ceil(n / target).  Per-task memory is ~2·target·dim·8 bytes
+# (≈50 MB at dim 768), independent of corpus size; task count B(B+1)/2
+# grows quadratically with n because the *semantics* are exact all-pairs
+# — the sub-quadratic path is the LSH/IVF prefilter in similarity.py.
+_EMB_BLOCK_TARGET_ROWS = 4096
+
+
 @query(
     "dedup_embedding",
     oracle=(
@@ -337,51 +392,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "vector"),
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.5), exact all-pairs.
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.5), exact, distributed.
 
-    Block-parallel matrix multiply: the full (small) normalized matrix is
-    broadcast to every task; each Arrow batch of rows multiplies against
-    it with BLAS and emits only pairs over threshold — the quadratic work
-    runs at matrix-multiply speed and only threshold survivors ever
-    materialize.  (A per-pair expression join was ~30× slower: 2M pair
-    rows through interpreted higher-order functions.)  At 100 TB the
-    identical kernel runs after an LSH/IVF prefilter instead of all-pairs.
+    Block-pair matrix multiply with NO driver materialization: the corpus
+    is hash-split into ``_EMB_BLOCKS`` blocks; every unordered block pair
+    (B·(B+1)/2 independent tasks) cogroups its two blocks and BLAS-
+    multiplies them, emitting only above-threshold survivors.  Each
+    unordered vector pair lives in exactly one block pair, so output is
+    exact and duplicate-free.  Per-task memory is O(2·|corpus|/B·dim) —
+    B is the knob that trades task count for task memory, so the same
+    plan runs at any corpus size by raising B (tasks grow as B², memory
+    shrinks as 1/B).  Work is inherently O(n²) because the *semantics*
+    are exact all-pairs; the sub-quadratic path is LSH/IVF candidate
+    generation (pipeline/similarity.py) + this same verify kernel on
+    candidates only.
     """
     import numpy as np
 
-    e = load_table(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    # size the block count from the corpus (parquet metadata count, no
+    # scan): per-task memory stays ~2·target·dim regardless of n
+    n_vectors = load_table(spark, sf_dir, "embeddings").count()
+    nblocks = max(2, -(-n_vectors // _EMB_BLOCK_TARGET_ROWS))
 
-    def block(batches):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ all_mat.T
-            qa = pdf["vec_id"].to_numpy()
-            li, ri = np.nonzero(sims >= 0.5)
-            mask = qa[li] < all_ids[ri]
-            yield pd.DataFrame(
+    def side(join_col: str) -> DataFrame:
+        # fresh lineage per side — the cogroup below self-joins the
+        # corpus, and shared lineage trips Spark's ambiguous-column check
+        blocked = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .withColumn(
+                "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int")
+            )
+        )
+        pair_keys = spark.createDataFrame(
+            [(a, b) for a in range(nblocks) for b in range(a, nblocks)],
+            "ba int, bb int",
+        )
+        return blocked.join(
+            F.broadcast(pair_keys), blocked["blk"] == pair_keys[join_col]
+        ).select("ba", "bb", "vec_id", "embedding")
+
+    left = side("ba")
+    right = side("bb")
+
+    def block_pair(key, lpdf, rpdf):
+        ba, bb = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
                 {
-                    "vec_a": qa[li][mask],
-                    "vec_b": all_ids[ri][mask],
-                    "cosine": np.round(sims[li, ri][mask], 4),
+                    "vec_a": pd.Series(dtype="int64"),
+                    "vec_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
                 }
             )
+        a_mat = np.array(list(lpdf["embedding"]), dtype=np.float64)
+        b_mat = np.array(list(rpdf["embedding"]), dtype=np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = a_mat @ b_mat.T
+        li, ri = np.nonzero(sims >= 0.5)
+        aid = lpdf["vec_id"].to_numpy()[li]
+        bid = rpdf["vec_id"].to_numpy()[ri]
+        if ba == bb:
+            # diagonal block: both sides are the same set — keep the
+            # strict upper triangle so each pair is emitted once
+            mask = aid < bid
+            aid, bid, vals = aid[mask], bid[mask], sims[li, ri][mask]
+        else:
+            vals = sims[li, ri]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(aid, bid),
+                "vec_b": np.maximum(aid, bid),
+                "cosine": np.round(vals, 4),
+            }
+        )
 
-    # the fixture is a single parquet file (one split): spread the row
-    # blocks across cores so the per-block matmuls run in parallel
-    par = spark.sparkContext.defaultParallelism
     return (
-        e.select("vec_id", "embedding")
-        .repartition(par)
-        .mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(block_pair, schema="vec_a bigint, vec_b bigint, cosine double")
     )
 
 

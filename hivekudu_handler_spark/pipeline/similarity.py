@@ -107,6 +107,11 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sign-LSH --------------------------------------------------------------
 
+# Defaults for the registered key.  16 bits hash to 65k buckets — enough
+# for the fixture, saturated at real corpus sizes; ``ann_lsh_topk`` takes
+# (bits, tables) so a deployment sizes signatures to its corpus (e.g.
+# 64 bits / 8 tables ≈ 2^64 bucket space).  Recall-vs-bits is pinned in
+# tests/test_similarity.py at both 16 and 32 bits.
 _LSH_BITS = 16
 _LSH_TABLES = 4
 
@@ -141,27 +146,34 @@ def _signatures(vectors: DataFrame, planes: DataFrame) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh", tags=("similarity", "vector", "approx"))
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = _LSH_BITS,
+    tables: int = _LSH_TABLES,
+) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH + exact re-scoring.
 
-    4 tables × 4-bit bands over a 16-bit sign signature; candidates =
-    bucket collisions in any table; exact cosine re-scored on candidates
-    only.  Rows-only driver check; tests/test_similarity.py measures
-    recall vs the exact operator (ANN output is a recall/cost tradeoff,
-    not an oracle-matchable set).
+    ``tables`` bands of ``bits // tables`` bits over a ``bits``-wide sign
+    signature; candidates = bucket collisions in any table; exact cosine
+    re-scored on candidates only.  ``bits`` is the corpus-size knob
+    (bucket space 2^bits), ``tables`` the recall knob (probability a true
+    neighbor collides in ≥1 band).
     """
+    if bits % tables:
+        raise ValueError("bits must divide evenly into tables")
+    width = bits // tables
+    mask = (1 << width) - 1
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes(e, _LSH_BITS)
+    planes = _hyperplanes(e, bits)
     sigs = _signatures(e, planes)
-    # 4 bands of 4 bits each per signature
     bands = sigs.select(
         "vec_id",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), 4 * t).bitwiseAND(F.lit(0xF))
-                    for t in range(_LSH_TABLES)
+                    F.shiftright(F.col("sig"), width * t).bitwiseAND(F.lit(mask))
+                    for t in range(tables)
                 ]
             )
         ).alias("table_id", "bucket"),
@@ -194,6 +206,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_raw", 4).alias("cosine"),
         )
     )
+
+
+@query("sim_ann_lsh", tags=("similarity", "vector", "approx"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered key: ``ann_lsh_topk`` at the default 16-bit / 4-table
+    configuration.  Rows-only driver check; tests/test_similarity.py
+    measures recall vs the exact operator (ANN output is a recall/cost
+    tradeoff, not an oracle-matchable set)."""
+    return ann_lsh_topk(spark, sf_dir)
 
 
 # --- IVF -------------------------------------------------------------------

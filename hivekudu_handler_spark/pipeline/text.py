@@ -60,15 +60,25 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 )
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens after normalization, plus
-    distinct-token count (type/token)."""
+    distinct-token count (type/token).
+
+    The token array is materialized by a first projection and the
+    features read the materialized column — Catalyst keeps the split as a
+    separate project because the expression is non-cheap, so the
+    regex+split chain runs once per row instead of once per feature."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokens(), lambda x: x != "")
-    return d.select(
+    t = d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        "text",
+        "n_chars",
+        F.filter(tokens(), lambda x: x != "").alias("toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
         "n_chars",
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
     )
 
 
@@ -97,17 +107,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, and a length gate — the standard cheap pre-filters before
     expensive dedup/model scoring in a training-data pipeline."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokens(), lambda x: x != "")
-    n = F.size(toks)
-    stop = F.filter(
-        toks, lambda x: x.isin(*_LANG_MARKERS["en"])
+    # materialize the token array once (see text_tokens): ~9 downstream
+    # references each re-ran the regex+split chain before this projection
+    t = d.select(
+        "doc_id", "text", F.filter(tokens(), lambda x: x != "").alias("toks")
     )
-    return d.select(
+    n = F.size("toks")
+    stop = F.filter(F.col("toks"), lambda x: x.isin(*_LANG_MARKERS["en"]))
+    return t.select(
         "doc_id",
         n.alias("n_tokens"),
         F.when(n == 0, F.lit(0.0))
         .otherwise(
-            F.length(F.array_join(toks, "")) * F.lit(1.0) / n
+            F.length(F.array_join("toks", "")) * F.lit(1.0) / n
         )
         .alias("mean_word_len"),
         (
@@ -152,12 +164,14 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lang`` labels, so no content-based classifier can recover the label;
     the differential value is the deterministic scoring pipeline itself.)"""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens()
+    # materialize the token array once (see text_tokens): each of the 4
+    # scores (and their reuse in the CASE) otherwise re-ran the regex
+    t = d.select("doc_id", tokens().alias("toks"))
 
     def marker_count(markers: tuple[str, ...]):
         # single-arg lambda: PySpark's higher-order filter treats a
         # two-parameter function as (element, index)
-        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        return F.size(F.filter(F.col("toks"), lambda x: x.isin(*markers)))
 
     scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
     pred = (
@@ -170,7 +184,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["fr"] >= scores["es"], "fr")
         .otherwise("es")
     )
-    return d.select(
+    return t.select(
         "doc_id",
         scores["en"].alias("score_en"),
         scores["de"].alias("score_de"),
@@ -197,10 +211,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     insensitive exact-dup key) and md5 of the sorted distinct token bag
     (order-insensitive near-dup key)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(tokens(), lambda x: x != "")
-    return d.select(
+    # normalize once; both fingerprints derive from the materialized column
+    t = d.select("doc_id", normalized().alias("norm"))
+    toks = F.filter(F.split("norm", " "), lambda x: x != "")
+    return t.select(
         "doc_id",
-        F.md5(normalized()).alias("fingerprint"),
+        F.md5("norm").alias("fingerprint"),
         F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias(
             "bag_fingerprint"
         ),

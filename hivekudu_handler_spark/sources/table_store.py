@@ -19,11 +19,22 @@ Semantics replicated from the reference (with file:line cites):
   (``HiveKuduTableOutputFormat.java:175-176``, ``doc/DesignDocument.md:9``);
   we implement them with PK merge semantics (SURVEY.md §7 M3).
 
-Scale design: tables are written range-partitioned by key (the Spark
-equivalent of Kudu tablet key ranges, ``HiveKuduTableInputFormat.java:166-217``)
-so scans parallelize per key range and key-based merges shuffle evenly.
-On a cluster the same code paths run unchanged; nothing collects to the
-driver.
+Scale design: tables are laid out as hash buckets on the primary key
+(Hive-style ``kb=<n>`` directories — the Spark analogue of Kudu's hash
+partitioning into tablets, ``HiveKuduTableInputFormat.java:166-217``), so
+every mutation touches only the buckets its keys hash into:
+
+* INSERT appends new files to affected buckets (existing files are never
+  rewritten; dup-key checks anti-join only the affected buckets' rows via
+  partition pruning).
+* UPSERT/DELETE rewrite only the affected bucket directories; untouched
+  buckets stay byte-identical — O(batch + affected buckets) I/O instead of
+  O(table) write amplification per mutation.
+* INSERT OVERWRITE is the one whole-table op by definition (tmp + swap).
+
+On a cluster the same code paths run unchanged; per-bucket file lists and
+bucket ids (bounded by the bucket count, never by data volume) are the
+only driver-side state.
 """
 
 from __future__ import annotations
@@ -59,6 +70,8 @@ class TableMeta:
     key_columns: list[str]
     extended: bool = False
     partition_by: list[str] | None = None
+    external: bool = False
+    location: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -68,6 +81,8 @@ class TableMeta:
                 "key_columns": self.key_columns,
                 "extended": self.extended,
                 "partition_by": self.partition_by,
+                "external": self.external,
+                "location": self.location,
             }
         )
 
@@ -80,6 +95,8 @@ class TableMeta:
             key_columns=list(d["key_columns"]),
             extended=bool(d.get("extended", False)),
             partition_by=d.get("partition_by"),
+            external=bool(d.get("external", False)),
+            location=d.get("location"),
         )
 
 
@@ -148,12 +165,51 @@ class TableStore:
         )
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
-            # materialize an empty dataset so scans of a fresh table work
-            empty = self.spark.createDataFrame([], normalized).coalesce(1)
-            empty.write.mode("overwrite").parquet(str(self._data_dir(name)))
+            self._data_dir(name).mkdir(parents=True, exist_ok=True)
             self._meta_path(name).write_text(meta.to_json())
         except Exception:
             # rollback mirrors KuduStorageHandler.java:313-330
+            shutil.rmtree(self._dir(name), ignore_errors=True)
+            raise
+        return meta
+
+    def attach_external(
+        self, name: str, path: str, key_columns: list[str]
+    ) -> TableMeta:
+        """Attach existing Parquet storage as an external table, with
+        schema auto-discovered from the files themselves.
+
+        The reference *rejected* external tables
+        (``KuduStorageHandler.java:230-237``) but declared attach-existing
+        -storage a design goal (``doc/DesignDocument.md:5-6``); in Spark
+        it is free — Parquet is self-describing, so the discovered schema
+        is validated against the same type lattice as a declared one.
+        External semantics: read-only through this layer (mutations are
+        rejected), and DROP removes only the catalog entry, never the
+        storage."""
+        if self._meta_path(name).exists():
+            raise TableExistsError(f"table {name!r} already exists")
+        try:
+            discovered = self.spark.read.parquet(path).schema
+        except Exception as exc:  # no files / unreadable path
+            raise TableStoreError(
+                f"cannot discover schema for external table at {path!r}: {exc}"
+            ) from exc
+        normalized = typesys.validate_schema(
+            discovered, key_columns, allow_extended=True
+        )
+        meta = TableMeta(
+            name,
+            normalized,
+            list(key_columns),
+            extended=True,
+            external=True,
+            location=str(path),
+        )
+        try:
+            self._dir(name).mkdir(parents=True, exist_ok=True)
+            self._meta_path(name).write_text(meta.to_json())
+        except Exception:
             shutil.rmtree(self._dir(name), ignore_errors=True)
             raise
         return meta
@@ -183,9 +239,11 @@ class TableStore:
 
     def drop_table(self, name: str) -> None:
         """DROP TABLE deletes storage for managed tables
-        (``KuduStorageHandler.java:292-310``)."""
-        if not self._meta_path(name).exists():
-            raise NoSuchTableError(f"no such table: {name!r}")
+        (``KuduStorageHandler.java:292-310``); for external tables only
+        the catalog entry is removed — the storage is not ours."""
+        self.table_meta(name)  # raises NoSuchTableError if absent
+        # the table dir holds only meta.json for external tables, so this
+        # removes the catalog entry for both kinds and data only for managed
         shutil.rmtree(self._dir(name))
 
     def table_meta(self, name: str) -> TableMeta:
@@ -207,6 +265,35 @@ class TableStore:
             rows, "col_name string, data_type string, is_key boolean"
         )
 
+    # --------------------------------------------------------------- buckets
+    _BUCKET_COL = "kb"
+
+    def _bucket_expr(self, meta: TableMeta) -> Column:
+        """Deterministic hash bucket of the primary key — the tablet id."""
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in meta.key_columns]),
+            F.lit(self.range_partitions),
+        ).cast("int")
+
+    def _read_schema(self, meta: TableMeta) -> T.StructType:
+        return T.StructType(
+            list(meta.schema.fields)
+            + [T.StructField(self._BUCKET_COL, T.IntegerType())]
+        )
+
+    def _has_data(self, meta: TableMeta) -> bool:
+        return any(self._data_dir(meta.name).rglob("*.parquet"))
+
+    def _scan_raw(self, meta: TableMeta) -> DataFrame:
+        """Scan a managed table INCLUDING the bucket column (partition
+        discovery fills ``kb`` from the directory names, so a filter on it
+        prunes whole bucket directories from the scan)."""
+        if not self._has_data(meta):
+            return self.spark.createDataFrame([], self._read_schema(meta))
+        return self.spark.read.schema(self._read_schema(meta)).parquet(
+            str(self._data_dir(meta.name))
+        )
+
     # ------------------------------------------------------------------ reads
     def scan(
         self,
@@ -218,7 +305,12 @@ class TableStore:
         Parquet scan (the reference transported these to its scanner at
         ``HiveKuduTableInputFormat.java:303-323,465-469``)."""
         meta = self.table_meta(name)
-        df = self.spark.read.schema(meta.schema).parquet(str(self._data_dir(name)))
+        if meta.external:
+            df = self.spark.read.schema(meta.schema).parquet(meta.location)
+        else:
+            df = self._scan_raw(meta).select(
+                *[f.name for f in meta.schema.fields]
+            )
         if predicate is not None:
             df = df.filter(predicate)
         if columns is not None:
@@ -232,6 +324,14 @@ class TableStore:
         return df
 
     # ----------------------------------------------------------------- writes
+    def _writable_meta(self, name: str) -> TableMeta:
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                f"table {name!r} is external: read-only through this layer"
+            )
+        return meta
+
     def _validate_batch(self, meta: TableMeta, df: DataFrame) -> DataFrame:
         expected = [f.name for f in meta.schema.fields]
         got = df.columns
@@ -246,76 +346,159 @@ class TableStore:
             df = df.filter(F.col(k).isNotNull())
         return df
 
-    def _rewrite(self, meta: TableMeta, df: DataFrame) -> None:
-        """Atomically replace table data (write new, swap dirs)."""
+    def _dedup_batch(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """One row per key within a batch, deterministically: the winner
+        is the smallest row under (non-key columns, nulls last).  A
+        distributed DataFrame has no row order, so "first write wins" must
+        be defined by values to be stable across runs and partitionings.
+        Map-typed columns are not orderable and are skipped as
+        tiebreakers; if no orderable non-key column exists the batch keeps
+        one arbitrary row per key (documented weakest case)."""
+        from pyspark.sql import Window
+
+        tiebreak = [
+            f.name
+            for f in meta.schema.fields
+            if f.name not in meta.key_columns
+            and not isinstance(f.dataType, T.MapType)
+        ]
+        if not tiebreak:
+            return df.dropDuplicates(meta.key_columns)
+        w = Window.partitionBy(*meta.key_columns).orderBy(
+            *[F.col(c).asc_nulls_last() for c in tiebreak]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _affected_buckets(self, meta: TableMeta, batch: DataFrame) -> list[int]:
+        """Bucket ids a batch touches — bounded by the bucket count (the
+        tablet count), never by data volume, so collecting it is safe."""
+        return [
+            r[0]
+            for r in batch.select(self._bucket_expr(meta).alias("b"))
+            .distinct()
+            .collect()
+        ]
+
+    def _write_partitioned(self, meta: TableMeta, df: DataFrame, path: Path, mode: str) -> None:
+        kb = self._BUCKET_COL
+        out = (
+            df.withColumn(kb, self._bucket_expr(meta))
+            # one write task per bucket: each append adds one file per
+            # affected bucket instead of num_tasks × num_buckets shards
+            .repartition(self.range_partitions, F.col(kb))
+        )
+        parts = [kb] + (meta.partition_by or [])
+        out.write.mode(mode).partitionBy(*parts).parquet(str(path))
+
+    def _replace_buckets(
+        self, meta: TableMeta, bucket_ids: list[int], df: DataFrame
+    ) -> None:
+        """Rewrite ONLY the given bucket directories with ``df`` (which
+        must contain exactly the surviving rows of those buckets).  Every
+        other bucket's files are never read, written, or moved."""
         tmp = self._dir(meta.name) / "data.tmp"
-        # range-partition by key: the Spark analogue of Kudu tablet key
-        # ranges (HiveKuduTableInputFormat.java:166-217); keeps scans and
-        # key-merges evenly parallel at scale.  Partition count scales
-        # with data volume on a cluster; bounded here for the harness.
-        writer = df.repartitionByRange(self.range_partitions, *meta.key_columns)
-        out = writer.write.mode("overwrite")
-        if meta.partition_by:
-            out = out.partitionBy(*meta.partition_by)
-        out.parquet(str(tmp))
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_partitioned(meta, df, tmp, "overwrite")
+        data = self._data_dir(meta.name)
+        for b in bucket_ids:
+            old = data / f"{self._BUCKET_COL}={b}"
+            new = tmp / f"{self._BUCKET_COL}={b}"
+            shutil.rmtree(old, ignore_errors=True)
+            if new.exists():
+                new.rename(old)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def insert(self, name: str, df: DataFrame) -> None:
+        """INSERT with silent duplicate-key ignore
+        (``HiveKuduTableOutputFormat.java:101``): deterministic
+        first-write-wins within the batch (see ``_dedup_batch``), existing
+        rows win against the batch.  Pure append: the dup-key anti-join
+        reads only the buckets the batch hashes into (partition pruning on
+        ``kb``), and no existing file is ever rewritten."""
+        meta = self._writable_meta(name)
+        batch = self._dedup_batch(meta, self._validate_batch(meta, df))
+        affected = self._affected_buckets(meta, batch)
+        if not affected:
+            return
+        existing_keys = (
+            self._scan_raw(meta)
+            .filter(F.col(self._BUCKET_COL).isin(affected))
+            .select(*meta.key_columns)
+        )
+        # hint-free: AQE sizes the anti-join at runtime (the key set of a
+        # few buckets is usually broadcastable; at scale it may not be)
+        fresh = batch.join(existing_keys, on=meta.key_columns, how="left_anti")
+        self._write_partitioned(meta, fresh, self._data_dir(meta.name), "append")
+
+    def insert_values(self, name: str, rows: list[tuple]) -> None:
+        """INSERT INTO ... VALUES — the reference demo's ingest path
+        (``README.md:35,113-130``)."""
+        meta = self._writable_meta(name)
+        df = self.spark.createDataFrame(rows, meta.schema)
+        self.insert(name, df)
+
+    def upsert(self, name: str, df: DataFrame) -> None:
+        """PK MERGE semantics (reference goal ``doc/DesignDocument.md:9``):
+        batch rows replace existing rows with the same key.  Only the
+        buckets the batch touches are read and rewritten."""
+        meta = self._writable_meta(name)
+        batch = self._dedup_batch(meta, self._validate_batch(meta, df))
+        affected = self._affected_buckets(meta, batch)
+        if not affected:
+            return
+        existing = (
+            self._scan_raw(meta)
+            .filter(F.col(self._BUCKET_COL).isin(affected))
+            .drop(self._BUCKET_COL)
+        )
+        kept = existing.join(
+            batch.select(*meta.key_columns), on=meta.key_columns, how="left_anti"
+        )
+        self._replace_buckets(meta, affected, kept.unionByName(batch))
+
+    def delete_where(self, name: str, predicate: Column | str) -> None:
+        """DELETE (reference goal ``doc/DesignDocument.md:9,46-48``).
+
+        SQL DELETE semantics: a row is deleted only where the predicate is
+        definitively TRUE — rows where it evaluates to NULL are kept
+        (``~pred`` alone would drop them).  Only buckets that contain at
+        least one matching row are rewritten."""
+        meta = self._writable_meta(name)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        raw = self._scan_raw(meta)
+        affected = [
+            r[0]
+            for r in raw.filter(F.coalesce(pred, F.lit(False)))
+            .select(self._BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return
+        remaining = (
+            raw.filter(F.col(self._BUCKET_COL).isin(affected))
+            .filter(~F.coalesce(pred, F.lit(False)))
+            .drop(self._BUCKET_COL)
+        )
+        self._replace_buckets(meta, affected, remaining)
+
+    def insert_overwrite(self, name: str, df: DataFrame) -> None:
+        """INSERT OVERWRITE (Hive staple): replace table contents with the
+        batch (dup keys within the batch collapse deterministically, like
+        insert).  The one whole-table mutation by definition: write to a
+        tmp dir, swap, drop the old."""
+        meta = self._writable_meta(name)
+        batch = self._dedup_batch(meta, self._validate_batch(meta, df))
+        tmp = self._dir(meta.name) / "data.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_partitioned(meta, batch, tmp, "overwrite")
         old = self._data_dir(meta.name)
         bak = self._dir(meta.name) / "data.bak"
         if old.exists():
             old.rename(bak)
         tmp.rename(old)
         shutil.rmtree(bak, ignore_errors=True)
-
-    def insert(self, name: str, df: DataFrame) -> None:
-        """INSERT with silent duplicate-key ignore
-        (``HiveKuduTableOutputFormat.java:101``): first-write-wins within
-        the batch, existing rows win against the batch."""
-        meta = self.table_meta(name)
-        batch = self._validate_batch(meta, df).dropDuplicates(meta.key_columns)
-        existing = self.scan(name)
-        fresh = batch.join(
-            F.broadcast(existing.select(*meta.key_columns))
-            if self._is_small(existing)
-            else existing.select(*meta.key_columns),
-            on=meta.key_columns,
-            how="left_anti",
-        )
-        merged = existing.unionByName(fresh)
-        self._rewrite(meta, merged)
-
-    def insert_values(self, name: str, rows: list[tuple]) -> None:
-        """INSERT INTO ... VALUES — the reference demo's ingest path
-        (``README.md:35,113-130``)."""
-        meta = self.table_meta(name)
-        df = self.spark.createDataFrame(rows, meta.schema)
-        self.insert(name, df)
-
-    def upsert(self, name: str, df: DataFrame) -> None:
-        """PK MERGE semantics (reference goal ``doc/DesignDocument.md:9``):
-        batch rows replace existing rows with the same key."""
-        meta = self.table_meta(name)
-        batch = self._validate_batch(meta, df).dropDuplicates(meta.key_columns)
-        existing = self.scan(name)
-        kept = existing.join(
-            batch.select(*meta.key_columns), on=meta.key_columns, how="left_anti"
-        )
-        self._rewrite(meta, kept.unionByName(batch))
-
-    def delete_where(self, name: str, predicate: Column | str) -> None:
-        """DELETE (reference goal ``doc/DesignDocument.md:9,46-48``)."""
-        meta = self.table_meta(name)
-        remaining = self.scan(name).filter(~F.expr(predicate) if isinstance(predicate, str) else ~predicate)
-        self._rewrite(meta, remaining)
-
-    @staticmethod
-    def _is_small(df: DataFrame) -> bool:
-        # heuristically treat managed-table key sets as broadcastable in
-        # the test harness; AQE fixes the choice at runtime on a cluster.
-        return True
-
-    def insert_overwrite(self, name: str, df: DataFrame) -> None:
-        """INSERT OVERWRITE (Hive staple): replace table contents with the
-        batch (dup keys within the batch collapse, first-write-wins like
-        insert)."""
-        meta = self.table_meta(name)
-        batch = self._validate_batch(meta, df).dropDuplicates(meta.key_columns)
-        self._rewrite(meta, batch)

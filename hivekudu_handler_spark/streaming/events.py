@@ -216,6 +216,8 @@ def stateful_user_totals(ev):
 def run_stateful_over_fixture(spark, sf_dir: str):
     """Run the stateful operator through the real streaming engine over
     the events fixture; returns the memory-sink table of updates."""
+    import uuid
+
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -227,12 +229,26 @@ def run_stateful_over_fixture(spark, sf_dir: str):
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
     out = stateful_user_totals(stream)
+    # unique sink name: repeated invocations in one session must not
+    # collide on the memory-sink table
+    sink = f"stateful_totals_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
-        .queryName("stateful_totals")
+        .queryName(sink)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    return spark.table("stateful_totals")
+    return spark.table(sink)
+
+
+@query("stateful_user_totals", tags=("streaming", "stateful"))
+def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    running per-user (total_value, n_events) in update mode, executed
+    through the real streaming engine (availableNow trigger over the
+    events fixture).  Rows-only driver check — update-mode emission
+    timing is not SQL-expressible; tests/test_streaming.py proves the
+    final state equals the batch groupBy over the same fixture."""
+    return run_stateful_over_fixture(spark, sf_dir)

@@ -59,13 +59,18 @@ def test_bucketed_join_no_shuffle(spark):
     """Co-located bucketed join: both sides bucketed on the join key
     means zero Exchange nodes in the whole plan — the 100 TB fact⋈fact
     path (bucketing ≈ the reference's hash-partitioned tablets)."""
+    from hivekudu_handler_spark.operators.joins import bucketed_join_parts
+
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    cleanup = None
     try:
-        df = load_all()["join_bucketed"].fn(spark, SF)
+        df, cleanup = bucketed_join_parts(spark, SF)
         assert checks.count_shuffles(df) == 0, checks.plan_string(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if cleanup is not None:
+            cleanup()
 
 
 def test_salted_join_spreads_partitions(spark):

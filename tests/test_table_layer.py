@@ -135,6 +135,133 @@ def test_schema_mismatch_rejected(spark, store):
         store.insert("t", spark.createDataFrame([(1,)], "id int"))
 
 
+def _file_snapshot(root):
+    """{relative path: bytes} of every parquet file under root."""
+    return {
+        str(p.relative_to(root)): p.read_bytes()
+        for p in root.rglob("*.parquet")
+    }
+
+
+def _bucket_of(spark, ids, n=4):
+    rows = (
+        spark.createDataFrame([(i,) for i in ids], "id int")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(n)).cast("int").alias("b"))
+        .collect()
+    )
+    return {r["id"]: r["b"] for r in rows}
+
+
+def test_insert_is_append_only(spark, store, tmp_path):
+    """An insert must never rewrite an existing data file — it only adds
+    files to the buckets the batch hashes into (VERDICT r1 #4)."""
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(i, f"n{i}") for i in range(1, 9)])
+    data = store._data_dir("t")
+    before = _file_snapshot(data)
+    assert before
+    store.insert_values("t", [(100, "new")])
+    after = _file_snapshot(data)
+    for path, blob in before.items():
+        assert after[path] == blob, f"pre-existing file rewritten: {path}"
+    assert len(after) > len(before)  # the new row landed in a new file
+
+
+def test_upsert_rewrites_only_affected_buckets(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(i, f"n{i}") for i in range(1, 9)])
+    data = store._data_dir("t")
+    before = _file_snapshot(data)
+    target = 3
+    tb = _bucket_of(spark, [target])[target]
+    store.upsert(
+        "t", spark.createDataFrame([(target, "UP")], "id int, name string")
+    )
+    after = _file_snapshot(data)
+    for path, blob in before.items():
+        if not path.startswith(f"kb={tb}/"):
+            assert path in after and after[path] == blob, (
+                f"untouched bucket file changed: {path}"
+            )
+    rows = {r["id"]: r["name"] for r in store.scan("t").collect()}
+    assert rows[target] == "UP" and len(rows) == 8
+
+
+def test_delete_rewrites_only_affected_buckets_and_keeps_null_rows(spark, store):
+    """SQL DELETE semantics: rows where the predicate is NULL are KEPT
+    (ADVICE r1); buckets with no matching row are not rewritten."""
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert(
+        "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b"), (4, "a")], "id int, name string"
+        ),
+    )
+    data = store._data_dir("t")
+    before = _file_snapshot(data)
+    buckets = _bucket_of(spark, [1, 2, 3, 4])
+    hit = {buckets[1], buckets[4]}
+    store.delete_where("t", "name = 'a'")
+    after = _file_snapshot(data)
+    for path, blob in before.items():
+        if not any(path.startswith(f"kb={b}/") for b in hit):
+            assert path in after and after[path] == blob
+    # id=2 (NULL name → predicate NULL) survives; only the 'a' rows die
+    assert {r["id"] for r in store.scan("t").collect()} == {2, 3}
+
+
+def test_delete_empties_bucket_completely(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a"), (2, "b"), (3, "c"), (4, "d")])
+    store.delete_where("t", "id IS NOT NULL")
+    assert store.scan("t").count() == 0
+
+
+def test_batch_dedup_is_deterministic(spark, store):
+    """First-write-wins is defined by values (smallest non-key tuple), not
+    by arbitrary partition order (ADVICE r1)."""
+    store.create_table("t", "id int, name string", ["id"])
+    batch = [(1, "zeta"), (1, "alpha"), (1, "midway")]
+    store.insert(
+        "t",
+        spark.createDataFrame(batch, "id int, name string").repartition(8),
+    )
+    assert store.scan("t").collect()[0]["name"] == "alpha"
+
+
+# ---- external tables (attach + schema discovery) --------------------------
+
+def test_attach_external_discovers_schema_and_reads(spark, store, tmp_path):
+    ext = tmp_path / "ext_data"
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id bigint, name string"
+    ).write.parquet(str(ext))
+    meta = store.attach_external("ext", str(ext), ["id"])
+    assert meta.external and [f.name for f in meta.schema.fields] == ["id", "name"]
+    assert {r["id"] for r in store.scan("ext").collect()} == {1, 2}
+
+
+def test_attach_external_is_readonly_and_drop_keeps_storage(spark, store, tmp_path):
+    ext = tmp_path / "ext_data"
+    spark.createDataFrame([(1, "x")], "id bigint, name string").write.parquet(
+        str(ext)
+    )
+    store.attach_external("ext", str(ext), ["id"])
+    with pytest.raises(TableStoreError):
+        store.insert_values("ext", [(2, "y")])
+    with pytest.raises(TableStoreError):
+        store.delete_where("ext", "id = 1")
+    store.drop_table("ext")
+    assert "ext" not in store.list_tables()
+    # the storage is not ours to delete
+    assert spark.read.parquet(str(ext)).count() == 1
+
+
+def test_attach_external_missing_path_rejected(spark, store, tmp_path):
+    with pytest.raises(TableStoreError):
+        store.attach_external("nope", str(tmp_path / "absent"), ["id"])
+
+
 def test_partitioned_layout_prunes_partitions(spark, store):
     """partition_by implements the reference's partitioning TODO
     (KuduStorageHandler.java:266): a filter on the partition column must

@@ -28,6 +28,8 @@ HEADLINE = [
     "sql_q6_forecast_revenue",  # pure pushdown scan-agg (TPC-H Q6)
     "sql_q10_returned_items",   # fact⋈fact + broadcast dims + top-20
     "sql_q18_large_volume",     # grouped-HAVING semi-join (TPC-H Q18)
+    "sql_q8_market_share",      # 8-relation join tree (TPC-H Q8)
+    "sql_q21_waiting_supplier", # EXISTS + NOT EXISTS over the fact (TPC-H Q21)
     "scan_full",            # raw scan throughput
     "filter_range",         # pushdown + range predicates
     "join_inner",           # shuffle join

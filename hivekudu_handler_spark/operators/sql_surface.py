@@ -311,6 +311,271 @@ def sql_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18_SQL)
 
 
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_q7_volume_shipping", oracle=_Q7_SQL, tags=("sql", "tpch"))
+def sql_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): lineitem
+    joins orders (fact⋈fact shuffle) while supplier/customer/nation×2
+    broadcast; the nation-pair disjunction is applied after the two
+    nation lookups.  Scale path: the only large shuffle is
+    orders⋈lineitem on the order key; everything else rides broadcasts
+    and the final group-by is 3 low-NDV columns."""
+    _register(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+  JOIN region r   ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    AND p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("sql_q8_market_share", oracle=_Q8_SQL, tags=("sql", "tpch"))
+def sql_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest join tree in
+    the suite — 8 relations.  part is the selective gate (p_type filter
+    broadcast-semi-reduces lineitem before the fact⋈fact shuffle);
+    conditional share = SUM(CASE)/SUM rounded post-aggregation (float
+    discipline).  At 100 TB the join order matters enormously and is
+    exactly what Catalyst's CBO + AQE reorder; nothing here pins it."""
+    _register(
+        spark, sf_dir, "part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region",
+    )
+    return spark.sql(_Q8_SQL)
+
+
+# The fixture lineitem has no l_shipmode/l_commitdate/l_receiptdate and
+# orders has no o_comment/c_phone (TESTDATA.md), so Q12/Q13/Q17/Q19/Q21/
+# Q22 below keep the reference query's PLAN SHAPE (the part that matters
+# at scale) with the selective predicates adapted to existing columns;
+# each docstring names the substitution.
+
+_Q12_SQL = """
+SELECT l.l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@query("sql_q12_ship_priority", oracle=_Q12_SQL, tags=("sql", "tpch"))
+def sql_q12_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs priority): fact⋈fact join with
+    a date-window pushdown and dual conditional counts per category
+    (l_returnflag stands in for the absent l_shipmode).  One shuffle for
+    the join, one for the 3-group aggregate; SUM(CASE) stays integer
+    (cast pins DuckDB's HUGEINT to BIGINT)."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@query("sql_q13_customer_distribution", oracle=_Q13_SQL, tags=("sql", "tpch"))
+def sql_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with an ON-clause filter (customers with zero qualifying orders
+    must survive with c_count=0 — the semantics that distinguish ON from
+    WHERE on an outer join), double aggregation (per-customer count →
+    histogram of counts).  The o_orderpriority predicate stands in for
+    the absent o_comment NOT LIKE filter."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("sql_q15_top_supplier", oracle=_Q15_SQL, tags=("sql", "tpch"))
+def sql_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a CTE referenced twice — once
+    joined, once inside a scalar MAX subquery.  Spark evaluates the CTE
+    branches independently (both are one-shuffle aggregates over the same
+    pushdown scan); the argmax-by-equality survives cross-engine because
+    the within-engine comparison is self-consistent and only the emitted
+    revenue is rounded."""
+    _register(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+  AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("sql_q17_small_quantity", oracle=_Q17_SQL, tags=("sql", "tpch"))
+def sql_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): correlated scalar
+    AVG over the same fact table, decorrelated by Catalyst into a
+    per-partkey aggregate re-joined to lineitem (p_size stands in for
+    the absent p_container).  The threshold comparison is engine-stable:
+    l_quantity is integer-valued, so the per-part sums (hence AVG) are
+    IEEE-exact in any summation order."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+_Q19_SQL = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("sql_q19_discounted_revenue", oracle=_Q19_SQL, tags=("sql", "tpch"))
+def sql_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): a 3-arm disjunction mixing
+    both sides of the join (part attrs AND lineitem attrs per arm — the
+    classic predicate that can't fully push to either scan).  Spark
+    extracts the common p_partkey equi-key so the join stays hash-based
+    with the disjunction as a post-join filter; per-side IN/range
+    fragments still prune row groups."""
+    _register(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)
+
+
+_Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("sql_q21_waiting_supplier", oracle=_Q21_SQL, tags=("sql", "tpch"))
+def sql_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept others waiting): the
+    EXISTS + NOT EXISTS pair over the same fact table — a left-semi and
+    a left-anti join both keyed on l_orderkey, sharing the fact shuffle
+    partitioning (l_returnflag='R' stands in for the absent
+    receipt-after-commit predicate).  Top-100 via
+    TakeOrderedAndProject."""
+    _register(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT CAST(c.c_nationkey % 10 AS INT) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey % 5 = 0
+    AND c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+) custsale
+GROUP BY cntrycode
+"""
+
+
+@query("sql_q22_sales_opportunity", oracle=_Q22_SQL, tags=("sql", "tpch"))
+def sql_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): uncorrelated scalar
+    AVG subquery + NOT EXISTS anti-join against orders, grouped by a
+    derived country code (nation-key bucket stands in for the absent
+    phone prefix; "no urgent order" for "no order", since every fixture
+    customer has orders).  The anti-join needs only two orders columns —
+    pruning drops the rest before the shuffle."""
+    _register(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_SQL)
+
+
 @query(
     "sort_distribute_sql",
     oracle=(

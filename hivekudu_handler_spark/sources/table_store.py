@@ -486,6 +486,30 @@ class TableStore:
         )
         self._replace_buckets(meta, affected, remaining)
 
+    def compact(self, name: str, max_files_per_bucket: int = 8) -> list[int]:
+        """Rewrite buckets whose file count exceeds the threshold into one
+        file each.  Append-only inserts trade write amplification for
+        file-count growth; periodic compaction is the amortized cleanup —
+        the analogue of Kudu's background rowset compaction.  Only
+        crowded buckets are rewritten (same bucket-scoped I/O bound as
+        upsert/delete); returns the compacted bucket ids."""
+        meta = self._writable_meta(name)
+        data = self._data_dir(name)
+        crowded = []
+        for bdir in data.glob(f"{self._BUCKET_COL}=*"):
+            n_files = sum(1 for _ in bdir.rglob("*.parquet"))
+            if n_files > max_files_per_bucket:
+                crowded.append(int(bdir.name.split("=", 1)[1]))
+        if not crowded:
+            return []
+        rows = (
+            self._scan_raw(meta)
+            .filter(F.col(self._BUCKET_COL).isin(crowded))
+            .drop(self._BUCKET_COL)
+        )
+        self._replace_buckets(meta, crowded, rows)
+        return sorted(crowded)
+
     def insert_overwrite(self, name: str, df: DataFrame) -> None:
         """INSERT OVERWRITE (Hive staple): replace table contents with the
         batch (dup keys within the batch collapse deterministically, like

@@ -73,6 +73,20 @@ def test_bucketed_join_no_shuffle(spark):
             cleanup()
 
 
+def test_text_ops_normalize_once(spark):
+    """The regex-normalize+split chain must appear exactly once per row
+    in the optimized plan of every text operator — the derived features
+    read a materialized token column, they don't re-run the regex
+    (VERDICT r1 #5: ~9× recomputation showed up as ~20 s/query)."""
+    for key in ("text_tokens", "text_quality", "text_langid", "text_fingerprint"):
+        df = load_all()[key].fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("regexp_replace(lower(text")
+        # text_quality has a second, different regex (punct_ratio) that
+        # does not contain this needle, so 1 means "normalize ran once"
+        assert n == 1, f"{key}: normalize chain appears {n}× in plan"
+
+
 def test_salted_join_spreads_partitions(spark):
     """Salted join result equals the plain join (semantic no-op) — the
     physical effect is the compound (key, salt) shuffle key."""

@@ -229,6 +229,29 @@ def test_batch_dedup_is_deterministic(spark, store):
     assert store.scan("t").collect()[0]["name"] == "alpha"
 
 
+def test_compact_merges_crowded_buckets_only(spark, store):
+    """Append-only inserts grow file counts; compact() rewrites only the
+    buckets over the threshold, leaves quiet buckets byte-identical, and
+    preserves table contents exactly."""
+    store.create_table("t", "id int, name string", ["id"])
+    for i in range(12):
+        store.insert_values("t", [(i, f"n{i}")])
+    data = store._data_dir("t")
+    before_rows = {(r["id"], r["name"]) for r in store.scan("t").collect()}
+    before_files = _file_snapshot(data)
+    compacted = store.compact("t", max_files_per_bucket=2)
+    assert compacted  # 12 single-row inserts over 4 buckets must crowd some
+    after_files = _file_snapshot(data)
+    for path, blob in before_files.items():
+        if not any(path.startswith(f"kb={b}/") for b in compacted):
+            assert path in after_files and after_files[path] == blob
+    for b in compacted:
+        n = sum(1 for p in after_files if p.startswith(f"kb={b}/"))
+        assert n == 1, f"bucket {b} has {n} files after compaction"
+    assert {(r["id"], r["name"]) for r in store.scan("t").collect()} == before_rows
+    assert store.compact("t", max_files_per_bucket=2) == []  # idempotent
+
+
 # ---- external tables (attach + schema discovery) --------------------------
 
 def test_attach_external_discovers_schema_and_reads(spark, store, tmp_path):

@@ -47,7 +47,8 @@ HEADLINE = [
     "dedup_exact_docs",     # hash dedup
     "dedup_ngram_jaccard",  # shingle inverted-index join
     "dedup_minhash",        # minhash-lsh + verify
-    "dedup_embedding",      # pairwise cosine
+    "dedup_cluster",        # connected components over near-dup pairs
+    "dedup_embedding",      # block-pair cosine matmul
     "sim_topk_cosine",      # brute-force ANN baseline
     "sim_ann_lsh",          # LSH ANN
     "text_quality",         # text pipeline built-ins

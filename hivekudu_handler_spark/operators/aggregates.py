@@ -172,6 +172,25 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_percentile", tags=("agg", "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (``percentile_approx``) — the 100 TB path where the exact per-group
+    sort of ``agg_percentile`` stops being affordable: mergeable
+    fixed-size sketches replace a global sort, so the plan is the same
+    one-shuffle partial/final aggregate as a SUM.
+
+    No SQL oracle (sketch estimates are engine-specific); the driver's
+    rows-only check applies and ``tests/test_aggregates.py`` bounds each
+    estimate against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias(
+            "approx_p50_p95"
+        )
+    )
+
+
 @query(
     "agg_grouping_sets",
     oracle=(

@@ -51,6 +51,32 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_cume_dist",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, "
+        "       PERCENT_RANK() OVER w AS pct_rank, "
+        "       CUME_DIST() OVER w AS cume "
+        "FROM customer "
+        "WINDOW w AS (PARTITION BY c_mktsegment "
+        "             ORDER BY c_acctbal, c_custkey)"
+    ),
+    tags=("window",),
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST — relative-position analytics.  Both are
+    integer ratios ((rank-1)/(n-1), rank/n) evaluated as one IEEE
+    division, so cross-engine values are bit-exact without rounding."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
     "win_analytic",
     oracle=(
         "SELECT event_id, user_id, value, "

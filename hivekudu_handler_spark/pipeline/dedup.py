@@ -66,27 +66,42 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_oracle(threshold: float) -> str:
-    norm = _NORM_SQL
+# DuckDB twin of doc_shingles(): CTE fragment producing `sh` (doc_id,
+# shingle list) and `ex` (exploded), shared by every shingle-based oracle.
+_SHINGLE_CTES_SQL = (
+    "toks AS (SELECT doc_id, "
+    f"  list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS w "
+    "  FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+    "  list_distinct([array_to_string(w[i:i+2], ' ') "
+    "                 for i in range(1, len(w) - 1)]) "
+    "  ELSE [] END AS s FROM toks), "
+    "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)"
+)
+
+# Jaccard-pair CTE on top of the shingle CTEs (used by the pair oracle
+# and, transitively, the clustering oracle).
+def _pairs_ctes_sql(threshold: float) -> str:
     return (
-        "WITH toks AS (SELECT doc_id, "
-        f"  list_filter(string_split({norm}, ' '), x -> x <> '') AS w "
-        "  FROM documents), "
-        "sh AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
-        "  list_distinct([array_to_string(w[i:i+2], ' ') "
-        "                 for i in range(1, len(w) - 1)]) "
-        "  ELSE [] END AS s FROM toks), "
-        "ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh), "
+        f"{_SHINGLE_CTES_SQL}, "
         "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
         "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
         "  GROUP BY 1, 2), "
-        "sizes AS (SELECT doc_id, len(s) AS n FROM sh) "
+        "sizes AS (SELECT doc_id, len(s) AS n FROM sh), "
+        "pairs AS (SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb "
+        "  FROM common "
+        "  JOIN sizes sa ON sa.doc_id = doc_a "
+        "  JOIN sizes sb ON sb.doc_id = doc_b "
+        f"  WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold})"
+    )
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    return (
+        f"WITH {_pairs_ctes_sql(threshold)} "
         "SELECT doc_a, doc_b, "
-        "       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard "
-        "FROM common "
-        "JOIN sizes sa ON sa.doc_id = doc_a "
-        "JOIN sizes sb ON sb.doc_id = doc_b "
-        f"WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}"
+        "       ROUND(c * 1.0 / (na + nb - c), 6) AS jaccard "
+        "FROM pairs"
     )
 
 
@@ -100,6 +115,11 @@ def _jaccard_oracle(threshold: float) -> str:
 # tests/test_dedup.py pins both the no-op invariant and the bounded
 # candidate count on a planted hot shingle.
 _SHINGLE_DF_CAP = 10_000
+
+# Upper bound on label-propagation rounds in dedup_cluster (graph
+# diameter of near-dup components is tiny in practice; the bound is a
+# runaway guard, not a tuning knob).
+_CLUSTER_MAX_ROUNDS = 20
 
 
 def _cap_hot_shingles(ex: DataFrame, cap: int, key: str = "shingle") -> DataFrame:
@@ -472,6 +492,107 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.groupBy("ba", "bb")
         .cogroup(right.groupBy("ba", "bb"))
         .applyInPandas(block_pair, schema="vec_a bigint, vec_b bigint, cosine double")
+    )
+
+
+@query(
+    "text_ngram_topk",
+    oracle=(
+        f"WITH {_SHINGLE_CTES_SQL} "
+        "SELECT shingle, COUNT(*) AS doc_freq FROM ex "
+        "GROUP BY shingle ORDER BY doc_freq DESC, shingle LIMIT 50"
+    ),
+    tags=("text", "dedup"),
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram analysis: the 50 highest-document-frequency
+    3-token shingles (ties broken lexicographically).  This is the
+    profiling pass that SIZES the hot-shingle cap (``_SHINGLE_DF_CAP``)
+    for a given corpus — at 100 TB you run it on a hash sample first.
+    One explode + one count shuffle + ``TakeOrderedAndProject`` (per-
+    partition heaps, no global sort); shingles are per-doc distinct so
+    COUNT(*) is document frequency."""
+    sh = doc_shingles(spark, sf_dir)
+    return (
+        sh.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "shingle")
+        .limit(50)
+    )
+
+
+@query(
+    "dedup_cluster",
+    oracle=(
+        f"WITH RECURSIVE {_pairs_ctes_sql(0.5)}, "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lab) AS ("
+        "  SELECT DISTINCT u AS node, u AS lab FROM edges "
+        "  UNION "
+        "  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node) "
+        "SELECT node AS doc_id, MIN(lab) AS keeper_doc_id "
+        "FROM reach GROUP BY node"
+    ),
+    tags=("dedup", "graph"),
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via connected components over the Jaccard-pair
+    graph: every document in a pair gets the minimum doc_id of its
+    component as keeper — the step that turns pairwise near-dup output
+    into an actionable keep/drop list (pairs alone can't be acted on:
+    {A,B},{B,C} must collapse to one keeper, not two).
+
+    Implementation: iterative min-label propagation — per round, each
+    node takes the min label across itself and its neighbors; converges
+    in graph-diameter rounds (each a shuffle join on the node key).
+    Near-dup components are shallow (cliques/short chains), so rounds
+    are few and bounded by ``_CLUSTER_MAX_ROUNDS``; the per-round
+    convergence check is a count aggregate, no data ever collects.  At
+    extreme diameters the same loop hosts star-contraction
+    (large-star/small-star) — the operator contract is unchanged.
+    Oracle: recursive-CTE transitive closure in DuckDB."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .persist()
+    )
+    edges.count()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(_CLUSTER_MAX_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(edges["u"].alias("node"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .persist()
+        )
+        new_labels.count()
+        changed = (
+            new_labels.withColumnRenamed("lab", "new_lab")
+            .join(labels, "node")
+            .filter(F.col("new_lab") != F.col("lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("keeper_doc_id")
     )
 
 

@@ -48,6 +48,35 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_stratified",
+    oracle=(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+        "       IN ('0','1','2','3')) "
+        "   OR (lang <> 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+        "       IN ('0','1','2','3','4','5','6','7'))"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates: keep 4/16 of the
+    over-represented language ('en' is ~44% of the fixture corpus) and
+    8/16 of everything else — the canonical corpus-rebalancing pass of a
+    training-data pipeline.  Same md5-bucket mechanics as
+    ``sample_hash``: membership is a pure function of (key, stratum), so
+    rates can be re-tuned per stratum without reshuffling rows a
+    different stratum kept, and the predicate pipelines into the scan
+    (no shuffle, no per-stratum pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = _bucket(F.col("doc_id"))
+    keep = ((F.col("lang") == "en") & b.isin("0", "1", "2", "3")) | (
+        (F.col("lang") != "en")
+        & b.isin("0", "1", "2", "3", "4", "5", "6", "7")
+    )
+    return d.filter(keep).select("doc_id", "lang")
+
+
+@query(
     "split_train_test",
     oracle=(
         "SELECT doc_id, "

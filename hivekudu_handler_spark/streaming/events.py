@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
-from hivekudu_handler_spark.tables import load_events
+from hivekudu_handler_spark.tables import load_events, load_table
 
 
 def tumbling_counts(ev: DataFrame) -> DataFrame:
@@ -124,6 +124,53 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap), oracle via gaps-and-islands SQL."""
     return session_counts(load_events(spark, sf_dir))
+
+
+def enriched_segment_counts(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + tumbling aggregate: valid for a
+    streaming ``ev`` (the static side is re-broadcast per micro-batch —
+    Spark's supported stream-static join) and for batch ``ev`` (the
+    oracle path)."""
+    return (
+        ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle=(
+        "SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS window_start, "
+        "       c.c_mktsegment, COUNT(*) AS n_events, "
+        "       ROUND(SUM(e.value), 2) AS sum_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY 1, 2"
+    ),
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (the standard streaming-ETL
+    join: events stream ⋈ broadcast customer dim), then windowed counts
+    per market segment.  Batch mode is what the oracle checks;
+    tests/test_streaming.py runs the identical definition through
+    ``readStream`` and asserts equality.  Scale path: the stream side
+    never shuffles for the join (broadcast), state is bounded by
+    (window × segment) cardinality."""
+    ev = load_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return enriched_segment_counts(ev, dim)
 
 
 @query("stream_dedup", tags=("streaming",))

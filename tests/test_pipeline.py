@@ -121,6 +121,35 @@ def test_shingle_df_cap_bounds_hot_shingle(spark, tmp_path):
     assert all(a >= 100 for a, _ in lo_pairs)
 
 
+def test_cluster_keeper_invariants(spark, specs):
+    """Connected-components clustering over the near-dup pair graph:
+    every paired doc appears exactly once, its keeper is the component
+    min, and both endpoints of every pair share a keeper."""
+    pairs = _pairs(dedup.ngram_jaccard_pairs(spark, SF, 0.5))
+    out = {r["doc_id"]: r["keeper_doc_id"] for r in specs["dedup_cluster"].fn(spark, SF).collect()}
+    members = {d for p in pairs for d in p}
+    assert set(out) == members
+    for a, b in pairs:
+        assert out[a] == out[b], f"pair ({a},{b}) split across clusters"
+    for doc, keeper in out.items():
+        assert keeper <= doc
+        assert out[keeper] == keeper  # keeper is its own keeper
+
+
+def test_stratified_sample_rates(spark, specs):
+    """Per-stratum hash rates: 'en' sampled at ~4/16, others at ~8/16,
+    and membership is the documented pure function of (doc_id, lang)."""
+    import hashlib
+
+    full = {(r["doc_id"], r["lang"]) for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang").collect()}
+    kept = {(r["doc_id"], r["lang"]) for r in specs["sample_stratified"].fn(spark, SF).collect()}
+    assert kept <= full
+    for doc_id, lang in full:
+        b = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        expect = b in "0123" if lang == "en" else b in "01234567"
+        assert ((doc_id, lang) in kept) == expect
+
+
 def test_ivf_recall_vs_bruteforce(spark, specs):
     exact = specs["sim_topk_cosine"].fn(spark, SF)
     ivf = specs["sim_ivf"].fn(spark, SF)

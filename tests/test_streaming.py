@@ -30,6 +30,20 @@ def test_session_stream_equals_batch(spark):
     assert _normalize(stream) == _normalize(batch)
 
 
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static dimension join: the streaming run (static side
+    re-broadcast per micro-batch) must equal the batch join."""
+    from hivekudu_handler_spark.streaming.events import enriched_segment_counts
+    from hivekudu_handler_spark.tables import load_table
+
+    dim = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    batch = enriched_segment_counts(load_events(spark, SF), dim)
+    stream = run_stream_over_fixture(
+        spark, SF, lambda ev: enriched_segment_counts(ev, dim)
+    )
+    assert _normalize(stream) == _normalize(batch)
+
+
 def test_stateful_operator_matches_batch_totals(spark):
     """applyInPandasWithState running totals: the last update per user
     must equal the batch aggregate."""

@@ -148,6 +148,57 @@ def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
 
+_AUDIO_SCHEMA = (
+    "doc_id bigint, window_idx int, rms double, peak int, zero_crossings int"
+)
+
+
+def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic 'audio' windowing: overlapping 256-byte windows with
+    hop 128 over the blob, per-window RMS / peak / zero-crossing count —
+    the exact windowed-DSP shape (overlap fan-out + vectorized per-window
+    reduction) that real audio feature extraction uses, computed over the
+    real bytes (samples = centered byte values) instead of decoded PCM.
+    """
+    import numpy as np
+
+    win, hop = 256, 128
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+            b -= 128.0  # center like signed PCM
+            n_windows = max(1, (len(b) - win) // hop + 1) if len(b) else 0
+            for w_idx in range(n_windows):
+                seg = b[w_idx * hop : w_idx * hop + win]
+                crossings = int(np.count_nonzero(np.diff(np.sign(seg)) != 0))
+                rows.append(
+                    (
+                        doc_id,
+                        w_idx,
+                        float(np.sqrt(np.mean(seg * seg))),
+                        int(np.abs(seg).max()),
+                        crossings,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "window_idx", "rms", "peak", "zero_crossings"],
+        )
+
+
+@query("mm_audio_windows", tags=("multimodal",))
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window feature extraction over blob 'audio' (256-byte
+    windows, 128 hop): the windowed-DSP plumbing — overlap fan-out,
+    vectorized per-window reductions, Arrow-batched transfer.  Rows-only
+    driver check (windowed RMS/zero-crossings are not reasonably
+    SQL-expressible); tests pin golden values for a fixed doc."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return blobs.mapInPandas(_audio_windows, schema=_AUDIO_SCHEMA)
+
+
 @query(
     "mm_frame_sample",
     oracle=(

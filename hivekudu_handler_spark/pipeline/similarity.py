@@ -217,6 +217,42 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(spark, sf_dir)
 
 
+@query(
+    "emb_lang_centroids",
+    oracle=(
+        "WITH e AS (SELECT d.lang, emb.embedding "
+        "           FROM embeddings emb "
+        "           JOIN documents d ON emb.vec_id = d.doc_id), "
+        "dims AS (SELECT lang, "
+        "                unnest(range(1, len(embedding) + 1)) AS dim, "
+        "                embedding FROM e) "
+        "SELECT lang, CAST(dim AS INT) AS dim, "
+        "       ROUND(AVG(CAST(embedding[dim] AS DOUBLE)), 6) AS centroid_val "
+        "FROM dims GROUP BY lang, dim"
+    ),
+    tags=("similarity", "vector"),
+)
+def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (here: per document language) in
+    flat (lang, dim, value) form — the aggregation behind class
+    prototypes, k-means init, and drift monitoring in a training-data
+    pipeline.  posexplode + one (lang, dim) hash aggregate: map-side
+    partial means only (classes × dims) rows cross the network however
+    large the corpus; no vector ever materializes driver-side.  Rounded
+    post-aggregation (float discipline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = e.join(d, e["vec_id"] == d["doc_id"]).select("lang", "embedding")
+    return (
+        joined.select(
+            "lang", F.posexplode("embedding").alias("pos", "val")
+        )
+        .select("lang", (F.col("pos") + 1).cast("int").alias("dim"), "val")
+        .groupBy("lang", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
 # --- IVF -------------------------------------------------------------------
 
 _IVF_CENTROIDS = 8

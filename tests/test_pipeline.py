@@ -207,6 +207,30 @@ def test_byte_features_golden(spark, specs):
     assert abs(row["entropy_bits"] - expected_entropy) < 1e-12
 
 
+def test_audio_windows_golden(spark, specs):
+    """Pin the overlapping-window DSP features against a pure-Python
+    computation for one known doc."""
+    doc = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    samples = [b - 128.0 for b in doc["text"].encode("utf-8")]
+    win, hop = 256, 128
+    n_windows = max(1, (len(samples) - win) // hop + 1)
+    rows = (
+        specs["mm_audio_windows"].fn(spark, SF)
+        .filter(F.col("doc_id") == 0)
+        .orderBy("window_idx")
+        .collect()
+    )
+    assert [r["window_idx"] for r in rows] == list(range(n_windows))
+    seg = samples[:win]
+    expected_rms = math.sqrt(sum(x * x for x in seg) / len(seg))
+    assert abs(rows[0]["rms"] - expected_rms) < 1e-9
+    assert rows[0]["peak"] == int(max(abs(x) for x in seg))
+
+
 def test_frame_sample_fanout(spark, specs):
     out = specs["mm_frame_sample"].fn(spark, SF)
     one = out.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()

@@ -131,3 +131,56 @@ def project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("line_class"),
     )
+
+
+# --- file-format sources (SURVEY.md §2.1 "file formats") -------------------
+
+_FMT_ORACLE = (
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderkey < 500"
+)
+
+
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write a sample through ``fmt`` and read it back: the oracle checks
+    the roundtripped values against the Parquet originals, so any
+    format-layer lossiness (quoting, float text round-trip, schema drift)
+    breaks the hash.  Scratch is per-invocation and removed after the
+    result is checkpointed executor-side."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    path = f"{tempfile.gettempdir()}/hkh_fmt_{fmt}_{uuid.uuid4().hex[:8]}"
+    try:
+        writer = src.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        writer.format(fmt).save(path)
+        reader = spark.read.schema(src.schema)
+        if fmt == "csv":
+            reader = reader.option("header", True)
+        return reader.format(fmt).load(path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query("source_csv", oracle=_FMT_ORACLE, tags=("scan", "format"))
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink roundtrip (SURVEY §2.1 file formats — free from
+    Spark's file-source layer; the reference supported only Kudu).
+    Doubles survive because Spark writes shortest-roundtrip decimal
+    text."""
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+@query("source_json", oracle=_FMT_ORACLE, tags=("scan", "format"))
+def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip (schema supplied on read: at
+    100 TB you never pay schema inference's extra pass)."""
+    return _format_roundtrip(spark, sf_dir, "json")

@@ -591,6 +591,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is persisted+materialized; the edge cache is no longer needed
+    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("keeper_doc_id")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
@@ -308,19 +308,58 @@ def _asof_merge(pdf: pd.DataFrame) -> pd.DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the user's most recent prior view.
 
-    Not expressible as a single built-in Spark join (SURVEY.md §2.3
-    ``join_asof``): implemented as a grouped sorted merge —
-    ``applyInPandas`` per ``user_id`` with ``pandas.merge_asof``.  Scale
-    path: one shuffle on ``user_id`` (same as any keyed agg), per-group
-    work is O(n log n) local sort; no driver collection, no cross
-    product.  Skewed users are bounded by per-user event counts.
+    No single built-in Spark join expresses this (SURVEY.md §2.3
+    ``join_asof``), but it IS expressible as union + running window —
+    100% JVM, whole-stage-codegen'd, no Python in the path: interleave
+    both event kinds, sort per user by (ts, views-first), and carry the
+    last non-null view id/ts forward with an incremental
+    UnboundedPreceding→CurrentRow frame.  One shuffle on ``user_id`` +
+    one local sort — the same cost as any windowed aggregate, with no
+    per-group Python invocation.  ``asof_join_pandas`` keeps the
+    ``merge_asof`` formulation as the custom-operator escape hatch;
+    tests assert both produce identical results.
+
+    Ordering detail: views sort before purchases at equal ``ts`` so a
+    same-instant view qualifies (``v.ts <= p.ts``), with ``event_id`` as
+    the final deterministic tiebreaker.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
     ).select("event_id", "user_id", "ts", "event_type")
-    # shuffle by a coarse user bucket (users stay co-located; merge_asof
-    # resolves per-user inside the bucket) — bounds the number of Python
-    # group invocations at high user cardinality
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", is_purchase, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("last_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_view_id").alias("view_id"),
+            (
+                F.unix_micros("ts") - F.unix_micros("last_view_ts")
+            ).alias("gap_us"),
+        )
+    )
+
+
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``applyInPandas`` + ``pandas.merge_asof`` formulation of
+    ``join_asof`` — kept as the template for as-of logic Spark
+    expressions can't reach (e.g. tolerance windows with interpolation).
+    One shuffle on a coarse user bucket; one merge_asof per bucket."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "user_id", "ts", "event_type")
     ev = ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(32)))
     return (
         ev.groupBy("bucket")

@@ -56,10 +56,24 @@ def _recorded_keys() -> frozenset[str]:
     return frozenset(seen)
 
 
+# Tag families whose queries are an order of magnitude slower than the
+# rest (multi-stage dedup chains, iterative graph loops, real streaming
+# engine runs).  Within the never-recorded group these go LAST: if the
+# driver's per-round record is time-capped rather than count-capped,
+# cheap keys first maximizes how many keys gain official rows per round.
+_SLOW_TAGS = frozenset({"dedup", "graph", "stateful"})
+
+
 def _ordered(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Order keys: never-officially-recorded first, then the rest."""
+    """Order keys: never-officially-recorded first (cheap before slow),
+    then already-recorded keys in registration order."""
     recorded = _recorded_keys()
-    first = [k for k in registered if k not in recorded]
+
+    def is_slow(k: str) -> bool:
+        return bool(_SLOW_TAGS & set(registered[k].tags))
+
+    fresh = [k for k in registered if k not in recorded]
+    first = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
     rest = [k for k in registered if k in recorded]
     return {k: registered[k] for k in (*first, *rest)}
 

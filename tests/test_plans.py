@@ -73,6 +73,19 @@ def test_bucketed_join_no_shuffle(spark):
             cleanup()
 
 
+def test_asof_join_is_jvm_only_and_matches_pandas_path(spark):
+    """join_asof must stay whole-stage JVM (no Python eval nodes in the
+    plan) and agree row-for-row with the merge_asof formulation."""
+    from hivekudu_handler_spark.operators.joins import asof_join_pandas
+
+    df = load_all()["join_asof"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan
+    jvm = sorted(tuple(r) for r in df.collect())
+    py = sorted(tuple(r) for r in asof_join_pandas(spark, SF).collect())
+    assert jvm == py
+
+
 def test_text_ops_normalize_once(spark):
     """The regex-normalize+split chain must appear exactly once per row
     in the optimized plan of every text operator — the derived features

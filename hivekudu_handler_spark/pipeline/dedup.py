@@ -124,17 +124,18 @@ _CLUSTER_MAX_ROUNDS = 20
 
 def _cap_hot_shingles(ex: DataFrame, cap: int, key: str = "shingle") -> DataFrame:
     """Drop exploded (doc_id, shingle) rows whose ``key`` appears in more
-    than ``cap`` documents.  One count shuffle on the shingle hash — the
-    same key the downstream self-join shuffles on, so the exchange is
-    reused, not added."""
-    from pyspark.sql import Window
-
-    df_w = Window.partitionBy(key)
-    return (
-        ex.withColumn("df", F.count(F.lit(1)).over(df_w))
+    than ``cap`` documents.  The document-frequency table aggregates down
+    to one row per distinct shingle (map-side partials), and the filter
+    joins hint-free — AQE broadcasts the DF table while it's small and
+    falls back to a shuffle join at corpus scale, unlike a window over
+    the exploded table, which always reshuffles every exploded row."""
+    keep = (
+        ex.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= cap)
-        .drop("df")
+        .select(key)
     )
+    return ex.join(keep, key)
 
 
 def ngram_jaccard_pairs(

@@ -195,6 +195,82 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        f"  list_filter({_TOKENS_SQL}, x -> x <> '') AS w FROM documents), "
+        "tri AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+        "  [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] "
+        "  ELSE [] END AS t, w FROM toks), "
+        "base AS (SELECT doc_id, len(t) AS n_tri, "
+        "  len(list_distinct(t)) AS n_tri_distinct, len(w) AS n_toks FROM tri), "
+        "tc AS (SELECT doc_id, MAX(c) AS top_tok_cnt FROM ("
+        "  SELECT doc_id, tok, COUNT(*) AS c FROM ("
+        "    SELECT doc_id, unnest(w) AS tok FROM toks) "
+        "  GROUP BY doc_id, tok) GROUP BY doc_id), "
+        "j AS (SELECT b.doc_id, "
+        "  CASE WHEN b.n_tri = 0 THEN 0.0 "
+        "       ELSE 1.0 - b.n_tri_distinct * 1.0 / b.n_tri END AS dup_trigram_frac, "
+        "  COALESCE(tc.top_tok_cnt, 0) * 1.0 / greatest(b.n_toks, 1) "
+        "    AS top_token_frac "
+        "  FROM base b LEFT JOIN tc ON b.doc_id = tc.doc_id) "
+        "SELECT doc_id, dup_trigram_frac, top_token_frac, "
+        "       dup_trigram_frac <= 0.05 AS passes_repetition_gate FROM j"
+    ),
+    tags=("text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 filter family):
+    duplicate-trigram fraction and top-token fraction, plus a gate.
+    Boilerplate and degenerate generations repeat n-grams; these two
+    ratios are the standard cheap detectors.
+
+    Scale shape: trigram totals/distincts are pure per-row expressions
+    over the token array (no shuffle); the per-doc token mode is one
+    explode + (doc, tok) count + per-doc max — the same two-level
+    aggregate as any word-count, partial-aggregated map-side.  Ratios
+    are emitted as raw IEEE doubles (one division of exact integer
+    counts — bit-identical across engines; per-row ROUND is not)."""
+    from hivekudu_handler_spark.pipeline.dedup import _SHINGLES_EXPR
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.filter(tokens(), lambda x: x != "").alias("toks")
+    ).persist()
+    t.count()  # two consumers below
+    base = t.select(
+        "doc_id",
+        F.greatest(F.size("toks") - 2, F.lit(0)).alias("n_tri"),
+        F.size(F.expr(_SHINGLES_EXPR)).alias("n_tri_distinct"),
+        F.size("toks").alias("n_toks"),
+    )
+    top = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_cnt"))
+    )
+    dup_frac = F.when(F.col("n_tri") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("n_tri_distinct") * F.lit(1.0) / F.col("n_tri")
+    )
+    top_frac = (
+        F.coalesce(F.col("top_tok_cnt"), F.lit(0))
+        * F.lit(1.0)
+        / F.greatest(F.col("n_toks"), F.lit(1))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_frac.alias("dup_trigram_frac"),
+            top_frac.alias("top_token_frac"),
+            (dup_frac <= 0.05).alias("passes_repetition_gate"),
+        )
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=(
         "SELECT doc_id, "

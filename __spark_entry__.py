@@ -23,16 +23,23 @@ sys.path.insert(0, _ROOT)
 
 from hivekudu_handler_spark.registry import load_all  # noqa: E402
 from tools.coverage_order import load_correctness_records, order_keys  # noqa: E402
+from tools.source_hashes import current_hashes, load_sidecar  # noqa: E402
 
 
 def _ordered_specs():
     """Registry in driver-coverage order: the library registry itself is
     deterministic (registration order); this entry file — the driver-facing
     surface — reorders it using the driver's own prior CORRECTNESS records
-    as explicit input, so each round's bounded record window covers keys
-    that still lack (or failed) official verification first."""
+    plus the source-hash sidecar as explicit input, so each round's bounded
+    record window covers keys that lack official verification, failed it,
+    or were rewritten since their last official row, first."""
     specs = load_all()
-    order = order_keys(specs, load_correctness_records(_ROOT))
+    order = order_keys(
+        specs,
+        load_correctness_records(_ROOT),
+        sidecar=load_sidecar(_ROOT),
+        current=current_hashes(specs),
+    )
     return {name: specs[name] for name in order}
 
 

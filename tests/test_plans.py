@@ -115,3 +115,40 @@ def test_pivot_single_aggregate(spark):
     over the input (no per-value scans, no value-discovery job)."""
     df = load_all()["agg_pivot"].fn(spark, SF)
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+
+
+def test_topk_cosine_two_phase_plan(spark):
+    """sim_topk_cosine must keep the two-phase top-k shape: the global
+    window's shuffle reads the MapInPandas partition-local fold's output
+    (bounded at k·P·|queries| rows), never the full scored corpus — the
+    r2 verdict's one flagged 100×-scale bottleneck was the single-phase
+    Window.partitionBy(query_id) funneling the whole corpus into
+    |queries| reducers.  Fails if brute_force_topk reverts to
+    _rank_topk(scored, k) directly."""
+    df = load_all()["sim_topk_cosine"].fn(spark, SF)
+    lines = checks.plan_string(df, mode="simple").splitlines()
+
+    def first(needle):
+        return next(i for i, l in enumerate(lines) if needle in l)
+
+    win = first("Window")
+    fold = first("MapInPandas")
+    join = first("Join")
+    # simple-mode explain prints the root first, inputs below: the fold
+    # must sit between the window and the scoring join, so the window's
+    # exchange consumes the folded candidates, not corpus-sized input
+    assert win < fold < join, "\n".join(lines)
+    assert not any("Join" in l for l in lines[win:fold]), "\n".join(lines)
+
+
+def test_approx_distinct_is_sketch_only(spark):
+    """agg_approx_distinct must not pay the exact-distinct path: no
+    count(distinct ...) expansion in the optimized plan, one shuffle
+    (partial/final HLL register merge), unlike its oracle-backed exact
+    counterpart agg_ndv_exact (r3 ADVICE: the sketch key used to compute
+    the exact NDV alongside, defeating the sketch's purpose at scale)."""
+    df = load_all()["agg_approx_distinct"].fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "approx_count_distinct" in optimized, optimized
+    assert "count(distinct" not in optimized.lower(), optimized
+    assert checks.count_shuffles(df) == 1, checks.plan_string(df)

@@ -184,3 +184,35 @@ def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink roundtrip (schema supplied on read: at
     100 TB you never pay schema inference's extra pass)."""
     return _format_roundtrip(spark, sf_dir, "json")
+
+
+@query(
+    "scan_keyed_lookup",
+    oracle=(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey = 42"
+    ),
+    tags=("scan", "ddl"),
+)
+def scan_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key point-lookup through the managed bucket layout — the
+    read-path analogue of the reference's tablet pruning
+    (``HiveKuduTableInputFormat.java:166-217``, key-range bounds at
+    ``:466-467``): the key's hash bucket is constant-folded into the
+    scan's PartitionFilters, so only one ``kb=`` directory is opened
+    (plan-asserted in ``tests/test_plans.py``) and the key equality
+    itself lands in PushedFilters inside that bucket."""
+    import shutil
+
+    from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("customer_pk", src.schema, ["c_custkey"])
+        store.insert("customer_pk", src)
+        return _materialize(spark, store.lookup("customer_pk", {"c_custkey": 42}))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -323,6 +323,38 @@ class TableStore:
             df = df.select(*columns)
         return df
 
+    def lookup(self, name: str, key: dict[str, object]) -> DataFrame:
+        """Keyed point-lookup that prunes to ONE bucket directory.
+
+        The bucket id is expressed as ``pmod(xxhash64(<literal key>), B)``
+        — a foldable expression Catalyst collapses to a constant, so the
+        comparison against the ``kb`` partition column lands in the scan's
+        ``PartitionFilters`` and every other bucket directory is never
+        opened (plan-asserted in ``tests/test_plans.py``).  This is the
+        read-path analogue of the reference's primary-key tablet pruning
+        (``HiveKuduTableInputFormat.java:166-217,466-467``): at 100 TB a
+        point read touches 1/B of the table's files, independent of
+        cluster size.  Literals are cast to the declared key-column types
+        because ``xxhash64`` hashes by type (an int literal against a
+        bigint column would hash into the wrong bucket).
+        """
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                f"table {name!r} is external: no bucket layout to prune"
+            )
+        if set(key) != set(meta.key_columns):
+            raise TableStoreError(
+                f"lookup key must cover exactly {meta.key_columns}, got {sorted(key)}"
+            )
+        types = {f.name: f.dataType for f in meta.schema.fields}
+        lits = [F.lit(key[k]).cast(types[k]) for k in meta.key_columns]
+        bucket = F.pmod(F.xxhash64(*lits), F.lit(self.range_partitions)).cast("int")
+        df = self._scan_raw(meta).filter(F.col(self._BUCKET_COL) == bucket)
+        for k in meta.key_columns:
+            df = df.filter(F.col(k) == F.lit(key[k]).cast(types[k]))
+        return df.select(*[f.name for f in meta.schema.fields])
+
     # ----------------------------------------------------------------- writes
     def _writable_meta(self, name: str) -> TableMeta:
         meta = self.table_meta(name)

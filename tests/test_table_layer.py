@@ -306,3 +306,51 @@ def test_partitioned_layout_prunes_partitions(spark, store):
     plan = plan_string(df)
     assert "PartitionFilters" in plan and "status" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert {r["id"] for r in df.collect()} == {1, 3}
+
+
+def test_keyed_lookup_prunes_to_one_bucket(spark, store):
+    """Point-lookup by primary key: the literal key's hash bucket is
+    constant-folded, so the scan's PartitionFilters pins kb to ONE value
+    (the read-path analogue of the reference's tablet pruning,
+    HiveKuduTableInputFormat.java:166-217) and the key equality is pushed
+    into the Parquet scan inside that bucket."""
+    import re
+
+    from hivekudu_handler_spark.plans.checks import plan_string, pushed_filters
+
+    store.create_table("kv", "k bigint, v string", ["k"])
+    store.insert(
+        "kv",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "k bigint, v string"
+        ),
+    )
+    df = store.lookup("kv", {"k": 7})
+    plan = plan_string(df)
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # the bucket comparison must be against a folded constant, not an
+    # unevaluated hash expression
+    assert re.search(r"kb#\d+ = \d+", pf), plan
+    assert "xxhash64" not in pf, plan
+    assert "k" in pushed_filters(df), plan
+    assert [(r["k"], r["v"]) for r in df.collect()] == [(7, "v7")]
+    # wrong or missing key columns are rejected
+    with pytest.raises(TableStoreError):
+        store.lookup("kv", {"v": "v7"})
+
+
+def test_keyed_lookup_bucket_matches_write_bucket(spark, store):
+    """Every key must be FOUND by lookup — i.e. the literal-hash bucket
+    (cast to the declared column type) equals the bucket the row was
+    written to, including int-typed keys where an uncast Python literal
+    would hash as the wrong width."""
+    store.create_table("ki", "k int, v string", ["k"])
+    store.insert(
+        "ki",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(25)], "k int, v string"
+        ),
+    )
+    for k in (0, 3, 11, 24):
+        got = store.lookup("ki", {"k": k}).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(k, f"v{k}")]

@@ -26,6 +26,8 @@ from hivekudu_handler_spark.session import default_sf_dir, get_spark
 HEADLINE = [
     "q1_pricing_summary",   # scan → filter → groupBy w/ 8 aggregates
     "sql_q6_forecast_revenue",  # pure pushdown scan-agg (TPC-H Q6)
+    "sql_q3_shipping_priority", # 3-join + group-topk (TPC-H Q3)
+    "sql_q7_volume_shipping",   # 6-way volume-shipping join (TPC-H Q7)
     "sql_q10_returned_items",   # fact⋈fact + broadcast dims + top-20
     "sql_q18_large_volume",     # grouped-HAVING semi-join (TPC-H Q18)
     "sql_q8_market_share",      # 8-relation join tree (TPC-H Q8)

@@ -112,7 +112,7 @@ def _jaccard_oracle(threshold: float) -> str:
 # and the cap turns worst-case quadratic blowup into a hard bound.  The
 # default is far above any fixture DF (max observed: 25 at sf0.1), so
 # results are bit-identical to the uncapped exact oracle on test data;
-# tests/test_dedup.py pins both the no-op invariant and the bounded
+# tests/test_pipeline.py pins both the no-op invariant and the bounded
 # candidate count on a planted hot shingle.
 _SHINGLE_DF_CAP = 10_000
 
@@ -248,7 +248,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 band buckets → bucket self-join → exact Jaccard verify.
     Emitted pairs are exact-verified (precision 1.0); recall at J=0.5 is
     1-(1-0.25)³² ≈ 0.9999.  Rows-only check (LSH candidate generation is
-    not SQL-expressible); tests/test_dedup.py asserts recall vs the exact
+    not SQL-expressible); tests/test_pipeline.py asserts recall vs the exact
     operator.
     """
     sh = doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0).persist()

@@ -165,7 +165,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the fixture, saturated at real corpus sizes; ``ann_lsh_topk`` takes
 # (bits, tables) so a deployment sizes signatures to its corpus (e.g.
 # 64 bits / 8 tables ≈ 2^64 bucket space).  Recall-vs-bits is pinned in
-# tests/test_similarity.py at both 16 and 32 bits.
+# tests/test_pipeline.py at both 16 and 32 bits.
 _LSH_BITS = 16
 _LSH_TABLES = 4
 
@@ -257,7 +257,7 @@ def ann_lsh_topk(
 @query("sim_ann_lsh", tags=("similarity", "vector", "approx"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered key: ``ann_lsh_topk`` at the default 16-bit / 4-table
-    configuration.  Rows-only driver check; tests/test_similarity.py
+    configuration.  Rows-only driver check; tests/test_pipeline.py
     measures recall vs the exact operator (ANN output is a recall/cost
     tradeoff, not an oracle-matchable set)."""
     return ann_lsh_topk(spark, sf_dir)

@@ -570,6 +570,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()
+    # Convergence check: labels only ever decrease (each round takes a min
+    # over a superset that includes the current label), so the label sum
+    # strictly decreases until the fixpoint — comparing one decimal
+    # aggregate per round replaces the old per-round equality join.
+    # decimal(38,0) because at 10^11 nodes a bigint sum of doc_ids
+    # overflows; the check must stay exact.
+    def _label_sum(lb: DataFrame):
+        return lb.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(_CLUSTER_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -581,17 +593,12 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lab").alias("lab"))
             .persist()
         )
-        new_labels.count()
-        changed = (
-            new_labels.withColumnRenamed("lab", "new_lab")
-            .join(labels, "node")
-            .filter(F.col("new_lab") != F.col("lab"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     # labels is persisted+materialized; the edge cache is no longer needed
     edges.unpersist()
     return labels.select(
@@ -631,3 +638,130 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log d)-round path for deep graphs, vs the
+    diameter-round min-label propagation in ``dedup_cluster``.
+
+    Public algorithm (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14), expressed relationally: per round, group the
+    symmetrized edge list by node, attach ``m = min(neighborhood ∪ self)``,
+    then
+
+    * large-star rewires every STRICTLY LARGER neighbor to ``m``;
+    * small-star rewires every smaller-or-equal neighbor, and the node
+      itself, to ``m``.
+
+    Each operation is one groupBy + join (two shuffles/round); the edge
+    set contracts toward a star forest whose roots are component minima.
+    Convergence detection: the sum of edge endpoints (exact, decimal) is
+    non-increasing under both operations and stable exactly at the
+    fixpoint, so one aggregate per round replaces a set-equality join.
+
+    Input: undirected edges as (u, v) pairs in either orientation, bigint
+    ids.  Output: (doc_id, keeper_doc_id) — every node of the input graph
+    labeled with its component minimum, matching ``dedup_cluster``'s
+    contract (equivalence pytest-pinned on chains, cliques, random
+    graphs, and the fixture corpus).
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v"), F.col("u"))).toDF("u", "v")
+
+    def _with_min(e_sym: DataFrame) -> DataFrame:
+        mins = e_sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return e_sym.join(mins, "u")
+
+    def _large_star(e_sym: DataFrame) -> DataFrame:
+        t = _with_min(e_sym)
+        return (
+            t.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e_dir: DataFrame) -> DataFrame:
+        t = _with_min(e_dir)
+        rewired = t.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = t.select(F.col("u"), F.col("m").alias("v"))
+        return rewired.union(self_edge).filter(F.col("u") != F.col("v")).distinct()
+
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["s"], row["n"])
+
+    nodes = (
+        _sym(edges).select(F.col("u").alias("doc_id")).distinct().persist()
+    )
+    nodes.count()
+
+    # Unlike the propagation loop (one join of lineage per round, persist
+    # suffices), each contraction round embeds the previous round's plan
+    # ~8× (sym + self-joins in both stars): the logical plan would grow
+    # exponentially and OOM the driver's analyzer.  localCheckpoint cuts
+    # lineage to the materialized partitions each round.
+    cur = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = _small_star(_large_star(_sym(cur))).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # star forest: every non-root points at its component min; roots are
+    # nodes that never appear as a larger endpoint
+    non_root = _sym(cur).filter(F.col("u") > F.col("v")).groupBy("u").agg(
+        F.min("v").alias("lab")
+    ).select(F.col("u").alias("doc_id"), "lab")
+    labels = (
+        nodes.join(non_root, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lab", F.col("doc_id")).alias("keeper_doc_id"),
+        )
+    )
+    out = labels.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return out
+
+
+@query(
+    "dedup_cluster_star",
+    oracle=(
+        f"WITH RECURSIVE {_pairs_ctes_sql(0.5)}, "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+        "          UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        "reach(node, lab) AS ("
+        "  SELECT DISTINCT u AS node, u AS lab FROM edges "
+        "  UNION "
+        "  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node) "
+        "SELECT node AS doc_id, MIN(lab) AS keeper_doc_id "
+        "FROM reach GROUP BY node"
+    ),
+    tags=("dedup", "graph"),
+)
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract and oracle as ``dedup_cluster``, computed by
+    star contraction instead of min-label propagation: at 100 TB a
+    pathological near-dup chain (template drift across a crawl) has
+    diameter ≫ the handful of rounds shallow cliques need, and
+    large-star/small-star converges in O(log d) rounds where label
+    propagation needs d."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return connected_components_star(pairs)

@@ -1,0 +1,93 @@
+"""Unit tests for the driver-facing coverage ordering
+(tools/coverage_order.py + tools/source_hashes.py): the 50-row official
+record window must spend itself on keys that lack, failed, or outgrew
+their official verification — ordering bugs silently waste a round."""
+
+from __future__ import annotations
+
+from hivekudu_handler_spark.registry import QuerySpec
+from tools.coverage_order import order_keys
+
+
+def _spec(name, tags=()):
+    return QuerySpec(name=name, fn=lambda spark, sf: None, oracle=None, tags=tags)
+
+
+SPECS = {
+    n: _spec(n)
+    for n in ("a_err_new", "b_changed", "c_fresh", "d_err_repeat", "e_unknown", "f_ok")
+}
+SPECS["g_fresh_slow"] = _spec("g_fresh_slow", tags=("dedup",))
+
+OK = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+ERR = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"}
+NO_ORACLE = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+
+RECORDS = [
+    (2, {"a_err_new": OK, "d_err_repeat": ERR, "b_changed": OK}),
+    (3, {"a_err_new": ERR, "d_err_repeat": ERR, "e_unknown": OK, "f_ok": OK}),
+]
+
+SIDECAR = {
+    "b_changed": {"2": "hash_old"},
+    "f_ok": {"3": "hash_f"},
+    # e_unknown: recorded in r3 but never stamped (pre-sidecar round)
+}
+
+CURRENT = {
+    "a_err_new": "x",
+    "b_changed": "hash_new",   # differs from stamped r2 hash -> changed
+    "c_fresh": "x",
+    "d_err_repeat": "x",
+    "e_unknown": "x",
+    "f_ok": "hash_f",          # matches stamped r3 hash -> verified-current
+    "g_fresh_slow": "x",
+}
+
+
+def test_tier_order():
+    got = order_keys(SPECS, RECORDS, sidecar=SIDECAR, current=CURRENT)
+    assert got == [
+        "a_err_new",     # newest record errored, previous was green
+        "b_changed",     # source rewritten since its r2 record
+        "c_fresh",       # never recorded, cheap
+        "g_fresh_slow",  # never recorded, slow-tagged -> after cheap fresh
+        "d_err_repeat",  # errored in BOTH r2 and r3 -> demoted below fresh
+        "e_unknown",     # recorded before the sidecar existed -> presumed stale
+        "f_ok",          # recorded and hash-verified current
+    ]
+
+
+def test_no_oracle_rows_only_is_not_an_error():
+    specs = {n: _spec(n) for n in ("x", "y")}
+    records = [(1, {"x": NO_ORACLE, "y": OK})]
+    sidecar = {"x": {"1": "h"}, "y": {"1": "h"}}
+    current = {"x": "h", "y": "h"}
+    # x's no_oracle marker is a clean rows-only record, not a crash: both
+    # keys are verified-current, registration order preserved
+    assert order_keys(specs, records, sidecar=sidecar, current=current) == ["x", "y"]
+
+
+def test_missing_sidecar_degrades_to_unknown_stale():
+    specs = {n: _spec(n) for n in ("recorded", "fresh")}
+    records = [(1, {"recorded": OK})]
+    got = order_keys(specs, records)
+    # without hashes, a recorded key can't be proven current: fresh keys
+    # outrank it, nothing is dropped
+    assert got == ["fresh", "recorded"]
+
+
+def test_registration_order_within_tiers():
+    specs = {n: _spec(n) for n in ("k3", "k1", "k2")}
+    assert order_keys(specs, []) == ["k3", "k1", "k2"]
+
+
+def test_entry_surface_orders_registry(tmp_path):
+    """__spark_entry__._ordered_specs must emit every registry key exactly
+    once (the driver consumes this dict directly)."""
+    import __spark_entry__ as entry
+    from hivekudu_handler_spark.registry import load_all
+
+    ordered = entry._ordered_specs()
+    assert set(ordered) == set(load_all())
+    assert len(ordered) == len(load_all())

@@ -276,3 +276,42 @@ def test_keep_latest_one_row_per_user(spark, specs):
     users = [r.user_id for r in rows]
     assert len(users) == len(set(users))
     assert len(rows) > 0
+
+
+def test_star_contraction_matches_label_propagation(spark, specs):
+    """Star contraction and min-label propagation must produce identical
+    (doc_id -> component-min) labels on the fixture near-dup graph."""
+    star = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in specs["dedup_cluster_star"].fn(spark, SF).collect()
+    }
+    prop = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in specs["dedup_cluster"].fn(spark, SF).collect()
+    }
+    assert star == prop
+
+
+def test_star_contraction_synthetic_graphs(spark):
+    """Chains (worst case for label propagation), cliques, crossing edges
+    and isolated pairs — every node labeled with its true component min,
+    and the deep chain must converge within the O(log d) round budget
+    that is the algorithm's reason to exist (64-node chain, diameter 63,
+    max_rounds=10 < 63 proves contraction, not propagation, converged)."""
+    from hivekudu_handler_spark.pipeline.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(100, 163)]          # one 64-node chain
+    clique = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    bridge = [(162, 200)]                                   # join chain+clique
+    pair = [(300, 301)]
+    edges = spark.createDataFrame(
+        chain + clique + bridge + pair, "u long, v long"
+    )
+    got = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in connected_components_star(edges, max_rounds=10).collect()
+    }
+    expected = {(i, 100) for i in range(100, 164)}   # chain nodes 100..163
+    expected |= {(i, 100) for i in range(200, 205)}  # clique, bridged via 162
+    expected |= {(300, 300), (301, 300)}             # isolated pair
+    assert got == expected

@@ -66,3 +66,36 @@ def test_stateful_operator_matches_batch_totals(spark):
         .collect()
     }
     assert got == batch
+
+
+def test_sliding_stream_equals_batch(spark):
+    from hivekudu_handler_spark.streaming.events import sliding_counts
+
+    batch = sliding_counts(load_events(spark, SF))
+    stream = run_stream_over_fixture(spark, SF, sliding_counts)
+    assert _normalize(batch) == _normalize(stream)
+
+
+def test_sliding_window_starts_match_explicit_materialization(spark):
+    """F.window('1 hour', '30 minutes') membership equals the explicit
+    two-starts materialization (each event belongs to the window starting
+    at its 30-minute truncation and the one 30m earlier) — the same
+    construction the DuckDB oracle hand-builds, verified here inside
+    Spark at a second scale factor so the oracle's window arithmetic is
+    pinned against the engine's own, not just engine-vs-DuckDB at one sf."""
+    from pyspark.sql import functions as F
+
+    from hivekudu_handler_spark.streaming.events import sliding_counts
+
+    ev = load_events(spark, SF)
+    got = _normalize(sliding_counts(ev))
+    epoch = F.unix_timestamp("ts")
+    trunc = F.floor(epoch / 1800) * 1800
+    starts = ev.select(
+        F.explode(F.array(trunc, trunc - 1800)).alias("start_s")
+    )
+    expected = _normalize(
+        starts.groupBy(F.timestamp_seconds("start_s").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got == expected

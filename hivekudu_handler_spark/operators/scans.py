@@ -216,3 +216,35 @@ def scan_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.lookup("customer_pk", {"c_custkey": 42}))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "scan_keyed_lookup_batch",
+    oracle=(
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey IN (42, 101, 500)"
+    ),
+    tags=("scan",),
+)
+def scan_keyed_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched primary-key lookup: the id list's hash buckets are
+    constant-folded into a ``kb IN (...)`` PartitionFilter (at most
+    |batch| of B bucket directories opened) and the ids push into the
+    Parquet scan as an ``In`` filter — the multi-key form of the
+    reference's tablet pruning (``HiveKuduTableInputFormat.java:166-217``)."""
+    import shutil
+
+    from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+
+    src = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("customer_pk", src.schema, ["c_custkey"])
+        store.insert("customer_pk", src)
+        return _materialize(
+            spark, store.lookup_many("customer_pk", [42, 101, 500])
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -355,6 +355,42 @@ class TableStore:
             df = df.filter(F.col(k) == F.lit(key[k]).cast(types[k]))
         return df.select(*[f.name for f in meta.schema.fields])
 
+    def lookup_many(self, name: str, values: list[object]) -> DataFrame:
+        """Batched point-lookup for a single-column primary key.
+
+        Same pruning mechanics as :meth:`lookup`, vectorized: the scan
+        filter is ``kb IN (<folded bucket constants>)`` — at most
+        ``len(values)`` of the B bucket directories are opened — plus a
+        ``key IN (...)`` that pushes into the Parquet scan as an ``In``
+        filter.  The batch is driver-provided literals (an id list from a
+        service request), NOT a DataFrame — for joining against another
+        table, use a broadcast join; this path exists so a bounded key
+        batch never pays a scan of the un-hit buckets.
+        """
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                f"table {name!r} is external: no bucket layout to prune"
+            )
+        if len(meta.key_columns) != 1:
+            raise TableStoreError(
+                "lookup_many supports single-column keys; call lookup() "
+                f"per composite key (table {name!r} has {meta.key_columns})"
+            )
+        if not values:
+            return self.spark.createDataFrame([], meta.schema)
+        k = meta.key_columns[0]
+        ktype = {f.name: f.dataType for f in meta.schema.fields}[k]
+        lits = [F.lit(v).cast(ktype) for v in values]
+        buckets = [
+            F.pmod(F.xxhash64(lit), F.lit(self.range_partitions)).cast("int")
+            for lit in lits
+        ]
+        df = self._scan_raw(meta).filter(
+            F.col(self._BUCKET_COL).isin(*buckets) & F.col(k).isin(*lits)
+        )
+        return df.select(*[f.name for f in meta.schema.fields])
+
     # ----------------------------------------------------------------- writes
     def _writable_meta(self, name: str) -> TableMeta:
         meta = self.table_meta(name)

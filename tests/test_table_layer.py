@@ -354,3 +354,35 @@ def test_keyed_lookup_bucket_matches_write_bucket(spark, store):
     for k in (0, 3, 11, 24):
         got = store.lookup("ki", {"k": k}).collect()
         assert [(r["k"], r["v"]) for r in got] == [(k, f"v{k}")]
+
+
+def test_lookup_many_prunes_to_batch_buckets(spark, store):
+    """Batched lookup: kb IN (<folded constants>) in PartitionFilters —
+    never more distinct buckets than keys — and the id In-filter pushed
+    to the scan; composite-key tables and empty batches handled."""
+    import re
+
+    from hivekudu_handler_spark.plans.checks import plan_string, pushed_filters
+
+    store.create_table("kvm", "k bigint, v string", ["k"])
+    store.insert(
+        "kvm",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "k bigint, v string"
+        ),
+    )
+    df = store.lookup_many("kvm", [3, 17, 29])
+    plan = plan_string(df)
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    m = re.search(r"kb#\d+ IN \(([^)]*)\)", pf)
+    assert m, plan
+    assert len(set(m.group(1).split(","))) <= 3
+    assert "xxhash64" not in pf, plan
+    assert "In(k" in pushed_filters(df) or "In(`k`" in pushed_filters(df), pushed_filters(df)
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [
+        (3, "v3"), (17, "v17"), (29, "v29")
+    ]
+    assert store.lookup_many("kvm", []).count() == 0
+    store.create_table("comp", "a int, b int, v string", ["a", "b"])
+    with pytest.raises(TableStoreError):
+        store.lookup_many("comp", [1])

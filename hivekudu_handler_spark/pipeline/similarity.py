@@ -126,13 +126,18 @@ def brute_force_topk(
     single-phase form (``Window.partitionBy(query_id)`` over all scores)
     funnels the whole scored corpus into |queries| reducers — the r2
     verdict's one flagged 100×-scale bottleneck."""
+    return _rank_topk(_local_topk(_score_pairs(corpus, queries), k), k)
+
+
+def _score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, vec_id, cos_raw) for every query×corpus pair except
+    self-pairs: queries broadcast, cosine computed JVM-side in codegen."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
-    scored = pairs.select("query_id", "vec_id", cos.alias("cos_raw"))
-    return _rank_topk(_local_topk(scored, k), k)
+    return pairs.select("query_id", "vec_id", cos.alias("cos_raw"))
 
 
 @query(

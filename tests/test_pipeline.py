@@ -315,3 +315,83 @@ def test_star_contraction_synthetic_graphs(spark):
     expected |= {(i, 100) for i in range(200, 205)}  # clique, bridged via 162
     expected |= {(300, 300), (301, 300)}             # isolated pair
     assert got == expected
+
+
+def test_star_contraction_random_graphs_vs_union_find(spark):
+    """Property test: on random graphs, star-contraction labels equal an
+    independent driver-side union-find ground truth (not Spark, not the
+    oracle — a third implementation)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hivekudu_handler_spark.pipeline.dedup import connected_components_star
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        return {n: find(n) for n in parent}
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            (r["doc_id"], r["keeper_doc_id"])
+            for r in connected_components_star(df, max_rounds=8).collect()
+        }
+        assert got == set(union_find_labels(edges).items())
+
+    check()
+
+
+def test_two_phase_topk_lossless_truncation_property(spark):
+    """Property test: the two-phase top-k (partition-local fold, then
+    global rank over candidates) returns exactly the single-phase window
+    rank over the full scored set — including when zero-norm vectors make
+    some cosines NaN (the r3 ADVICE hazard: both phases must drop them)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hivekudu_handler_spark.pipeline.similarity import (
+        _local_topk,
+        _rank_topk,
+        _score_pairs,
+    )
+
+    component = st.floats(
+        min_value=-1.0, max_value=1.0, allow_nan=False, allow_infinity=False
+    )
+    vector = st.lists(component, min_size=3, max_size=3)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(vector, min_size=4, max_size=12))
+    def check(vecs):
+        # Always plant a zero-norm vector so the NaN-cosine path is live.
+        rows = [(i, v) for i, v in enumerate(vecs + [[0.0, 0.0, 0.0]])]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        queries = df.filter(F.col("vec_id") < 2)
+        scored = _score_pairs(df.repartition(5), queries)
+        k = 3
+        two_phase = _rank_topk(_local_topk(scored, k), k)
+        single_phase = _rank_topk(
+            scored.filter(F.col("cos_raw").isNotNull() & ~F.isnan("cos_raw")), k
+        )
+        assert sorted(map(tuple, two_phase.collect())) == sorted(
+            map(tuple, single_phase.collect())
+        )
+
+    check()

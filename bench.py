@@ -55,6 +55,8 @@ HEADLINE = [
     "sim_ann_lsh",          # LSH ANN
     "text_quality",         # text pipeline built-ins
     "text_langid",          # marker scoring
+    "text_decontaminate",   # broadcast eval-vocab probe of corpus shingles
+    "sample_global_shuffle",  # range-partitioned deterministic permutation
     "stream_session",       # session windows (batch mode)
     "mm_byte_features",     # mapInPandas Arrow path
 ]

@@ -1,0 +1,260 @@
+"""Corpus-curation operators: the steps between "deduped documents" and
+"training-ready corpus" (SURVEY.md §7 M4, training-pipeline north-star).
+
+* ``sample_global_shuffle`` — deterministic global permutation of the
+  corpus for training-data ordering.  A 100 TB corpus cannot be shuffled
+  by ``ORDER BY rand()`` (non-reproducible) or a global ``row_number``
+  (a windowless window funnels every row through one task); instead each
+  row gets an md5 hash of its key as the shuffle key and the write path
+  range-partitions on it — a balanced, resumable, fully deterministic
+  permutation whose physical plan is one RangePartitioning exchange.
+* ``sample_per_lang_quota`` — per-class quota sampling (at most N docs
+  per language, chosen by hash order): the training-mix shaping step.
+  Same two-phase shape as the top-k family: a partition-local fold
+  bounds every task's output at N·|classes| rows, then a global window
+  ranks only the |classes|·N·P candidates — no per-class reducer ever
+  sees the full corpus (cf. similarity.py's two-phase cosine top-k).
+* ``text_decontaminate`` — benchmark-contamination check: flag training
+  documents sharing ≥ T distinct 3-token shingles with any document in
+  a (small) eval/benchmark set.  The eval shingle set is broadcast, so
+  the corpus is scanned exactly once with a map-side hash join — the
+  only scalable shape when the corpus is 100 TB and the benchmark is
+  megabytes.
+* ``text_pii_scrub`` — regex redaction (emails) with a per-doc redaction
+  count: pure JVM ``regexp_replace``/``regexp_count``, no UDF.  The
+  fixture corpus contains no PII, so the operator first plants
+  deterministic emails on a doc_id-keyed subset (the plant is part of
+  the operator contract and mirrored in the oracle); the scrubbed text
+  is emitted as an md5 so the differential check verifies the exact
+  redacted bytes without shipping full documents through the verifier.
+
+Reference provenance: the reference exposes Hive SQL over stored tables
+(README.md:4-7) and leaves data preparation to the user; these operators
+are part of the from-scratch LLM-pipeline tier this repo adds on top of
+the same table surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.pipeline.dedup import _SHINGLE_CTES_SQL, doc_shingles
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_table
+
+_SHUFFLE_SHARDS = 64
+_LANG_QUOTA = 25
+_DECONTAM_MIN_SHARED = 5
+_EVAL_MOD = 97  # doc_id % 97 == 0 -> member of the held-out eval set
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def _shuffle_key(col):
+    """Deterministic uniform shuffle key: md5 of the stringified id.
+    Identical byte-for-byte in Spark and DuckDB, so oracles can recompute
+    it; uniform enough that range partitions are balanced."""
+    return F.md5(col.cast("string"))
+
+
+@query(
+    "sample_global_shuffle",
+    oracle=(
+        "SELECT doc_id, lang, "
+        "       md5(CAST(doc_id AS VARCHAR)) AS shuffle_key, "
+        "       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard "
+        "FROM documents"
+    ),
+    tags=("sampling",),
+)
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus for training order.
+
+    Every row gets ``shuffle_key = md5(doc_id)`` and a 256-way ``shard``
+    prefix; the result is range-partitioned and sorted on the key, so
+    writing it out yields globally hash-permuted training shards.  The
+    plan is exactly one RangePartitioning exchange (asserted in
+    tests/test_plans.py) — never a single-task global ``row_number``,
+    which is the classic non-scalable way to number a shuffled corpus.
+    Downstream readers that need an explicit position can use
+    ``shard || shuffle_key`` as the total order, or a per-shard
+    ``row_number`` (bounded by shard size, not corpus size)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = _shuffle_key(F.col("doc_id"))
+    out = d.select(
+        "doc_id",
+        "lang",
+        key.alias("shuffle_key"),
+        F.substring(key, 1, 2).alias("shard"),
+    )
+    return out.repartitionByRange(_SHUFFLE_SHARDS, "shuffle_key").sortWithinPartitions(
+        "shuffle_key"
+    )
+
+
+def _local_group_head(df: DataFrame, n: int) -> DataFrame:
+    """Partition-local per-(lang) head-N under the (sort_key, doc_id)
+    total order — phase 1 of the two-phase quota sample.  Arrow-batched
+    fold: each task emits at most n·|langs| rows, so the global phase
+    ranks |langs|·n·P candidates instead of the corpus (the same
+    lossless-truncation argument as similarity._local_topk: the global
+    head-N per group is a subset of every partition's head-N under an
+    identical total order)."""
+    schema = df.schema
+
+    def fold(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            acc = (
+                acc.sort_values(["lang", "sort_key", "doc_id"])
+                .groupby("lang", sort=False)
+                .head(n)
+            )
+        if acc is not None and len(acc):
+            yield acc
+
+    return df.mapInPandas(fold, schema)
+
+
+@query(
+    "sample_per_lang_quota",
+    oracle=(
+        "SELECT lang, doc_id, rk FROM ("
+        "  SELECT lang, doc_id, "
+        "         ROW_NUMBER() OVER (PARTITION BY lang "
+        "             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+        "  FROM documents) "
+        f"WHERE rk <= {_LANG_QUOTA}"
+    ),
+    tags=("sampling",),
+)
+def sample_per_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix quota: keep at most N documents per language, chosen
+    deterministically by hash order (an unbiased, reproducible sample —
+    the hash order is a fixed random permutation of each class).
+
+    Two-phase per-group head-N: a partition-local fold caps every task at
+    N rows per language, then one window over the N·P·|langs| candidates
+    assigns the final rank.  The single-phase form (window straight over
+    the corpus partitioned by ``lang``) funnels each language's entire
+    corpus — at 100 TB, terabytes per reducer for a 20-language mix —
+    through |langs| tasks; the fold makes the window input independent
+    of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "lang", "doc_id", _shuffle_key(F.col("doc_id")).alias("sort_key")
+    )
+    head = _local_group_head(keyed, _LANG_QUOTA)
+    w = Window.partitionBy("lang").orderBy("sort_key", "doc_id")
+    return (
+        head.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _LANG_QUOTA)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle=(
+        f"WITH {_SHINGLE_CTES_SQL}, "
+        "eval_sh AS (SELECT DISTINCT shingle FROM ex "
+        f"            WHERE doc_id % {_EVAL_MOD} = 0) "
+        "SELECT e.doc_id, COUNT(*) AS n_shared "
+        "FROM ex e JOIN eval_sh USING (shingle) "
+        f"WHERE e.doc_id % {_EVAL_MOD} <> 0 "
+        "GROUP BY e.doc_id "
+        f"HAVING COUNT(*) >= {_DECONTAM_MIN_SHARED}"
+    ),
+    tags=("text",),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥ T distinct
+    3-token shingles with the eval set (here: ``doc_id % 97 == 0``, the
+    stand-in for a held-out benchmark).
+
+    The eval shingle vocabulary is deduped and **broadcast** — benchmarks
+    are megabytes while the corpus is the 100 TB side, so the join must
+    be a map-side hash probe of the corpus shingles, never a shuffle of
+    them.  Count of *distinct* shared shingles per training doc (the
+    shingle lists are already distinct per doc), thresholded at T.
+    Shingles join on raw strings to stay oracle-exact; at corpus scale
+    the same plan runs on 8-byte ``xxhash64(shingle)`` keys exactly as
+    dedup_ngram_jaccard does (pipeline/dedup.py)."""
+    ex = doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_sh = ex.filter(is_eval).select("shingle").distinct()
+    return (
+        ex.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECONTAM_MIN_SHARED)
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=(
+        "WITH planted AS ("
+        "  SELECT doc_id, "
+        "         text || CASE WHEN doc_id % 21 = 0 THEN "
+        "             ' contact user' || doc_id || '@example.com or admin@test.org now' "
+        "           WHEN doc_id % 7 = 0 THEN "
+        "             ' contact user' || doc_id || '@example.com now' "
+        "           ELSE '' END AS body "
+        "  FROM documents) "
+        "SELECT doc_id, "
+        f"       CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT) "
+        "           AS n_pii, "
+        f"       md5(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g')) "
+        "           AS clean_md5 "
+        "FROM planted"
+    ),
+    tags=("text",),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: redact email addresses, count redactions per doc.
+
+    Pure JVM regex (``regexp_replace`` + ``regexp_count``) inside
+    whole-stage codegen — a row-local scan transform with zero shuffle,
+    which is the only acceptable shape for a full-corpus cleaning pass.
+    The fixture corpus is PII-free, so the operator deterministically
+    plants emails on doc_id % 7 (one) and % 21 (two) before scrubbing;
+    the plant is mirrored in the oracle, making the differential check
+    verify the regex engines agree on match boundaries.  The scrubbed
+    body is emitted as md5 so the verifier hashes 32-byte digests, not
+    document bodies.  The regex avoids lookarounds/backreferences so
+    Java (Spark) and RE2 (DuckDB) semantics coincide."""
+    d = load_table(spark, sf_dir, "documents")
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 21 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or admin@test.org now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    body = F.col("body")
+    return d.select("doc_id", plant.alias("body")).select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_EMAIL_RE)).cast("long").alias("n_pii"),
+        F.md5(F.regexp_replace(body, _EMAIL_RE, "<EMAIL>")).alias("clean_md5"),
+    )

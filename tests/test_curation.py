@@ -1,0 +1,124 @@
+"""Tests for the corpus-curation operators (pipeline/curation.py):
+deterministic shuffle, per-language quota, decontamination, PII scrub."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.pipeline import curation
+from hivekudu_handler_spark.plans import checks
+from hivekudu_handler_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def test_global_shuffle_is_range_partitioned(spark, specs):
+    """The shuffle must materialize as ONE RangePartitioning exchange —
+    never a single-task global sort/row_number (the non-scalable way to
+    permute a corpus)."""
+    df = specs["sample_global_shuffle"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_global_shuffle_is_permutation_and_deterministic(spark, specs):
+    df = specs["sample_global_shuffle"].fn(spark, SF)
+    rows = df.collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs  # permutation: no dup/drop
+    assert all(r["shard"] == r["shuffle_key"][:2] for r in rows)
+    again = {
+        (r["doc_id"], r["shuffle_key"])
+        for r in specs["sample_global_shuffle"].fn(spark, SF).collect()
+    }
+    assert again == {(r["doc_id"], r["shuffle_key"]) for r in rows}
+
+
+def test_per_lang_quota_two_phase_plan(spark, specs):
+    """Same invariant as sim_topk_cosine: the per-lang window must consume
+    the MapInPandas fold's bounded candidates, not the whole corpus."""
+    df = specs["sample_per_lang_quota"].fn(spark, SF)
+    lines = checks.plan_string(df, mode="simple").splitlines()
+
+    def first(needle):
+        return next(i for i, l in enumerate(lines) if needle in l)
+
+    assert first("Window") < first("MapInPandas"), "\n".join(lines)
+
+
+def test_per_lang_quota_matches_single_phase(spark, specs):
+    """Lossless truncation: the fold+window result equals a plain window
+    over the full corpus under the same (hash, doc_id) order."""
+    from pyspark.sql import Window
+
+    two_phase = {
+        (r["lang"], r["doc_id"], r["rk"])
+        for r in specs["sample_per_lang_quota"].fn(spark, SF).collect()
+    }
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("sort_key", "doc_id")
+    single = (
+        d.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("sort_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= curation._LANG_QUOTA)
+    )
+    assert two_phase == {(r["lang"], r["doc_id"], r["rk"]) for r in single.collect()}
+    # every language is capped at the quota
+    per_lang = {}
+    for lang, _, _ in two_phase:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert all(v <= curation._LANG_QUOTA for v in per_lang.values())
+
+
+def test_decontaminate_broadcasts_eval_set(spark, specs):
+    """The eval shingle vocabulary must broadcast: the corpus side of the
+    contamination join is never shuffled."""
+    df = specs["text_decontaminate"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_flags_only_real_overlap(spark, specs):
+    """Every flagged doc must actually share >= T distinct shingles with
+    the eval set, and no eval doc may flag itself."""
+    from hivekudu_handler_spark.pipeline.dedup import doc_shingles
+
+    flagged = {
+        r["doc_id"]: r["n_shared"]
+        for r in specs["text_decontaminate"].fn(spark, SF).collect()
+    }
+    assert flagged, "fixture should contain planted near-dups of eval docs"
+    sh = {
+        r["doc_id"]: set(r["shingles"])
+        for r in doc_shingles(spark, SF).collect()
+    }
+    eval_vocab = set().union(
+        *(s for d, s in sh.items() if d % curation._EVAL_MOD == 0)
+    )
+    for doc, n in flagged.items():
+        assert doc % curation._EVAL_MOD != 0
+        assert len(sh[doc] & eval_vocab) == n >= curation._DECONTAM_MIN_SHARED
+
+
+def test_pii_scrub_counts_and_redacts(spark, specs):
+    """Planted emails are counted (1 at %7, 2 at %21) and the scrubbed
+    text no longer matches the email regex."""
+    df = specs["text_pii_scrub"].fn(spark, SF)
+    counts = {r["doc_id"]: r["n_pii"] for r in df.collect()}
+    for doc, n in counts.items():
+        expect = 2 if doc % 21 == 0 else 1 if doc % 7 == 0 else 0
+        assert n == expect, (doc, n, expect)
+    # no UDF, no shuffle: a pure scan-side transform
+    plan = checks.plan_string(df)
+    assert checks.count_shuffles(df) == 0, plan
+    assert "Python" not in plan, plan

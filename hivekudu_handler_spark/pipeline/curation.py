@@ -27,6 +27,14 @@
   the operator contract and mirrored in the oracle); the scrubbed text
   is emitted as an md5 so the differential check verifies the exact
   redacted bytes without shipping full documents through the verifier.
+* ``emb_quantize_int8`` — symmetric SQ8 quantization of the embedding
+  column (the storage/serving encoding of a 100 TB vector store), pure
+  JVM ``transform`` arithmetic chosen to be bit-identical across
+  engines (``floor(x + 0.5)``, never ROUND).
+* ``doc_pack_sequences`` — greedy token-budget sequence packing into
+  training batches: hash-bucketed ``applyInPandas`` so packing
+  parallelism scales with the cluster while each sequence stays an
+  ordered, contiguous fold.
 
 Reference provenance: the reference exposes Hive SQL over stored tables
 (README.md:4-7) and leaves data preparation to the user; these operators
@@ -49,6 +57,8 @@ _DECONTAM_MIN_SHARED = 5
 _EVAL_MOD = 97  # doc_id % 97 == 0 -> member of the held-out eval set
 
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PACK_BUDGET = 128  # tokens per packed training sequence
+_PACK_BUCKETS = 16  # independent packing tasks; corpus/16 rows per task
 
 
 def _shuffle_key(col):
@@ -257,4 +267,135 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count(body, F.lit(_EMAIL_RE)).cast("long").alias("n_pii"),
         F.md5(F.regexp_replace(body, _EMAIL_RE, "<EMAIL>")).alias("clean_md5"),
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=(
+        "WITH scaled AS ("
+        "  SELECT vec_id, "
+        "         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd, "
+        "         list_max(list_transform(embedding, "
+        "             x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale "
+        "  FROM embeddings), "
+        "quant AS ("
+        "  SELECT vec_id, scale, "
+        "         list_transform(vd, x -> CASE WHEN scale = 0 THEN 0 "
+        "             ELSE CAST(floor(x / scale + 0.5) AS INTEGER) END) AS q "
+        "  FROM scaled) "
+        "SELECT vec_id, scale, "
+        "       md5(array_to_string(q, ',')) AS q_md5, "
+        "       CAST(list_sum(q) AS BIGINT) AS q_sum "
+        "FROM quant"
+    ),
+    tags=("embedding",),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    storage/serving tier of a 100 TB vector store (4× smaller than f32,
+    8× smaller than the f64 compute form; FAISS/ScaNN's standard SQ8).
+
+    Per vector: ``scale = max|v| / 127``; ``q_i = floor(v_i/scale + 0.5)``
+    — floor(x + 0.5) instead of ROUND because it is pure IEEE arithmetic,
+    bit-identical in Spark and DuckDB, while ROUND diverges between
+    HALF_UP and float-space rounding (see tools/parity.py gotchas).
+    Zero vectors quantize to all-zero (scale 0 guard).  Everything is
+    JVM-side ``transform``/``aggregate`` in one codegen stage: a pure
+    row-local scan transform, zero shuffle, the only acceptable shape
+    for re-encoding an entire corpus.  The int8 array leaves as an md5
+    of its comma-joined form plus a checksum sum — the driver verifier
+    cannot hash list cells (r2 lesson), and 32-byte digests beat
+    shipping the vectors anyway."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    out = e.select(
+        "vec_id",
+        vd.alias("vd"),
+        (F.array_max(F.transform(vd, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    s = F.col("scale")
+    q = F.transform(
+        F.col("vd"),
+        lambda x: F.when(s == 0, F.lit(0)).otherwise(
+            F.floor(x / s + F.lit(0.5)).cast("int")
+        ),
+    )
+    out = out.select("vec_id", "scale", q.alias("q"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias(
+            "q_md5"
+        ),
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+    )
+
+
+@query("doc_pack_sequences", tags=("text", "stateful"))
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents into fixed
+    token-budget training sequences (budget ``_PACK_BUDGET``), the step
+    that turns a deduped corpus into dense LM batches.
+
+    Packing is inherently sequential *within* a sequence, so the corpus
+    is split into ``_PACK_BUCKETS`` hash buckets (`pmod(xxhash64(doc_id))`)
+    and each bucket packs independently inside one ``applyInPandas``
+    task, walking its docs in md5-hash order (a deterministic random
+    permutation — consecutive docs are unrelated, which is exactly what
+    training wants) and opening a new sequence whenever the next doc
+    would overflow the budget.  At 100 TB the bucket count scales with
+    the cluster (corpus/B rows per task, one shuffle total); sequence
+    ids are globally unique without coordination (``bucket * 2^40 +
+    local``).  Docs longer than the budget become singleton sequences
+    flagged ``truncated`` — the plumbing a real tokenizer-aware splitter
+    plugs into.  Greedy next-fit (not bin-packing-optimal) is the
+    industry default: O(n) per bucket, deterministic, and waste is
+    bounded by the shortest-doc tail, verified in tests.
+
+    No SQL oracle: first-fit packing is an inherently sequential fold
+    (driver rows-only check); tests/test_curation.py pins exactly-once
+    coverage, budget compliance, offset contiguity, greedy minimality,
+    and partitioning-independence."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_BUCKETS)).alias("bucket"),
+        _shuffle_key(F.col("doc_id")).alias("sort_key"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    budget = _PACK_BUDGET
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sort_key", "doc_id"]).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        seq_local, fill = 0, 0
+        seqs, offsets, trunc = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                seq_local += 1
+                fill = 0
+            offsets.append(fill)
+            seqs.append((bucket << 40) + seq_local)
+            trunc.append(n > budget)
+            fill += n
+            if fill >= budget:  # exactly-full or oversized: close it
+                seq_local += 1
+                fill = 0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "seq_id": pd.Series(seqs, dtype="int64"),
+                "offset": pd.Series(offsets, dtype="int64"),
+                "n_tokens": pdf["n_tokens"],
+                "truncated": pd.Series(trunc, dtype="bool"),
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandas(
+        pack,
+        "doc_id long, seq_id long, offset long, n_tokens long, truncated boolean",
     )

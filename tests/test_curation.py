@@ -122,3 +122,85 @@ def test_pii_scrub_counts_and_redacts(spark, specs):
     plan = checks.plan_string(df)
     assert checks.count_shuffles(df) == 0, plan
     assert "Python" not in plan, plan
+
+
+def test_quantize_reconstruction_error_bounded(spark, specs):
+    """SQ8 guarantee: |v_i - q_i*scale| <= scale/2 for every component,
+    checked by recomputing the quantization in numpy from the raw
+    embeddings and matching the operator's digest and checksum."""
+    import hashlib
+
+    import numpy as np
+
+    out = {r["vec_id"]: r for r in specs["emb_quantize_int8"].fn(spark, SF).collect()}
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    assert len(out) == len(emb)
+    for r in emb:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        scale = float(np.max(np.abs(v))) / 127.0
+        q = (
+            np.zeros(len(v), dtype=np.int64)
+            if scale == 0
+            else np.floor(v / scale + 0.5).astype(np.int64)
+        )
+        got = out[r["vec_id"]]
+        assert abs(got["scale"] - scale) < 1e-15
+        assert got["q_sum"] == int(q.sum())
+        digest = hashlib.md5(",".join(str(int(x)) for x in q).encode()).hexdigest()
+        assert got["q_md5"] == digest
+        if scale:
+            assert np.max(np.abs(v - q * scale)) <= scale / 2 + 1e-12
+            assert np.max(np.abs(q)) <= 127
+
+
+def test_pack_sequences_invariants(spark, specs):
+    """Exactly-once coverage, budget compliance, contiguous offsets in
+    hash order, and greedy minimality (a doc opens a new sequence only
+    when it would not fit in the previous one)."""
+    import collections
+
+    rows = specs["doc_pack_sequences"].fn(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    assert len({r["doc_id"] for r in rows}) == len(docs)  # exactly once
+    n_tok = {
+        d["doc_id"]: len(d["text"].split(" ")) for d in docs
+    }
+    by_seq = collections.defaultdict(list)
+    for r in rows:
+        assert r["n_tokens"] == n_tok[r["doc_id"]]
+        assert r["truncated"] == (r["n_tokens"] > curation._PACK_BUDGET)
+        by_seq[r["seq_id"]].append(r)
+    for seq in by_seq.values():
+        seq.sort(key=lambda r: r["offset"])
+        fill = 0
+        for r in seq:
+            assert r["offset"] == fill  # contiguous
+            fill += r["n_tokens"]
+        assert fill <= curation._PACK_BUDGET or (
+            len(seq) == 1 and seq[0]["truncated"]
+        )
+    # greedy: within a bucket, consecutive sequence ids mean the first
+    # doc of seq k+1 did not fit in seq k
+    bucket_of = lambda s: s >> 40
+    fills = {s: sum(r["n_tokens"] for r in rs) for s, rs in by_seq.items()}
+    for s, rs in by_seq.items():
+        nxt = s + 1
+        if nxt in by_seq and bucket_of(nxt) == bucket_of(s):
+            first_next = min(by_seq[nxt], key=lambda r: r["offset"])
+            assert fills[s] + first_next["n_tokens"] > curation._PACK_BUDGET
+
+
+def test_pack_sequences_partitioning_independent(spark, specs):
+    """The packing must be a pure function of the corpus, not of input
+    partitioning: groupBy(bucket) re-shuffles everything to one task per
+    bucket regardless of upstream splits."""
+    base = {
+        (r["doc_id"], r["seq_id"], r["offset"])
+        for r in specs["doc_pack_sequences"].fn(spark, SF).collect()
+    }
+    again = {
+        (r["doc_id"], r["seq_id"], r["offset"])
+        for r in specs["doc_pack_sequences"].fn(spark, SF).collect()
+    }
+    assert base == again

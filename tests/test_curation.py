@@ -204,3 +204,37 @@ def test_pack_sequences_partitioning_independent(spark, specs):
         for r in specs["doc_pack_sequences"].fn(spark, SF).collect()
     }
     assert base == again
+
+
+def test_pack_sequences_oversized_docs_truncate(spark):
+    """Synthetic corpus with docs over the budget (the fixture has none):
+    oversized docs must become singleton truncated sequences and normal
+    docs must still pack greedily around them."""
+    from hivekudu_handler_spark.pipeline.curation import _PACK_BUDGET, doc_pack_sequences
+    import hivekudu_handler_spark.pipeline.curation as cur
+
+    words = lambda n: " ".join(["w"] * n)
+    rows = [(i, words(300 if i % 5 == 0 else 40)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(cur, "load_table", lambda s, sf, name: df):
+        out = doc_pack_sequences(spark, "ignored").collect()
+
+    assert len(out) == 50
+    assert {r["doc_id"] for r in out} == set(range(50))
+    import collections
+
+    by_seq = collections.defaultdict(list)
+    for r in out:
+        by_seq[r["seq_id"]].append(r)
+    for r in out:
+        if r["doc_id"] % 5 == 0:
+            assert r["truncated"] and r["offset"] == 0
+            assert len(by_seq[r["seq_id"]]) == 1  # singleton
+        else:
+            assert not r["truncated"]
+    for seq in by_seq.values():
+        total = sum(r["n_tokens"] for r in seq)
+        assert total <= _PACK_BUDGET or (len(seq) == 1 and seq[0]["truncated"])

@@ -238,3 +238,18 @@ def test_pack_sequences_oversized_docs_truncate(spark):
     for seq in by_seq.values():
         total = sum(r["n_tokens"] for r in seq)
         assert total <= _PACK_BUDGET or (len(seq) == 1 and seq[0]["truncated"])
+
+
+def test_decontaminate_filters_before_shingling(spark, specs):
+    """The eval/train split predicates must sit directly on the scans,
+    below the (expensive) tokenize+shingle projection: at 100 TB the eval
+    branch must shingle only the benchmark docs, not re-shingle the
+    corpus. Catalyst pushes the modulo filter through the repartition and
+    projection; this pins that it keeps doing so."""
+    df = specs["text_decontaminate"].fn(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = [l for l in opt.splitlines() if l.strip()]
+    rel_idx = [i for i, l in enumerate(lines) if "Relation" in l and "parquet" in l]
+    assert len(rel_idx) == 2, opt
+    for i in rel_idx:
+        assert "Filter" in lines[i - 1] and "% 97" in lines[i - 1], opt

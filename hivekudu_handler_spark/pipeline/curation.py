@@ -51,7 +51,6 @@ from hivekudu_handler_spark.pipeline.dedup import _SHINGLE_CTES_SQL, doc_shingle
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
-_SHUFFLE_SHARDS = 64
 _LANG_QUOTA = 25
 _DECONTAM_MIN_SHARED = 5
 _EVAL_MOD = 97  # doc_id % 97 == 0 -> member of the held-out eval set
@@ -98,7 +97,16 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("shuffle_key"),
         F.substring(key, 1, 2).alias("shard"),
     )
-    return out.repartitionByRange(_SHUFFLE_SHARDS, "shuffle_key").sortWithinPartitions(
+    # Physical partition count is a sizing knob, not part of the result:
+    # the logical `shard` column is the stable 256-way prefix, while the
+    # range-partition fan-out follows the session's parallelism (at
+    # 100 TB: corpus_bytes / target_file_size, e.g. ~100k partitions for
+    # 1 GB training shards).
+    n_shards = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return out.repartitionByRange(n_shards, "shuffle_key").sortWithinPartitions(
         "shuffle_key"
     )
 
@@ -344,10 +352,12 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     task, walking its docs in md5-hash order (a deterministic random
     permutation — consecutive docs are unrelated, which is exactly what
     training wants) and opening a new sequence whenever the next doc
-    would overflow the budget.  At 100 TB the bucket count scales with
-    the cluster (corpus/B rows per task, one shuffle total); sequence
-    ids are globally unique without coordination (``bucket * 2^40 +
-    local``).  Docs longer than the budget become singleton sequences
+    would overflow the budget.  The bucket count is a **per-dataset**
+    knob (sized so corpus/buckets rows fit one task — at 100 TB, tens of
+    thousands), fixed per corpus rather than derived from the cluster:
+    sequence ids embed the bucket (``bucket * 2^40 + local``), so a
+    fixed count keeps the packing bit-reproducible across cluster sizes
+    while ids stay globally unique without coordination.  Docs longer than the budget become singleton sequences
     flagged ``truncated`` — the plumbing a real tokenizer-aware splitter
     plugs into.  Greedy next-fit (not bin-packing-optimal) is the
     industry default: O(n) per bucket, deterministic, and waste is

@@ -228,3 +228,59 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
     )
+
+
+_THUMB = 8  # target thumbnail side
+_THUMB_SCHEMA = "doc_id bigint, src_side int, thumb_hex string"
+
+
+def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Block-average downsample of blob-as-square-image to _THUMB².
+
+    The blob's first side² bytes (side = ⌊√n⌋) form the source grid;
+    each target cell averages its source block (numpy ``add.at`` on the
+    (row→target, col→target) index map — fully vectorized, no Python
+    pixel loop).  Sources smaller than the target are zero-padded.  The
+    stand-in for a real ``decode_stub`` + PIL ``resize`` with identical
+    plumbing: Arrow batch in, fixed-size thumbnail out."""
+    import numpy as np
+
+    t = _THUMB
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = np.frombuffer(bytes(blob), dtype=np.uint8)
+            side = int(np.sqrt(b.size))
+            if side == 0:
+                out.append((doc_id, 0, "00" * (t * t)))
+                continue
+            img = b[: side * side].reshape(side, side).astype(np.float64)
+            if side < t:
+                pad = np.zeros((t, t))
+                pad[:side, :side] = img
+                img, side_eff = pad, t
+            else:
+                side_eff = side
+            idx = (np.arange(side_eff) * t) // side_eff
+            sums = np.zeros((t, t))
+            cnts = np.zeros((t, t))
+            np.add.at(sums, (idx[:, None], idx[None, :]), img)
+            np.add.at(cnts, (idx[:, None], idx[None, :]), 1.0)
+            thumb = np.floor(sums / cnts).astype(np.uint8)
+            out.append((doc_id, side, thumb.tobytes().hex().upper()))
+        yield pd.DataFrame(out, columns=["doc_id", "src_side", "thumb_hex"])
+
+
+@query("mm_resize", tags=("multimodal",))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing for image-like blobs: 1 blob → one
+    fixed 8×8 block-averaged thumbnail via ``mapInPandas`` (the missing
+    member of the decode / feature-extract / resize / frame-sample
+    quartet).  Pure scan-shaped work — no shuffle, Arrow-batched, output
+    size fixed per row regardless of blob size, which is what makes a
+    full-corpus re-thumbnail pass feasible at 100 TB.  Rows-only driver
+    check (block-average resampling is not reasonably SQL-expressible);
+    tests pin a golden thumbnail and the determinism/shape invariants."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return blobs.mapInPandas(_resize_thumbs, schema=_THUMB_SCHEMA)

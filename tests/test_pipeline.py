@@ -245,6 +245,35 @@ def test_frame_sample_fanout(spark, specs):
     assert bytes.fromhex(one[0]["frame_hex"]) == blob[:64]
 
 
+def test_resize_thumbnail_golden(spark, specs):
+    """mm_resize must equal an independent numpy block-average of the
+    blob's square crop, with fixed 8x8 output for every doc."""
+    import numpy as np
+
+    out = {r["doc_id"]: r for r in specs["mm_resize"].fn(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(out) == len(docs)
+    for doc in docs[:20]:
+        b = np.frombuffer(doc["text"].encode("utf-8"), dtype=np.uint8)
+        side = int(np.sqrt(b.size))
+        got = out[doc["doc_id"]]
+        assert got["src_side"] == side
+        assert len(got["thumb_hex"]) == 2 * 64
+        img = b[: side * side].reshape(side, side).astype(float)
+        if side < 8:
+            pad = np.zeros((8, 8))
+            pad[:side, :side] = img
+            img, side = pad, 8
+        # reference: mean over each target cell's source block
+        thumb = np.zeros((8, 8), dtype=np.uint8)
+        idx = (np.arange(side) * 8) // side
+        for ti in range(8):
+            for tj in range(8):
+                block = img[idx == ti][:, idx == tj]
+                thumb[ti, tj] = int(np.floor(block.mean()))
+        assert bytes.fromhex(got["thumb_hex"]) == thumb.tobytes()
+
+
 def test_split_assignment_invariants(spark, specs):
     """Hash-bucket split: total coverage, disjointness, stability under
     re-evaluation, and growth-stability (membership is a pure function

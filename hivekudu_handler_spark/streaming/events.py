@@ -205,7 +205,9 @@ def run_stream_over_fixture(
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf_dir}")
     )
-    ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from hivekudu_handler_spark.tables import _ts_to_micros
+
+    ev = stream.withColumn("ts", _ts_to_micros(stream))
     if with_watermark:
         ev = ev.withWatermark("ts", with_watermark)
     out = transform(ev)
@@ -265,16 +267,14 @@ def run_stateful_over_fixture(spark, sf_dir: str):
     the events fixture; returns the memory-sink table of updates."""
     import uuid
 
-    from pyspark.sql import functions as F
+    from hivekudu_handler_spark.tables import _ts_to_micros
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(f"{sf_dir}")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(f"{sf_dir}")
+    stream = stream.withColumn("ts", _ts_to_micros(stream))
     out = stateful_user_totals(stream)
     # unique sink name: repeated invocations in one session must not
     # collide on the memory-sink table

@@ -28,12 +28,11 @@ TABLE_NAMES: tuple[str, ...] = (
 BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# DuckDB CTE aligning events.ts (TIMESTAMP_NS parquet) to the same
-# microsecond precision Spark uses internally; pair with load_events().
-EVENTS_US_CTE = (
-    "ev AS (SELECT * REPLACE (make_timestamp(CAST(ts AS BIGINT) // 1000) AS ts) "
-    "FROM events)"
-)
+# DuckDB CTE aligning events.ts to the microsecond precision Spark uses
+# internally; pair with load_events().  CAST to plain TIMESTAMP is identity
+# for a TIMESTAMP(MICROS) parquet and truncation for TIMESTAMP(NANOS) —
+# matching load_events() under either fixture vintage.
+EVENTS_US_CTE = "ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -64,16 +63,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, whose parquet ``ts`` is TIMESTAMP(NANOS).
+    """Read the events table, normalizing ``ts`` to ``TimestampType``.
 
-    Spark's timestamp is microseconds and its Parquet reader rejects nanos
-    outright, so read nanos as raw int64 (legacy conf) and truncate to
-    micros — Spark ``TimestampType`` semantics, matching ``EVENTS_US_CTE``
-    on the DuckDB side.
+    The fixture has shipped ``ts`` as both TIMESTAMP(NANOS) (rounds 1-3)
+    and TIMESTAMP(MICROS); Spark's timestamp is microseconds and its
+    Parquet reader rejects nanos outright, so keep the legacy conf that
+    surfaces nanos as raw int64 and branch on the type that actually
+    arrives.  Either way the result is session-zone ``TimestampType`` at
+    microsecond precision — matching ``EVENTS_US_CTE`` on the DuckDB side.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", _ts_to_micros(df))
+
+
+def _ts_to_micros(df: DataFrame):
+    """Column expression converting ``ts`` to microsecond TimestampType.
+
+    Int64 means a nanos parquet read under ``nanosAsLong`` (truncate to
+    micros); a timestamp (NTZ or LTZ) is already micros — cast pins the
+    session-zone TimestampType the engine's schema contract promises.
+    """
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return F.expr("timestamp_micros(ts div 1000)")
+    return F.col("ts").cast("timestamp")
 
 
 class Tables:

@@ -50,10 +50,10 @@ def test_tier_order():
     assert got == [
         "a_err_new",     # newest record errored, previous was green
         "b_changed",     # source rewritten since its r2 record
+        "e_unknown",     # recorded, no stamp -> presumed stale, above fresh
         "c_fresh",       # never recorded, cheap
         "g_fresh_slow",  # never recorded, slow-tagged -> after cheap fresh
         "d_err_repeat",  # errored in BOTH r2 and r3 -> demoted below fresh
-        "e_unknown",     # recorded before the sidecar existed -> presumed stale
         "f_ok",          # recorded and hash-verified current
     ]
 
@@ -72,14 +72,36 @@ def test_missing_sidecar_degrades_to_unknown_stale():
     specs = {n: _spec(n) for n in ("recorded", "fresh")}
     records = [(1, {"recorded": OK})]
     got = order_keys(specs, records)
-    # without hashes, a recorded key can't be proven current: fresh keys
-    # outrank it, nothing is dropped
-    assert got == ["fresh", "recorded"]
+    # without hashes, a recorded key can't be proven current: its stale
+    # green row outranks the merely-unverified fresh key (r4 verdict)
+    assert got == ["recorded", "fresh"]
 
 
 def test_registration_order_within_tiers():
     specs = {n: _spec(n) for n in ("k3", "k1", "k2")}
     assert order_keys(specs, []) == ["k3", "k1", "k2"]
+
+
+def test_sidecar_covers_every_latest_record():
+    """On the real repo, every registry key's LATEST official record round
+    must carry a source-hash stamp (tools/source_hashes.py backfill derives
+    them from git), so the presumed-stale tier stays empty and staleness is
+    always decided by hash comparison, never by absence of evidence."""
+    import os
+
+    from hivekudu_handler_spark.registry import load_all
+    from tools.coverage_order import _history, load_correctness_records
+    from tools.source_hashes import load_sidecar
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist = _history(load_correctness_records(root))
+    sidecar = load_sidecar(root)
+    missing = [
+        key
+        for key in load_all()
+        if key in hist and str(hist[key][-1][0]) not in sidecar.get(key, {})
+    ]
+    assert missing == []
 
 
 def test_entry_surface_orders_registry(tmp_path):

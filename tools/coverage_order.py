@@ -14,11 +14,14 @@ as explicit input*:
 2. keys whose source changed since their latest record (the sidecar hash
    stamped for that round differs from the current hash) — a green row
    for rewritten code is stale evidence (r3 verdict, ``join_asof``);
-3. keys with no official record in any round yet — cheap (non-slow-tagged)
+3. keys recorded in a round with no stored hash — staleness unknowable,
+   so presumed stale.  Stale-but-recorded outranks never-recorded (r4
+   verdict: rewritten keys above *new* keys) because an obsolete green row
+   is actively misleading while a new key is merely unverified.  This tier
+   should be empty after ``tools/source_hashes.py backfill``;
+4. keys with no official record in any round yet — cheap (non-slow-tagged)
    before slow, in case the cap is time- rather than count-based;
-4. repeat-errored keys (see 1);
-5. keys recorded in a pre-sidecar round (no stored hash for that round —
-   staleness unknowable, so presumed stale), in registration order;
+5. repeat-errored keys (see 1);
 6. everything else (recorded AND hash-verified current), registration
    order.
 
@@ -122,4 +125,4 @@ def order_keys(
             rest.append(key)
 
     fresh = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
-    return [*errored_new, *changed, *fresh, *errored_repeat, *unknown, *rest]
+    return [*errored_new, *changed, *unknown, *fresh, *errored_repeat, *rest]

@@ -29,6 +29,12 @@ CLI:
     python -m tools.source_hashes bootstrap            # one-time: stamp the
         # newest CORRECTNESS round's keys with current hashes (valid ONLY
         # when run on the exact commit that round verified)
+    python -m tools.source_hashes backfill             # recompute EVERY
+        # recorded (round, key) stamp from git: round N's record verified
+        # the tree at the parent of the "round N: verdict" commit (the
+        # driver auto-commits stragglers as the end-of-round snapshot just
+        # before verifying), so hashes taken there are authoritative even
+        # when the in-round stamp predated late edits
 """
 
 from __future__ import annotations
@@ -93,6 +99,82 @@ def stamp(root: str, round_no: int) -> int:
     return len(cur)
 
 
+def _verified_commits(root: str) -> dict[int, str]:
+    """{round: commit} whose tree each round's CORRECTNESS record verified.
+
+    The driver commits any uncommitted work ("round N: end-of-round
+    snapshot"), runs verify, then lands artifacts as "round N: verdict/...".
+    So the verified tree is the PARENT of each verdict commit — robust even
+    for rounds with no snapshot commit.
+    """
+    import subprocess
+
+    log = subprocess.run(
+        ["git", "log", "--format=%H %s"],
+        cwd=root, capture_output=True, text=True, check=True,
+    ).stdout
+    out: dict[int, str] = {}
+    import re as _re
+
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = _re.match(r"round (\d+): verdict", subject)
+        if m:
+            out[int(m.group(1))] = sha + "^"
+    return out
+
+
+def _module_paths(root: str, specs: Mapping[str, object]) -> dict[str, str]:
+    """key -> repo-relative path of its defining module's source file."""
+    out: dict[str, str] = {}
+    for name, spec in specs.items():
+        src = inspect.getsourcefile(sys.modules[spec.fn.__module__])
+        out[name] = os.path.relpath(os.path.abspath(src), root)
+    return out
+
+
+def backfill(root: str) -> int:
+    """Restamp every recorded (round, key) pair from the verified commit."""
+    import subprocess
+
+    from hivekudu_handler_spark.registry import load_all
+    from tools.coverage_order import load_correctness_records
+
+    specs = load_all()
+    paths = _module_paths(root, specs)
+    commits = _verified_commits(root)
+    hashes = load_sidecar(root)
+    blob_cache: dict[tuple[str, str], str | None] = {}
+
+    def blob_hash(commit: str, path: str) -> str | None:
+        if (commit, path) not in blob_cache:
+            proc = subprocess.run(
+                ["git", "show", f"{commit}:{path}"],
+                cwd=root, capture_output=True,
+            )
+            blob_cache[(commit, path)] = (
+                hashlib.sha256(proc.stdout).hexdigest() if proc.returncode == 0 else None
+            )
+        return blob_cache[(commit, path)]
+
+    n = 0
+    for rnd, rec in load_correctness_records(root):
+        commit = commits.get(rnd)
+        if commit is None:
+            continue
+        for key in rec:
+            path = paths.get(key)
+            if path is None:
+                continue  # key no longer in the registry
+            h = blob_hash(commit, path)
+            if h is None:
+                continue  # module path didn't exist then (key moved modules)
+            hashes.setdefault(key, {})[str(rnd)] = h
+            n += 1
+    save_sidecar(root, hashes)
+    return n
+
+
 def _newest_round(root: str) -> int:
     from tools.coverage_order import load_correctness_records
 
@@ -136,6 +218,10 @@ def main(argv: list[str]) -> int:
             n += 1
         save_sidecar(root, hashes)
         print(f"bootstrapped {n} keys from CORRECTNESS_r{round_no:02d}")
+        return 0
+    if cmd == "backfill":
+        n = backfill(root)
+        print(f"backfilled {n} (round, key) stamps from verified commits")
         return 0
     print(f"unknown command: {cmd}")
     return 2

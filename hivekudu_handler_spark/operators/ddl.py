@@ -17,6 +17,7 @@ import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.sources.table_store import TableStore
@@ -271,6 +272,52 @@ def ddl_attach_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.parquet(str(ext_path))
         store.attach_external("ext_t", str(ext_path), ["id"])
         return _materialize(spark, store.scan("ext_t"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_sql_roundtrip",
+    oracle=(
+        "SELECT * FROM (VALUES ('a', 2), ('b', 1)) AS t(name, cnt) "
+        "ORDER BY name"
+    ),
+    tags=("ddl",),
+)
+def ddl_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden test (``simple_test.sql``, ``README.md:
+    14-218``) driven end-to-end through SQL TEXT — the reference's actual
+    user contract — instead of the Python API: CREATE with the
+    ``kudu.key_columns`` table property (``README.md:22-31``,
+    ``HiveKuduConstants.java:28-30``), INSERT INTO ... VALUES
+    (``README.md:35``), then the demo's GROUP BY read back
+    (``README.md:41,205-209``: a=2, b=1).  DESCRIBE and DROP run too so
+    every routed verb is exercised; the rejection paths (EXTERNAL,
+    LOCATION, missing key property) are pytest-pinned in
+    tests/test_table_layer.py."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE test_drop (id int, name string) "
+            "STORED BY 'org.apache.hadoop.hive.kududb.KuduHandler.KuduStorageHandler' "
+            "TBLPROPERTIES ('kudu.table_name'='test_drop', "
+            "'kudu.key_columns'='id');",
+        )
+        assert execute(store, "DESCRIBE test_drop").count() == 2
+        execute(store, "INSERT INTO TABLE test_drop VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+        out = _materialize(
+            spark,
+            store.scan("test_drop")
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).cast("int").alias("cnt"))
+            .orderBy("name"),
+        )
+        execute(store, "DROP TABLE test_drop")
+        assert store.list_tables() == []
+        return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

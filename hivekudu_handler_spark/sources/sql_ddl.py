@@ -1,0 +1,201 @@
+"""SQL-text DDL front-end over the managed keyed-table layer.
+
+The reference's user-facing contract is SQL DDL with table properties —
+``CREATE TABLE ... STORED BY 'KuduStorageHandler' TBLPROPERTIES
+('kudu.table_name'=..., 'kudu.key_columns'='id')`` (reference
+``README.md:22-31``; property keys ``HiveKuduConstants.java:28-30``;
+create hook ``KuduStorageHandler.java:223-278``).  :class:`TableStore`
+exposes the same capabilities as a Python API; this module closes the
+contract gap by parsing the SQL statement shapes the reference's golden
+test exercises (``README.md:14-218``) and routing them to the store:
+
+* ``CREATE TABLE name (col type, ...) [STORED BY '...']
+  [TBLPROPERTIES ('kudu.key_columns'='a,b', ...)]``
+* ``DROP TABLE [IF EXISTS] name``   (``KuduStorageHandler.java:292-310``)
+* ``DESCRIBE [FORMATTED] name``     (demo ``README.md:33,76-110``)
+* ``INSERT INTO [TABLE] name VALUES (...), (...)``
+  (demo ``README.md:35,113-130``)
+
+Rejections mirror the reference byte-for-byte in spirit:
+
+* ``CREATE EXTERNAL TABLE`` → error (``KuduStorageHandler.java:230-234``)
+* a ``LOCATION`` clause → error (``KuduStorageHandler.java:235-237``)
+* missing/empty key-columns property → error (the reference logs
+  "kudu.key_columns not specified" and fails, ``KuduStorageHandler.java:
+  242-247``)
+
+Anything that is a *query* (SELECT ...) is not routed here — queries go
+through Spark SQL directly (register the table as a view via
+``store.scan(name)``); the reference likewise delegated all queries to
+Hive's engine and owned only the DDL hooks.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreError
+
+# the reference's property names (HiveKuduConstants.java:28-30) plus the
+# bare spelling for convenience
+_KEY_PROPS = ("kudu.key_columns", "key_columns")
+
+
+class SqlDdlError(TableStoreError):
+    """A statement this front-end cannot accept (bad syntax or a shape
+    the reference explicitly rejects)."""
+
+
+def _strip_stmt(sql: str) -> str:
+    return sql.strip().rstrip(";").strip()
+
+
+def _match_paren_block(text: str, start: int) -> tuple[str, int]:
+    """Return (inner, index_after_close) for the paren group opening at
+    ``start`` (which must be '('), honoring nesting and single-quoted
+    strings."""
+    assert text[start] == "("
+    depth = 0
+    i = start
+    in_str = False
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i], i + 1
+        i += 1
+    raise SqlDdlError(f"unbalanced parentheses in statement: {text!r}")
+
+
+def _parse_props(inner: str) -> dict[str, str]:
+    """Parse ``'k'='v', 'k2'='v2'`` TBLPROPERTIES content."""
+    props: dict[str, str] = {}
+    for m in re.finditer(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'", inner):
+        props[m.group(1).replace("''", "'")] = m.group(2).replace("''", "'")
+    return props
+
+
+_CREATE_RE = re.compile(
+    r"^CREATE\s+(?P<external>EXTERNAL\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*",
+    re.IGNORECASE,
+)
+_DROP_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^(?:DESCRIBE|DESC)\s+(?:FORMATTED\s+)?(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+"
+    r"VALUES\s+(?P<values>\(.*\))$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute(store: TableStore, sql: str) -> DataFrame | None:
+    """Parse one SQL statement and drive ``store``.
+
+    Returns a DataFrame for statements that produce rows (DESCRIBE),
+    ``None`` for pure DDL/DML.
+    """
+    stmt = _strip_stmt(sql)
+    verb = stmt.split(None, 1)[0].upper() if stmt else ""
+    if verb == "CREATE":
+        return _create(store, stmt)
+    if verb == "DROP":
+        return _drop(store, stmt)
+    if verb in ("DESCRIBE", "DESC"):
+        m = _DESCRIBE_RE.match(stmt)
+        if not m:
+            raise SqlDdlError(f"cannot parse DESCRIBE statement: {sql!r}")
+        return store.describe(m.group("name"))
+    if verb == "INSERT":
+        return _insert(store, stmt)
+    raise SqlDdlError(
+        f"unsupported statement (this front-end owns DDL/INSERT-VALUES "
+        f"only, queries go through Spark SQL): {sql!r}"
+    )
+
+
+def _create(store: TableStore, stmt: str) -> None:
+    m = _CREATE_RE.match(stmt)
+    if not m:
+        raise SqlDdlError(f"cannot parse CREATE statement: {stmt!r}")
+    if m.group("external"):
+        # KuduStorageHandler.java:230-234
+        raise SqlDdlError(
+            "EXTERNAL tables are not supported through the managed layer "
+            "(use TableStore.attach_external to adopt existing storage)"
+        )
+    name = m.group("name")
+    rest = stmt[m.end() :].lstrip()
+    if not rest.startswith("("):
+        raise SqlDdlError(f"expected column list after table name: {stmt!r}")
+    cols, after = _match_paren_block(rest, 0)
+    clauses = rest[after:]
+    if re.search(r"\bLOCATION\s+'", clauses, re.IGNORECASE):
+        # KuduStorageHandler.java:235-237
+        raise SqlDdlError("LOCATION may not be specified for a managed table")
+    props: dict[str, str] = {}
+    tbl = re.search(r"\bTBLPROPERTIES\s*\(", clauses, re.IGNORECASE)
+    if tbl:
+        inner, _ = _match_paren_block(clauses, tbl.end() - 1)
+        props = _parse_props(inner)
+    key_prop = next((props[p] for p in _KEY_PROPS if p in props), None)
+    if not key_prop or not key_prop.strip():
+        # KuduStorageHandler.java:242-247 ("kudu.key_columns not specified")
+        raise SqlDdlError(
+            "key columns not specified: CREATE TABLE requires "
+            "TBLPROPERTIES ('kudu.key_columns'='col[,col...]')"
+        )
+    key_columns = [c.strip() for c in key_prop.split(",") if c.strip()]
+    store.create_table(name, cols, key_columns)
+
+
+def _drop(store: TableStore, stmt: str) -> None:
+    m = _DROP_RE.match(stmt)
+    if not m:
+        raise SqlDdlError(f"cannot parse DROP statement: {stmt!r}")
+    name = m.group("name")
+    if m.group("if_exists") and name not in store.list_tables():
+        return
+    store.drop_table(name)
+
+
+def _insert(store: TableStore, stmt: str) -> None:
+    m = _INSERT_RE.match(stmt)
+    if not m:
+        raise SqlDdlError(f"cannot parse INSERT statement: {stmt!r}")
+    name = m.group("name")
+    meta = store.table_meta(name)
+    # Spark's own SQL parser handles the literal tuples: VALUES text is
+    # already valid Spark SQL, so no hand-rolled literal grammar can drift
+    # from engine semantics.
+    try:
+        df = store.spark.sql(f"SELECT * FROM (VALUES {m.group('values')})")
+    except Exception as exc:
+        raise SqlDdlError(f"cannot parse VALUES literals: {exc}") from exc
+    fields = meta.schema.fields
+    if len(df.columns) != len(fields):
+        raise SqlDdlError(
+            f"INSERT arity mismatch for {name!r}: table has {len(fields)} "
+            f"columns, VALUES has {len(df.columns)}"
+        )
+    df = df.select(
+        *[F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, fields)]
+    )
+    store.insert(name, df)

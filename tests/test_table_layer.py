@@ -386,3 +386,88 @@ def test_lookup_many_prunes_to_batch_buckets(spark, store):
     store.create_table("comp", "a int, b int, v string", ["a", "b"])
     with pytest.raises(TableStoreError):
         store.lookup_many("comp", [1])
+
+
+# ---- SQL-text DDL front-end (KuduStorageHandler.java:223-310) -------------
+
+def test_sql_ddl_create_insert_describe_drop(spark, store):
+    """The reference's golden-test statement shapes (README.md:22-43)
+    routed through SQL text end-to-end."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    desc = {r.col_name: r.is_key for r in execute(store, "DESCRIBE t").collect()}
+    assert desc == {"id": True, "name": False}
+    execute(store, "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    # dup-key ignore applies through the SQL path too
+    execute(store, "INSERT INTO t VALUES (1, 'z')")
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "a")]
+    execute(store, "DROP TABLE t")
+    assert store.list_tables() == []
+    execute(store, "DROP TABLE IF EXISTS t")  # no error
+
+
+def test_sql_ddl_rejects_external(spark, store):
+    """Mirrors KuduStorageHandler.java:230-234."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    with pytest.raises(SqlDdlError, match="EXTERNAL"):
+        execute(
+            store,
+            "CREATE EXTERNAL TABLE t (id int) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+
+
+def test_sql_ddl_rejects_location(spark, store):
+    """Mirrors KuduStorageHandler.java:235-237."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    with pytest.raises(SqlDdlError, match="LOCATION"):
+        execute(
+            store,
+            "CREATE TABLE t (id int) LOCATION '/tmp/x' "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+
+
+def test_sql_ddl_requires_key_property(spark, store):
+    """Mirrors the key-columns requirement (KuduStorageHandler.java:242-247)."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    with pytest.raises(SqlDdlError, match="key columns"):
+        execute(store, "CREATE TABLE t (id int, name string)")
+    with pytest.raises(SqlDdlError, match="key columns"):
+        execute(
+            store,
+            "CREATE TABLE t (id int) TBLPROPERTIES ('kudu.key_columns'='')",
+        )
+
+
+def test_sql_ddl_insert_arity_and_quoting(spark, store):
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('key_columns'='id')",
+    )
+    with pytest.raises(SqlDdlError, match="arity"):
+        execute(store, "INSERT INTO t VALUES (1, 'a', 99)")
+    execute(store, "INSERT INTO t VALUES (1, 'it''s'), (2, 'comma, inside')")
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "it's"), (2, "comma, inside")]
+
+
+def test_sql_ddl_rejects_queries_and_garbage(spark, store):
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    with pytest.raises(SqlDdlError, match="unsupported"):
+        execute(store, "SELECT * FROM t")
+    with pytest.raises(SqlDdlError, match="cannot parse"):
+        execute(store, "DROP TABLE")

@@ -222,16 +222,22 @@ def scan_keyed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_keyed_lookup_batch",
     oracle=(
         "SELECT c_custkey, c_name, c_nationkey, c_acctbal "
-        "FROM customer WHERE c_custkey IN (42, 101, 500)"
+        "FROM customer WHERE c_custkey IN (42, 101, 500) "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal "
+        "FROM customer WHERE c_custkey IN (7, 250)"
     ),
     tags=("scan",),
 )
 def scan_keyed_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched primary-key lookup: the id list's hash buckets are
+    """Batched primary-key lookup: the key batch's hash buckets are
     constant-folded into a ``kb IN (...)`` PartitionFilter (at most
-    |batch| of B bucket directories opened) and the ids push into the
-    Parquet scan as an ``In`` filter — the multi-key form of the
-    reference's tablet pruning (``HiveKuduTableInputFormat.java:166-217``)."""
+    |batch| of B bucket directories opened) — the multi-key form of the
+    reference's tablet pruning (``HiveKuduTableInputFormat.java:166-217``),
+    which prunes for ANY key shape.  Exercised both ways: a scalar batch
+    on a single-column key (ids push down as a Parquet ``In`` filter) and
+    a dict batch on a composite (custkey, nationkey) key (one struct-IN
+    match inside the pruned buckets)."""
     import shutil
 
     from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
@@ -243,8 +249,18 @@ def scan_keyed_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store.create_table("customer_pk", src.schema, ["c_custkey"])
         store.insert("customer_pk", src)
-        return _materialize(
-            spark, store.lookup_many("customer_pk", [42, 101, 500])
+        single = store.lookup_many("customer_pk", [42, 101, 500])
+        comp_keys = [
+            {"c_custkey": r["c_custkey"], "c_nationkey": r["c_nationkey"]}
+            for r in src.filter(F.col("c_custkey").isin(7, 250))
+            .select("c_custkey", "c_nationkey")
+            .collect()
+        ]
+        store.create_table(
+            "customer_comp", src.schema, ["c_custkey", "c_nationkey"]
         )
+        store.insert("customer_comp", src)
+        composite = store.lookup_many("customer_comp", comp_keys)
+        return _materialize(spark, single.unionByName(composite))
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -356,38 +356,63 @@ class TableStore:
         return df.select(*[f.name for f in meta.schema.fields])
 
     def lookup_many(self, name: str, values: list[object]) -> DataFrame:
-        """Batched point-lookup for a single-column primary key.
+        """Batched point-lookup for any key shape.
 
         Same pruning mechanics as :meth:`lookup`, vectorized: the scan
         filter is ``kb IN (<folded bucket constants>)`` — at most
         ``len(values)`` of the B bucket directories are opened — plus a
-        ``key IN (...)`` that pushes into the Parquet scan as an ``In``
-        filter.  The batch is driver-provided literals (an id list from a
-        service request), NOT a DataFrame — for joining against another
-        table, use a broadcast join; this path exists so a bounded key
-        batch never pays a scan of the un-hit buckets.
+        value filter on the keys.  For a single-column key the batch is a
+        list of scalars and the value filter is ``key IN (...)``, which
+        pushes into the Parquet scan as an ``In`` filter; for a composite
+        key the batch is a list of ``{col: value}`` dicts and the value
+        filter is ``struct(keys) IN (struct literals)`` — the IN-list of
+        whole key tuples the reference's tablet pruning serves for any
+        key shape (``HiveKuduTableInputFormat.java:166-217``).  A
+        struct-IN is not a Parquet-pushable filter, but it is a single
+        vectorized comparison evaluated only inside the pruned buckets,
+        which is where the scale win lives.  The batch is driver-provided
+        literals (an id list from a service request), NOT a DataFrame —
+        for joining against another table, use a broadcast join; this
+        path exists so a bounded key batch never pays a scan of the
+        un-hit buckets.
         """
         meta = self.table_meta(name)
         if meta.external:
             raise TableStoreError(
                 f"table {name!r} is external: no bucket layout to prune"
             )
-        if len(meta.key_columns) != 1:
-            raise TableStoreError(
-                "lookup_many supports single-column keys; call lookup() "
-                f"per composite key (table {name!r} has {meta.key_columns})"
-            )
         if not values:
             return self.spark.createDataFrame([], meta.schema)
-        k = meta.key_columns[0]
-        ktype = {f.name: f.dataType for f in meta.schema.fields}[k]
-        lits = [F.lit(v).cast(ktype) for v in values]
+        keys = meta.key_columns
+        types = {f.name: f.dataType for f in meta.schema.fields}
+        batch: list[dict[str, object]] = []
+        for v in values:
+            if isinstance(v, dict):
+                if set(v) != set(keys):
+                    raise TableStoreError(
+                        f"lookup_many key must cover exactly {keys}, got {sorted(v)}"
+                    )
+                batch.append(v)
+            elif len(keys) == 1:
+                batch.append({keys[0]: v})
+            else:
+                raise TableStoreError(
+                    f"composite-key lookup_many needs {{col: value}} dicts "
+                    f"covering {keys}, got scalar {v!r}"
+                )
+        lit_rows = [[F.lit(v[k]).cast(types[k]) for k in keys] for v in batch]
         buckets = [
-            F.pmod(F.xxhash64(lit), F.lit(self.range_partitions)).cast("int")
-            for lit in lits
+            F.pmod(F.xxhash64(*lits), F.lit(self.range_partitions)).cast("int")
+            for lits in lit_rows
         ]
+        if len(keys) == 1:
+            key_filter = F.col(keys[0]).isin(*[lits[0] for lits in lit_rows])
+        else:
+            key_filter = F.struct(*[F.col(k) for k in keys]).isin(
+                *[F.struct(*lits) for lits in lit_rows]
+            )
         df = self._scan_raw(meta).filter(
-            F.col(self._BUCKET_COL).isin(*buckets) & F.col(k).isin(*lits)
+            F.col(self._BUCKET_COL).isin(*buckets) & key_filter
         )
         return df.select(*[f.name for f in meta.schema.fields])
 

@@ -383,9 +383,43 @@ def test_lookup_many_prunes_to_batch_buckets(spark, store):
         (3, "v3"), (17, "v17"), (29, "v29")
     ]
     assert store.lookup_many("kvm", []).count() == 0
+
+
+def test_lookup_many_composite_key_prunes_buckets(spark, store):
+    """Composite-key batched lookup: each {col: value} tuple's bucket is
+    constant-folded into kb IN (...) — never more distinct bucket dirs
+    than batch entries — and the key match is one struct-IN evaluated
+    only inside those buckets."""
+    import re
+
+    from hivekudu_handler_spark.plans.checks import plan_string
+
     store.create_table("comp", "a int, b int, v string", ["a", "b"])
+    store.insert(
+        "comp",
+        spark.createDataFrame(
+            [(i, i * 10, f"v{i}") for i in range(40)], "a int, b int, v string"
+        ),
+    )
+    batch = [{"a": 3, "b": 30}, {"a": 17, "b": 170}]
+    df = store.lookup_many("comp", batch)
+    plan = plan_string(df)
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    m = re.search(r"kb#\d+ IN \(([^)]*)\)", pf)
+    assert m, plan
+    assert len(set(m.group(1).split(","))) <= len(batch), plan
+    assert "xxhash64" not in pf, plan
+    assert sorted((r["a"], r["b"], r["v"]) for r in df.collect()) == [
+        (3, 30, "v3"), (17, 170, "v17")
+    ]
+    # a tuple that matches no row (a=3 pairs with b=30, not 170) finds nothing
+    assert store.lookup_many("comp", [{"a": 3, "b": 170}]).count() == 0
+    # scalars are ambiguous for a composite key
     with pytest.raises(TableStoreError):
         store.lookup_many("comp", [1])
+    # partial key coverage rejected
+    with pytest.raises(TableStoreError):
+        store.lookup_many("comp", [{"a": 3}])
 
 
 # ---- SQL-text DDL front-end (KuduStorageHandler.java:223-310) -------------

@@ -310,6 +310,34 @@ _IVF_CENTROIDS = 8
 _IVF_NPROBE = 2
 
 
+def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Corpus→centroid assignment, SCAN-SHAPED: the centroid table folds
+    to one broadcast row holding all k (id, vector) pairs, and the argmin
+    is a pure array expression — ``array_max`` over
+    ``struct(sim, -cent_id)`` picks the highest-similarity centroid with
+    ties to the smallest id, exactly a (sim DESC, cent_id ASC) window's
+    order.  No Exchange ever touches the corpus (plan-asserted in
+    tests/test_plans.py; the only Exchange in the plan is the k-row
+    centroid fold).  The prior form windowed over corpus×k rows
+    partitioned by vec_id — cosmetic at 8 centroids, a full corpus
+    shuffle at 65k (r4 verdict #5)."""
+    cent_row = cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cs"))
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (_dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"]))).alias("sim"),
+                (-c["cent_id"]).alias("neg_id"),
+            ),
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(cent_row))
+        .withColumn("best", best)
+        .select("vec_id", "v", (-F.col("best.neg_id")).alias("cent_id"))
+    )
+
+
 @query("sim_ivf", tags=("similarity", "vector", "approx"))
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN top-10.
@@ -325,17 +353,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    sim = _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("cent_sim").desc(), F.col("cent_id")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cent_sim", sim)
-        .withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "v", "cent_id")
-    )
+    assigned = _ivf_assign(e, cents)
     # queries probe their nprobe nearest cells
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("cent_sim").desc(), F.col("cent_id")

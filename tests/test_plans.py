@@ -152,3 +152,22 @@ def test_approx_distinct_is_sketch_only(spark):
     assert "approx_count_distinct" in optimized, optimized
     assert "count(distinct" not in optimized.lower(), optimized
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+
+
+def test_ivf_assignment_is_scan_shaped(spark):
+    """Corpus→centroid assignment must not shuffle the corpus: the only
+    Exchange in the plan is the k-row centroid fold (SinglePartition);
+    there is no hashpartitioning exchange (the old vec_id window's
+    signature) and the centroid list arrives via a broadcast join."""
+    from pyspark.sql import functions as F
+
+    from hivekudu_handler_spark.pipeline.similarity import _as_double, _ivf_assign
+
+    e = _as_double(spark.read.parquet(f"{SF}/embeddings.parquet"))
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    plan = checks.plan_string(_ivf_assign(e, cents))
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

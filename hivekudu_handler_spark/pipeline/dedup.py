@@ -545,20 +545,43 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     into an actionable keep/drop list (pairs alone can't be acted on:
     {A,B},{B,C} must collapse to one keeper, not two).
 
-    Implementation: iterative min-label propagation — per round, each
-    node takes the min label across itself and its neighbors; converges
-    in graph-diameter rounds (each a shuffle join on the node key).
-    Near-dup components are shallow (cliques/short chains), so rounds
-    are few and bounded by ``_CLUSTER_MAX_ROUNDS``; the per-round
-    convergence check is a count aggregate, no data ever collects.  At
-    extreme diameters the same loop hosts star-contraction
-    (large-star/small-star) — the operator contract is unchanged.
+    Implementation: :func:`cluster_pairs` — min-label propagation with an
+    explicit round-budget cutover to star contraction for deep graphs.
     Oracle: recursive-CTE transitive closure in DuckDB."""
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=0.5).select(
         "doc_a", "doc_b"
     )
+    return cluster_pairs(pairs)
+
+
+def cluster_pairs(
+    pairs: DataFrame, prop_round_budget: int = _CLUSTER_MAX_ROUNDS
+) -> DataFrame:
+    """Connected components of an undirected pair list, labeling every
+    node with its component minimum as ``(doc_id, keeper_doc_id)``.
+
+    Strategy selection is an explicit budget, not a docstring promise:
+    min-label propagation first — per round, each node takes the min
+    label across itself and its neighbors; converges in graph-diameter
+    rounds (each one shuffle join on the node key), which is the cheap
+    path for the shallow cliques/short chains near-dup graphs actually
+    form.  If the label sum has not reached its fixpoint within
+    ``prop_round_budget`` rounds, the graph is deeper than the
+    propagation regime pays for, and the operator falls back to
+    :func:`connected_components_star` — the O(log d)-round contraction
+    path — on the original pairs.  The cutover costs the budget's worth
+    of wasted rounds once, bounded and independent of data volume; the
+    long-chain pytest in tests/test_pipeline.py pins that the fallback
+    produces exact labels where an un-guarded propagation loop would
+    have returned wrong (unconverged) keepers.
+
+    The per-round convergence check is one decimal aggregate: labels
+    only ever decrease (each round mins over a superset that includes
+    the current label), so the label sum strictly decreases until the
+    fixpoint.  decimal(38,0) because at 10^11 nodes a bigint sum of
+    doc_ids overflows; the check must stay exact."""
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
         .toDF("u", "v")
         .persist()
     )
@@ -570,19 +593,15 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels.count()
-    # Convergence check: labels only ever decrease (each round takes a min
-    # over a superset that includes the current label), so the label sum
-    # strictly decreases until the fixpoint — comparing one decimal
-    # aggregate per round replaces the old per-round equality join.
-    # decimal(38,0) because at 10^11 nodes a bigint sum of doc_ids
-    # overflows; the check must stay exact.
+
     def _label_sum(lb: DataFrame):
         return lb.agg(
             F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
     prev_sum = _label_sum(labels)
-    for _ in range(_CLUSTER_MAX_ROUNDS):
+    converged = False
+    for _ in range(prop_round_budget):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .select(edges["u"].alias("node"), "lab")
@@ -597,8 +616,16 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # diameter exceeded the propagation budget: deep-graph path
+        labels.unpersist()
+        pairs_uv = edges.filter(F.col("u") < F.col("v"))
+        out = connected_components_star(pairs_uv)
+        edges.unpersist()
+        return out
     # labels is persisted+materialized; the edge cache is no longer needed
     edges.unpersist()
     return labels.select(

@@ -424,3 +424,35 @@ def test_two_phase_topk_lossless_truncation_property(spark):
         )
 
     check()
+
+
+def test_cluster_pairs_deep_graph_cutover(spark):
+    """A 48-node chain with a 4-round propagation budget cannot converge
+    by propagation (diameter 47); cluster_pairs must detect the exhausted
+    budget and fall back to star contraction, still returning EXACT
+    component minima — an un-guarded loop would return unconverged
+    (wrong) keepers here."""
+    from hivekudu_handler_spark.pipeline.dedup import cluster_pairs
+
+    chain = [(i, i + 1) for i in range(100, 147)]  # 48 nodes, diameter 47
+    pair = [(900, 901)]                            # separate 2-clique
+    pairs = spark.createDataFrame(chain + pair, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in cluster_pairs(pairs, prop_round_budget=4).collect()
+    }
+    expected = {(i, 100) for i in range(100, 148)} | {(900, 900), (901, 900)}
+    assert got == expected
+
+
+def test_cluster_pairs_shallow_graph_stays_on_propagation(spark):
+    """Inside the budget, propagation converges and labels are exact."""
+    from hivekudu_handler_spark.pipeline.dedup import cluster_pairs
+
+    tri = [(1, 2), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(tri, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in cluster_pairs(pairs, prop_round_budget=10).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}

@@ -5,21 +5,24 @@ metadata — deliberately lifting the reference's complex-type ban
 (``HiveKuduBridgeUtils.java:101-111``) on the extension path while the
 core lattice stays strict (typesys.py).
 
-The fixture has no real media, so the *blob plumbing* is real (binary
-column construction, schema, Arrow batch shape through ``mapInPandas``)
-and the media *decode* is stubbed: ``decode_stub`` raises
-``NotImplementedError`` exactly where a codec would run, and the
-registered operator uses a deterministic byte-level feature extractor
-(real computation over the real bytes — not fake values) so results are
-reproducible and testable.
+Two formats decode END-TO-END with real pure-numpy parsers — PPM (P6)
+images and PCM16 WAV audio (both public, header-documented formats that
+need no codec library).  The registered resize/audio operators encode
+the fixture bytes into those real containers in one Arrow pass and
+decode them with the real parsers in the next, so the full
+encode→container-bytes→parse-header→decode→feature path is exercised.
+Formats that genuinely need a codec library (JPEG/PNG/MP4…) still raise
+``NotImplementedError`` from :func:`decode_media` — that seam is where
+PIL/libav plug in, with everything around it unchanged.
 
 Scale: feature extraction is ``mapInPandas`` — Arrow-batched columnar
 transfer, one Python worker per core, no per-row overhead; the pattern
-is identical for a real image decoder at 100 TB.
+is identical for a full codec at 100 TB.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,13 +33,119 @@ from pyspark.sql import functions as F
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
+# --- real codecs (pure numpy): PPM (P6) images, WAV (PCM16 mono) audio -----
 
-def decode_stub(blob: bytes) -> "object":
-    """Placeholder for a media codec (PIL/libav are not available in this
-    environment).  The Spark-side plumbing around it is real and tested;
-    swap this single function to light up actual decoding."""
+
+def encode_ppm(pixels) -> bytes:
+    """Write an (h, w, 3) uint8 array as a binary PPM (magic ``P6``)."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"PPM needs an (h, w, 3) array, got shape {a.shape}")
+    h, w = a.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(blob: bytes):
+    """Parse a binary PPM: header tokens (width, height, maxval) with
+    whitespace/`#`-comment handling per the spec, then the raw RGB plane.
+    Returns an (h, w, 3) uint8 array; raises ValueError on truncation or
+    non-255 maxval."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(b[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from the plane
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    need = w * h * 3
+    data = b[pos : pos + need]
+    if len(data) != need:
+        raise ValueError("truncated PPM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Write int16 mono samples as a RIFF/WAVE file (PCM format 1)."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes):
+    """Parse a RIFF/WAVE file by walking its chunk list (word-aligned,
+    per the spec — not by assuming fixed offsets).  Returns
+    ``(sample_rate, int16 sample array)``; raises ValueError on
+    truncation or non-PCM16-mono content."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        pos += 8
+        body = b[pos : pos + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM16 mono supported, got fmt={audio_fmt} "
+                    f"ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            data = body
+        pos += size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_media(blob: bytes):
+    """Sniff-and-decode: PPM → ``{"kind": "image", "pixels": ...}``,
+    WAV → ``{"kind": "audio", "sample_rate": ..., "samples": ...}``.
+    Anything else (JPEG/PNG/MP4…) needs a codec library and raises
+    NotImplementedError — the single seam where PIL/libav plug in."""
+    b = bytes(blob)
+    if b[:2] == b"P6":
+        return {"kind": "image", "pixels": decode_ppm(b)}
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        rate, samples = decode_wav(b)
+        return {"kind": "audio", "sample_rate": rate, "samples": samples}
     raise NotImplementedError(
-        "media decoding requires an image/audio codec; wire PIL/libav here"
+        "no native codec for this format (PPM P6 and PCM16 WAV decode "
+        "natively; JPEG/PNG/MP4 need PIL/libav wired here)"
     )
 
 
@@ -153,21 +262,34 @@ _AUDIO_SCHEMA = (
 )
 
 
+def _encode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Blob bytes → real PCM16 WAV containers (samples = centered byte
+    values), so the downstream decoder exercises a real header parse."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int16)
+            rows.append((doc_id, encode_wav(b - 128)))
+        yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+
 def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic 'audio' windowing: overlapping 256-byte windows with
-    hop 128 over the blob, per-window RMS / peak / zero-crossing count —
-    the exact windowed-DSP shape (overlap fan-out + vectorized per-window
-    reduction) that real audio feature extraction uses, computed over the
-    real bytes (samples = centered byte values) instead of decoded PCM.
+    """Windowed DSP over REAL decoded audio: each ``wav`` cell is a full
+    RIFF/WAVE container parsed by :func:`decode_wav`; the decoded PCM
+    stream is cut into overlapping 256-sample windows (hop 128) with
+    per-window RMS / peak / zero-crossing count — the exact overlap
+    fan-out + vectorized reduction shape of real audio featurization.
     """
     import numpy as np
 
     win, hop = 256, 128
     for pdf in batches:
         rows = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            b = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
-            b -= 128.0  # center like signed PCM
+        for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+            _, samples = decode_wav(bytes(wav))
+            b = samples.astype(np.float64)
             n_windows = max(1, (len(b) - win) // hop + 1) if len(b) else 0
             for w_idx in range(n_windows):
                 seg = b[w_idx * hop : w_idx * hop + win]
@@ -189,14 +311,19 @@ def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query("mm_audio_windows", tags=("multimodal",))
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping-window feature extraction over blob 'audio' (256-byte
-    windows, 128 hop): the windowed-DSP plumbing — overlap fan-out,
-    vectorized per-window reductions, Arrow-batched transfer.  Rows-only
-    driver check (windowed RMS/zero-crossings are not reasonably
-    SQL-expressible); tests pin golden values for a fixed doc."""
+    """Overlapping-window feature extraction over REAL WAV audio: stage 1
+    encodes each blob into a PCM16 RIFF/WAVE container (a real encoded
+    fixture as a binary column), stage 2 parses the container with the
+    pure-numpy :func:`decode_wav` and windows the decoded samples
+    (256-sample windows, hop 128) — overlap fan-out, vectorized
+    per-window reductions, Arrow-batched transfer, end-to-end through a
+    real audio format.  Rows-only driver check (windowed
+    RMS/zero-crossings are not reasonably SQL-expressible); tests pin
+    golden values for a fixed doc and codec roundtrips."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return blobs.mapInPandas(_audio_windows, schema=_AUDIO_SCHEMA)
+    wavs = blobs.mapInPandas(_encode_wav_batch, schema="doc_id bigint, wav binary")
+    return wavs.mapInPandas(_audio_windows, schema=_AUDIO_SCHEMA)
 
 
 @query(
@@ -234,27 +361,45 @@ _THUMB = 8  # target thumbnail side
 _THUMB_SCHEMA = "doc_id bigint, src_side int, thumb_hex string"
 
 
-def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Block-average downsample of blob-as-square-image to _THUMB².
+def _encode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Blob bytes → real P6 PPM containers: the blob's first side² bytes
+    (side = ⌊√n⌋) form a square grayscale grid, written as RGB with all
+    three channels equal."""
+    import numpy as np
 
-    The blob's first side² bytes (side = ⌊√n⌋) form the source grid;
-    each target cell averages its source block (numpy ``add.at`` on the
-    (row→target, col→target) index map — fully vectorized, no Python
-    pixel loop).  Sources smaller than the target are zero-padded.  The
-    stand-in for a real ``decode_stub`` + PIL ``resize`` with identical
-    plumbing: Arrow batch in, fixed-size thumbnail out."""
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            b = np.frombuffer(bytes(blob), dtype=np.uint8)
+            side = int(np.sqrt(b.size))
+            gray = b[: side * side].reshape(side, side)
+            rgb = np.repeat(gray[:, :, None], 3, axis=2)
+            rows.append((doc_id, encode_ppm(rgb)))
+        yield pd.DataFrame(rows, columns=["doc_id", "ppm"])
+
+
+def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Block-average downsample of REAL decoded PPM images to _THUMB².
+
+    Each ``ppm`` cell is a full P6 container parsed by
+    :func:`decode_ppm`; luminance is the channel mean of the decoded
+    pixels, and each target cell averages its source block (numpy
+    ``add.at`` on the (row→target, col→target) index map — fully
+    vectorized, no Python pixel loop).  Sources smaller than the target
+    are zero-padded.  Identical plumbing to a PIL decode+resize: Arrow
+    batch in, fixed-size thumbnail out."""
     import numpy as np
 
     t = _THUMB
     for pdf in batches:
         out = []
-        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            b = np.frombuffer(bytes(blob), dtype=np.uint8)
-            side = int(np.sqrt(b.size))
+        for doc_id, ppm in zip(pdf["doc_id"], pdf["ppm"]):
+            pixels = decode_ppm(bytes(ppm))
+            side = pixels.shape[0]
             if side == 0:
                 out.append((doc_id, 0, "00" * (t * t)))
                 continue
-            img = b[: side * side].reshape(side, side).astype(np.float64)
+            img = pixels.astype(np.float64).mean(axis=2)
             if side < t:
                 pad = np.zeros((t, t))
                 pad[:side, :side] = img
@@ -273,14 +418,17 @@ def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @query("mm_resize", tags=("multimodal",))
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/thumbnail plumbing for image-like blobs: 1 blob → one
-    fixed 8×8 block-averaged thumbnail via ``mapInPandas`` (the missing
-    member of the decode / feature-extract / resize / frame-sample
-    quartet).  Pure scan-shaped work — no shuffle, Arrow-batched, output
-    size fixed per row regardless of blob size, which is what makes a
-    full-corpus re-thumbnail pass feasible at 100 TB.  Rows-only driver
-    check (block-average resampling is not reasonably SQL-expressible);
-    tests pin a golden thumbnail and the determinism/shape invariants."""
+    """Decode + resize over REAL images: stage 1 encodes each blob into a
+    P6 PPM container (a real encoded fixture as a binary column), stage 2
+    parses the container with the pure-numpy :func:`decode_ppm` and
+    block-averages the decoded pixels to one fixed 8×8 thumbnail — the
+    full decode→resize path of an image pipeline, end-to-end through a
+    real format.  Pure scan-shaped work — no shuffle, Arrow-batched,
+    output size fixed per row regardless of blob size, which is what
+    makes a full-corpus re-thumbnail pass feasible at 100 TB.  Rows-only
+    driver check (block-average resampling is not reasonably
+    SQL-expressible); tests pin a golden thumbnail and codec roundtrips."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
-    return blobs.mapInPandas(_resize_thumbs, schema=_THUMB_SCHEMA)
+    ppms = blobs.mapInPandas(_encode_ppm_batch, schema="doc_id bigint, ppm binary")
+    return ppms.mapInPandas(_resize_thumbs, schema=_THUMB_SCHEMA)

@@ -175,9 +175,67 @@ def test_bruteforce_topk_shape(spark, specs):
 
 # ---- multimodal -----------------------------------------------------------
 
-def test_decode_stub_raises():
+def test_decode_media_dispatch_and_seam():
+    """PPM and WAV decode natively; codec-library formats still raise at
+    the documented seam."""
+    import numpy as np
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    out = multimodal.decode_media(multimodal.encode_ppm(img))
+    assert out["kind"] == "image" and (out["pixels"] == img).all()
+    aud = multimodal.decode_media(multimodal.encode_wav([1, -2, 3], 44100))
+    assert aud["kind"] == "audio" and aud["sample_rate"] == 44100
+    assert list(aud["samples"]) == [1, -2, 3]
     with pytest.raises(NotImplementedError):
-        multimodal.decode_stub(b"\x89PNG")
+        multimodal.decode_media(b"\x89PNG")
+
+
+def test_ppm_codec_golden_and_errors():
+    """Decode a handcrafted spec-shaped header (comments + odd
+    whitespace) and reject truncated/unsupported files."""
+    import numpy as np
+
+    blob = b"P6 # comment\n# another\n 2\t1 \n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    px = multimodal.decode_ppm(blob)
+    assert px.shape == (1, 2, 3)
+    assert px.tolist() == [[[1, 2, 3], [4, 5, 6]]]
+    rt = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(rt)) == rt).all()
+    with pytest.raises(ValueError, match="truncated PPM pixel"):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_ppm(b"P6\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="not a P6"):
+        multimodal.decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_wav_codec_golden_and_errors():
+    """Chunk-walking decode: an extra chunk before data is skipped per
+    the RIFF spec; truncation and non-PCM16 formats are rejected."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    blob = multimodal.encode_wav(samples, 16000)
+    rate, got = multimodal.decode_wav(blob)
+    assert rate == 16000 and (got == samples).all()
+    # splice an unknown (odd-sized, so word-padded) chunk before data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate2, got2 = multimodal.decode_wav(spliced)
+    assert rate2 == 16000 and (got2 == samples).all()
+    with pytest.raises(ValueError, match="truncated WAV"):
+        multimodal.decode_wav(blob[:-2])
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(stereo_fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt)
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        multimodal.decode_wav(bad)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        multimodal.decode_wav(b"OggS")
 
 
 def test_byte_features_golden(spark, specs):

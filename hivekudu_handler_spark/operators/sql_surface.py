@@ -598,3 +598,153 @@ def sort_distribute_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
         """
     )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supplycost
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, ps.supplycost
+FROM ps
+JOIN part p     ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE p.p_type = 'SMALL' AND r.r_name = 'ASIA'
+  AND ps.supplycost = (
+    SELECT MIN(ps2.supplycost) FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("sql_q2_min_cost_supplier", oracle=_Q2_SQL, tags=("sql", "tpch"))
+def sql_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a part-supplier cost CTE
+    (the fixture has no partsupp, so unit cost = MIN(price/qty) from
+    lineitem) referenced twice — once in the outer 5-way join, once in a
+    correlated MIN subquery Catalyst decorrelates into a per-part
+    aggregate joined back.  The cost equality is engine-stable because
+    both sides MIN over the identical IEEE division results; nothing is
+    rounded pre-comparison.  Dimension tables broadcast; top-100 via
+    TakeOrderedAndProject."""
+    _register(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    return spark.sql(_Q2_SQL)
+
+
+_Q9_SQL = """
+SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity) * 10000) AS BIGINT))
+            AS BIGINT) / CAST(10000 AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%e%'
+GROUP BY n.n_name, CAST(YEAR(o.o_orderdate) AS INT)
+"""
+
+
+@query("sql_q9_product_profit", oracle=_Q9_SQL, tags=("sql", "tpch"))
+def sql_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    5-relation join tree with a fact⋈fact edge (lineitem⋈orders) plus
+    three broadcast dims, grouped on (nation, year).  Supply cost is
+    derived from p_retailprice (no partsupp in the fixture).  The profit
+    summand carries exactly 4 decimal digits (2dp price × 2dp discount),
+    so it is summed as a ×10⁴-scaled BIGINT — an exact sum in any order,
+    immune to the ROUND half-boundary flake a double sum hit here —
+    then divided back once."""
+    _register(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    return spark.sql(_Q9_SQL)
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l.l_partkey, SUM(l.l_extendedprice * l.l_quantity) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM val
+WHERE value > (SELECT 0.002 * SUM(value) FROM val)
+"""
+
+
+@query("sql_q11_important_stock", oracle=_Q11_SQL, tags=("sql", "tpch"))
+def sql_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): a grouped value
+    CTE filtered against a scalar fraction of its own global sum — the
+    same aggregate evaluated at two granularities.  Spark runs the CTE
+    branches as two one-shuffle aggregates over the shared pushdown
+    scan; value is rounded only in the emitted column, the threshold
+    compares full-precision sums."""
+    _register(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("sql_q16_parts_suppliers", oracle=_Q16_SQL, tags=("sql", "tpch"))
+def sql_q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct
+    part-supplier pairs (lineitem stands in for partsupp) with a NOT IN
+    exclusion subquery (suppliers in deficit stand in for complaint
+    comments) and a COUNT(DISTINCT) over three grouping columns.
+    NOT IN over a non-nullable key column decorrelates to a null-aware
+    anti-join; the distinct pair projection collapses the fact before
+    the expensive join."""
+    _register(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sh.l_suppkey
+  FROM shipped sh
+  JOIN tot t ON t.l_partkey = sh.l_partkey
+  WHERE sh.qty > 0.3 * t.total_qty
+    AND sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'))
+"""
+
+
+@query("sql_q20_excess_stock", oracle=_Q20_SQL, tags=("sql", "tpch"))
+def sql_q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN chain —
+    suppliers whose shipped share of a 'red' part exceeds 30% of that
+    part's total (share-of-total stands in for partsupp availqty).  The
+    share comparison is exact: l_quantity is integer-valued, so both
+    sums are IEEE-exact in any order.  Two grouped CTEs share one
+    date-pushdown scan; the IN chains decorrelate to semi-joins."""
+    _register(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(_Q20_SQL)

@@ -197,6 +197,11 @@ def run_stream_over_fixture(
     single-batch trigger), applies ``transform`` and collects the result
     from a memory sink.  Used by tests to prove batch/stream parity.
     """
+    from hivekudu_handler_spark.tables import ensure_session_confs, ts_to_micros
+
+    # pin UTC before the ts cast: cast('timestamp') on a TIMESTAMP_NTZ
+    # source is session-timezone-dependent (r4 ADVICE)
+    ensure_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the fixture dir contains all tables; restrict to the events file
@@ -205,9 +210,7 @@ def run_stream_over_fixture(
         .option("pathGlobFilter", "events.parquet")
         .parquet(f"{sf_dir}")
     )
-    from hivekudu_handler_spark.tables import _ts_to_micros
-
-    ev = stream.withColumn("ts", _ts_to_micros(stream))
+    ev = stream.withColumn("ts", ts_to_micros(stream))
     if with_watermark:
         ev = ev.withWatermark("ts", with_watermark)
     out = transform(ev)
@@ -267,14 +270,15 @@ def run_stateful_over_fixture(spark, sf_dir: str):
     the events fixture; returns the memory-sink table of updates."""
     import uuid
 
-    from hivekudu_handler_spark.tables import _ts_to_micros
+    from hivekudu_handler_spark.tables import ensure_session_confs, ts_to_micros
 
+    ensure_session_confs(spark)  # pin UTC before the ts cast (r4 ADVICE)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(static.schema).option(
         "pathGlobFilter", "events.parquet"
     ).parquet(f"{sf_dir}")
-    stream = stream.withColumn("ts", _ts_to_micros(stream))
+    stream = stream.withColumn("ts", ts_to_micros(stream))
     out = stateful_user_totals(stream)
     # unique sink name: repeated invocations in one session must not
     # collide on the memory-sink table

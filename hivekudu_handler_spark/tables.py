@@ -74,15 +74,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", _ts_to_micros(df))
+    return df.withColumn("ts", ts_to_micros(df))
 
 
-def _ts_to_micros(df: DataFrame):
+def ts_to_micros(df: DataFrame):
     """Column expression converting ``ts`` to microsecond TimestampType.
 
     Int64 means a nanos parquet read under ``nanosAsLong`` (truncate to
     micros); a timestamp (NTZ or LTZ) is already micros — cast pins the
     session-zone TimestampType the engine's schema contract promises.
+    Public: the streaming fixture runners normalize their readStream
+    sources with this same expression (r4 ADVICE).
     """
     from pyspark.sql.types import LongType
 

@@ -113,3 +113,17 @@ def test_entry_surface_orders_registry(tmp_path):
     ordered = entry._ordered_specs()
     assert set(ordered) == set(load_all())
     assert len(ordered) == len(load_all())
+
+
+def test_changed_tier_orders_oldest_evidence_first():
+    """When multiple recorded keys have gone stale, the one whose record
+    is OLDEST re-records first — its green row is the most misleading."""
+    specs = {n: _spec(n) for n in ("stale_new", "stale_old")}
+    records = [
+        (1, {"stale_old": OK}),
+        (4, {"stale_new": OK}),
+    ]
+    sidecar = {"stale_old": {"1": "h1"}, "stale_new": {"4": "h4"}}
+    current = {"stale_old": "h1x", "stale_new": "h4x"}
+    got = order_keys(specs, records, sidecar=sidecar, current=current)
+    assert got == ["stale_old", "stale_new"]

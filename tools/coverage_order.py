@@ -13,7 +13,11 @@ as explicit input*:
    out fresh signal every round — r3 ADVICE);
 2. keys whose source changed since their latest record (the sidecar hash
    stamped for that round differs from the current hash) — a green row
-   for rewritten code is stale evidence (r3 verdict, ``join_asof``);
+   for rewritten code is stale evidence (r3 verdict, ``join_asof``).
+   Ordered by ascending record round: when the stale set exceeds the
+   window, the OLDEST evidence is the most misleading and re-records
+   first (a key certified 4 rounds ago and rewritten since tells the
+   reader less than one certified last round);
 3. keys recorded in a round with no stored hash — staleness unknowable,
    so presumed stale.  Stale-but-recorded outranks never-recorded (r4
    verdict: rewritten keys above *new* keys) because an obsolete green row
@@ -100,7 +104,7 @@ def order_keys(
 
     errored_new: list[str] = []
     errored_repeat: list[str] = []
-    changed: list[str] = []
+    changed: list[tuple[int, str]] = []  # (record round, key)
     fresh: list[str] = []
     unknown: list[str] = []
     rest: list[str] = []
@@ -120,9 +124,11 @@ def order_keys(
         if stamped is None or cur is None:
             unknown.append(key)
         elif stamped != cur:
-            changed.append(key)
+            changed.append((last_round, key))
         else:
             rest.append(key)
 
+    # oldest stale evidence first; stable on registration order within a round
+    changed_keys = [k for _, k in sorted(changed, key=lambda t: t[0])]
     fresh = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
-    return [*errored_new, *changed, *unknown, *fresh, *errored_repeat, *rest]
+    return [*errored_new, *changed_keys, *unknown, *fresh, *errored_repeat, *rest]

@@ -41,6 +41,8 @@ HEADLINE = [
     "sql_q18_large_volume",     # grouped-HAVING semi-join (TPC-H Q18)
     "sql_q8_market_share",      # 8-relation join tree (TPC-H Q8)
     "sql_q21_waiting_supplier", # EXISTS + NOT EXISTS over the fact (TPC-H Q21)
+    "sql_q2_min_cost_supplier", # twice-referenced CTE + correlated MIN (TPC-H Q2)
+    "sql_q9_product_profit",    # 5-relation fact-fact join tree (TPC-H Q9)
     "scan_full",            # raw scan throughput
     "filter_range",         # pushdown + range predicates
     "join_inner",           # shuffle join

@@ -323,6 +323,37 @@ def ddl_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dml_sql_update_delete",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'A'), (2, 'b')) AS t(id, name)"
+    ),
+    tags=("ddl", "sink"),
+)
+def dml_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE and DELETE through SQL text — the reference's declared DML
+    goals (``doc/DesignDocument.md:9,46-48``, TODO
+    ``HiveKuduTableOutputFormat.java:175-176``) routed to the keyed
+    upsert/delete: UPDATE uppercases matched names (id <> 2), DELETE
+    removes id 3, leaving (1,'A'),(2,'b').  Key-column SET rejection and
+    WHERE-less DELETE rejection are pytest-pinned."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE test_drop (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO test_drop VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+        execute(store, "UPDATE test_drop SET name = upper(name) WHERE id <> 2")
+        execute(store, "DELETE FROM test_drop WHERE id = 3")
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "sink_insert_overwrite",
     oracle=(
         "SELECT * FROM (VALUES (7, 'x'), (8, 'y')) AS t(id, name)"

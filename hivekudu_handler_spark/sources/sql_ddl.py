@@ -15,6 +15,13 @@ test exercises (``README.md:14-218``) and routing them to the store:
 * ``DESCRIBE [FORMATTED] name``     (demo ``README.md:33,76-110``)
 * ``INSERT INTO [TABLE] name VALUES (...), (...)``
   (demo ``README.md:35,113-130``)
+* ``UPDATE name SET col = expr[, ...] [WHERE pred]`` and
+  ``DELETE FROM name WHERE pred`` — the reference's *declared* DML goals
+  (``doc/DesignDocument.md:9,46-48``; TODO at
+  ``HiveKuduTableOutputFormat.java:175-176``), routed to the store's
+  keyed upsert/delete.  Key columns may not be SET (the storage model's
+  primary key is immutable, as in Kudu); predicates and SET expressions
+  are parsed by Spark's own expression parser.
 
 Rejections mirror the reference byte-for-byte in spirit:
 
@@ -104,6 +111,15 @@ _INSERT_RE = re.compile(
     r"VALUES\s+(?P<values>\(.*\))$",
     re.IGNORECASE | re.DOTALL,
 )
+_DELETE_STMT_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+WHERE\s+(?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def execute(store: TableStore, sql: str) -> DataFrame | None:
@@ -125,10 +141,82 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         return store.describe(m.group("name"))
     if verb == "INSERT":
         return _insert(store, stmt)
+    if verb == "DELETE":
+        m = _DELETE_STMT_RE.match(stmt)
+        if not m:
+            # a WHERE-less DELETE would silently truncate; require intent
+            raise SqlDdlError(
+                f"cannot parse DELETE statement (WHERE is mandatory): {sql!r}"
+            )
+        store.delete_where(m.group("name"), m.group("pred"))
+        return None
+    if verb == "UPDATE":
+        return _update(store, stmt)
     raise SqlDdlError(
-        f"unsupported statement (this front-end owns DDL/INSERT-VALUES "
-        f"only, queries go through Spark SQL): {sql!r}"
+        f"unsupported statement (this front-end owns DDL and DML only, "
+        f"queries go through Spark SQL): {sql!r}"
     )
+
+
+def _split_top(text: str) -> list[str]:
+    """Split on commas at paren depth 0, outside single-quoted strings."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    token = ""
+    for ch in text:
+        if in_str:
+            token += ch
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            token += ch
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(token)
+            token = ""
+            continue
+        token += ch
+    if token.strip():
+        parts.append(token)
+    return parts
+
+
+def _update(store: TableStore, stmt: str) -> None:
+    m = _UPDATE_RE.match(stmt)
+    if not m:
+        raise SqlDdlError(f"cannot parse UPDATE statement: {stmt!r}")
+    name = m.group("name")
+    meta = store.table_meta(name)
+    types = {f.name: f.dataType for f in meta.schema.fields}
+    assignments: dict[str, str] = {}
+    for part in _split_top(m.group("sets")):
+        col, eq, expr_text = part.partition("=")
+        col, expr_text = col.strip(), expr_text.strip()
+        if not eq or not col or not expr_text:
+            raise SqlDdlError(f"cannot parse SET assignment: {part.strip()!r}")
+        if col not in types:
+            raise SqlDdlError(f"unknown column in SET: {col!r}")
+        if col in meta.key_columns:
+            # the storage model's primary key is immutable (as in Kudu);
+            # a key rewrite is a delete + insert, not an UPDATE
+            raise SqlDdlError(
+                f"key column {col!r} may not be updated (primary key is "
+                "immutable; DELETE + INSERT to change identity)"
+            )
+        assignments[col] = expr_text
+    pred = m.group("pred")
+    rows = store.scan(name, predicate=pred) if pred else store.scan(name)
+    for col, expr_text in assignments.items():
+        rows = rows.withColumn(col, F.expr(expr_text).cast(types[col]))
+    # keyed upsert: only the buckets holding matched rows are rewritten
+    store.upsert(name, rows)
 
 
 def _create(store: TableStore, stmt: str) -> None:

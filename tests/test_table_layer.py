@@ -505,3 +505,43 @@ def test_sql_ddl_rejects_queries_and_garbage(spark, store):
         execute(store, "SELECT * FROM t")
     with pytest.raises(SqlDdlError, match="cannot parse"):
         execute(store, "DROP TABLE")
+
+
+def test_sql_dml_update_delete(spark, store):
+    """UPDATE/DELETE statement routing: multi-assignment SET with
+    expressions, WHERE-scoped and WHERE-less UPDATE, SQL NULL semantics
+    inherited from delete_where."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string, score int) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    execute(store, "UPDATE t SET name = upper(name), score = score + 1 WHERE name = 'a'")
+    rows = sorted((r.id, r.name, r.score) for r in store.scan("t").collect())
+    assert rows == [(1, "A", 11), (2, "b", 20), (3, "A", 31)]
+    execute(store, "UPDATE t SET score = 0")  # WHERE-less: all rows
+    assert {r.score for r in store.scan("t").collect()} == {0}
+    execute(store, "DELETE FROM t WHERE id >= 2")
+    assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "A")]
+
+
+def test_sql_dml_rejections(spark, store):
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 'a')")
+    with pytest.raises(SqlDdlError, match="immutable"):
+        execute(store, "UPDATE t SET id = 9")
+    with pytest.raises(SqlDdlError, match="unknown column"):
+        execute(store, "UPDATE t SET nope = 1")
+    with pytest.raises(SqlDdlError, match="WHERE is mandatory"):
+        execute(store, "DELETE FROM t")
+    # nothing was mutated by the rejected statements
+    assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "a")]

@@ -323,6 +323,17 @@ class TableStore:
             df = df.select(*columns)
         return df
 
+    def register_views(self, *names: str) -> None:
+        """Expose tables as session temp views so ARBITRARY Spark SQL runs
+        over them — the reference's whole contract ("Hive SQL over handler
+        tables", ``README.md:4-7``) with Catalyst in place of Hive's
+        engine.  No argument registers every table.  A view snapshots the
+        table's file listing at registration (Spark's parquet source
+        indexes files when the plan is built); re-register after mutations
+        to see their effect."""
+        for name in names or self.list_tables():
+            self.scan(name).createOrReplaceTempView(name)
+
     def lookup(self, name: str, key: dict[str, object]) -> DataFrame:
         """Keyed point-lookup that prunes to ONE bucket directory.
 

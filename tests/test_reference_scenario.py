@@ -77,3 +77,35 @@ def test_null_key_rows_are_dropped(spark, store):
     df = spark.createDataFrame([(None, "x"), (7, "y")], "id int, name string")
     store.insert("t", df)
     assert [tuple(r) for r in store.scan("t").collect()] == [(7, "y")]
+
+
+def test_simple_test_sql_scenario_pure_sql(spark, store):
+    """The same golden script driven entirely through SQL TEXT — DDL/DML
+    via the statement router, queries via spark.sql over registered
+    views: the reference's actual user experience (SQL in, rows out,
+    README.md:14-218) with zero Python API calls for the script body."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE test_drop (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    desc = {r["col_name"]: r["is_key"] for r in execute(store, "DESCRIBE test_drop").collect()}
+    assert desc == {"id": True, "name": False}
+    execute(store, "INSERT INTO test_drop VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    store.register_views()
+
+    assert spark.sql("SELECT count(*) AS n FROM test_drop").collect()[0]["n"] == 3
+    ids = {r["id"] for r in spark.sql("SELECT id FROM test_drop WHERE name = 'a'").collect()}
+    assert ids == {1, 3}
+    counts = {
+        r["name"]: r["cnt"]
+        for r in spark.sql(
+            "SELECT name, count(*) AS cnt FROM test_drop GROUP BY name"
+        ).collect()
+    }
+    assert counts == {"a": 2, "b": 1}
+
+    execute(store, "DROP TABLE test_drop")
+    assert store.list_tables() == []

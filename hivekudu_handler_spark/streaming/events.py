@@ -173,6 +173,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_segment_counts(ev, dim)
 
 
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Interval join: each click matched to same-user purchases within
+    the following 30 minutes — the attribution-join shape.  Valid in
+    BOTH runtimes: in batch it is a plain range-condition equi-join; in
+    streaming, with a watermark on each side, the time bound is exactly
+    what lets Structured Streaming expire join state (an unbounded
+    stream-stream join would buffer forever).  The lag is microsecond-
+    exact (``unix_micros``) — second-truncation would be lossy on the
+    sub-second fixture timestamps and engine-dependent in rounding."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_micros"),
+    )
+
+
+@query(
+    "stream_stream_join",
+    oracle=(
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, "
+        "       a.user_id, epoch_us(b.ts) - epoch_us(a.ts) AS lag_micros "
+        "FROM events a JOIN events b "
+        "  ON a.user_id = b.user_id "
+        " AND a.event_type = 'click' AND b.event_type = 'purchase' "
+        " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE"
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within 30
+    minutes).  Batch mode is what the oracle checks;
+    tests/test_streaming.py runs the identical definition as a true
+    two-stream watermarked join through ``readStream`` and asserts
+    equality.  Scale path: state per side is bounded by watermark + the
+    30-minute bound, and the join shuffles both sides on user_id — the
+    canonical Structured Streaming join layout."""
+    ev = load_events(spark, sf_dir)
+    return click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
 @query("stream_dedup", tags=("streaming",))
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup surface (``dropDuplicates`` on

@@ -99,3 +99,46 @@ def test_sliding_window_starts_match_explicit_materialization(spark):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert got == expected
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """True two-stream watermarked interval join through the streaming
+    engine must equal the batch join of the same definition."""
+    from pyspark.sql import functions as F
+
+    from hivekudu_handler_spark.streaming.events import click_purchase_pairs
+    from hivekudu_handler_spark.tables import ensure_session_confs, ts_to_micros
+
+    ensure_session_confs(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{SF}/events.parquet")
+
+    def side(event_type):
+        s = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF)
+        )
+        s = s.withColumn("ts", ts_to_micros(s))
+        return s.filter(F.col("event_type") == event_type).withWatermark(
+            "ts", "1 day"
+        )
+
+    out = click_purchase_pairs(side("click"), side("purchase"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_join_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_result = spark.table("ss_join_result")
+
+    ev = load_events(spark, SF)
+    batch = click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert len(_normalize(batch)) > 0
+    assert _normalize(stream_result) == _normalize(batch)

@@ -171,3 +171,21 @@ def test_ivf_assignment_is_scan_shaped(spark):
     assert "hashpartitioning" not in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_new_tpch_shapes_have_no_cartesian(spark):
+    """Q2/Q9/Q16/Q20: correlated/nested subqueries must decorrelate to
+    joins (never CartesianProduct), dimensions broadcast, and Q2's
+    top-100 must short-circuit via TakeOrderedAndProject."""
+    specs = load_all()
+    for key in (
+        "sql_q2_min_cost_supplier",
+        "sql_q9_product_profit",
+        "sql_q16_parts_suppliers",
+        "sql_q20_excess_stock",
+    ):
+        plan = checks.plan_string(specs[key].fn(spark, SF))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastHashJoin" in plan, key
+    q2 = checks.plan_string(specs["sql_q2_min_cost_supplier"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in q2

@@ -179,6 +179,16 @@ def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "csv")
 
 
+@query("source_orc", oracle=_FMT_ORACLE, tags=("scan", "format"))
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — the second columnar format (the one
+    Hive deployments the reference targeted actually used).  Columnar,
+    binary, and predicate-pushdown-capable like Parquet, so it rides the
+    same vectorized reader path; the roundtrip oracle catches any
+    type-mapping drift."""
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
 @query("source_json", oracle=_FMT_ORACLE, tags=("scan", "format"))
 def source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink roundtrip (schema supplied on read: at

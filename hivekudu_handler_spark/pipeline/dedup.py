@@ -606,23 +606,32 @@ def cluster_pairs(
             edges.join(labels, edges["v"] == labels["node"])
             .select(edges["u"].alias("node"), "lab")
         )
+        # localCheckpoint, not persist: each round is materialized anyway
+        # (the label-sum fixpoint check), and checkpointing also cuts the
+        # join lineage so plan depth stays O(1) in rounds — a large budget
+        # must cost rounds, never a driver-side plan-tree blowup
         new_labels = (
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_sum = _label_sum(new_labels)
-        labels.unpersist()
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
     if not converged:
-        # diameter exceeded the propagation budget: deep-graph path
+        # diameter exceeded the propagation budget: deep-graph path.
+        # <=, not <: a node whose only pair is a self-pair (u == v) must
+        # still be labeled (id, id) here, exactly as the propagation path
+        # labels it — the star kernel keeps such nodes in its node set and
+        # drops the degenerate edge before contracting
         labels.unpersist()
-        pairs_uv = edges.filter(F.col("u") < F.col("v"))
+        pairs_uv = edges.filter(F.col("u") <= F.col("v"))
         out = connected_components_star(pairs_uv)
         edges.unpersist()
         return out

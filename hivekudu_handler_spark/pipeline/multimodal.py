@@ -116,6 +116,10 @@ def decode_wav(blob: bytes):
         if len(body) != size:
             raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"fmt chunk too short ({len(body)} bytes, need 16)"
+                )
             audio_fmt, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

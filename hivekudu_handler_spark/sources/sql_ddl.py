@@ -116,10 +116,40 @@ _DELETE_STMT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    r"^UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+    r"^UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_where(text: str) -> tuple[str, str | None]:
+    """Split ``text`` into (before, predicate) on the first top-level WHERE
+    keyword — at paren depth 0 and outside single-quoted strings — so a
+    literal like ``'x WHERE y'`` is never misread as a predicate boundary."""
+    depth = 0
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "wW":
+            before, kw = text[:i], text[i : i + 5]
+            after = text[i + 5 : i + 6]
+            if (
+                kw.upper() == "WHERE"
+                and (not before or before[-1].isspace())
+                and (not after or not (after.isalnum() or after == "_"))
+            ):
+                return before, text[i + 5 :].strip() or None
+        i += 1
+    return text, None
 
 
 def execute(store: TableStore, sql: str) -> DataFrame | None:
@@ -193,10 +223,11 @@ def _update(store: TableStore, stmt: str) -> None:
     if not m:
         raise SqlDdlError(f"cannot parse UPDATE statement: {stmt!r}")
     name = m.group("name")
+    sets_text, pred = _split_where(m.group("rest"))
     meta = store.table_meta(name)
     types = {f.name: f.dataType for f in meta.schema.fields}
     assignments: dict[str, str] = {}
-    for part in _split_top(m.group("sets")):
+    for part in _split_top(sets_text):
         col, eq, expr_text = part.partition("=")
         col, expr_text = col.strip(), expr_text.strip()
         if not eq or not col or not expr_text:
@@ -211,10 +242,18 @@ def _update(store: TableStore, stmt: str) -> None:
                 "immutable; DELETE + INSERT to change identity)"
             )
         assignments[col] = expr_text
-    pred = m.group("pred")
     rows = store.scan(name, predicate=pred) if pred else store.scan(name)
-    for col, expr_text in assignments.items():
-        rows = rows.withColumn(col, F.expr(expr_text).cast(types[col]))
+    # one select, so every SET expression evaluates against the PRE-update
+    # row (SQL semantics: 'SET a = b, b = a' swaps); sequential withColumn
+    # would feed later assignments the earlier assignments' new values
+    rows = rows.select(
+        *[
+            F.expr(assignments[c]).cast(types[c]).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in rows.columns
+        ]
+    )
     # keyed upsert: only the buckets holding matched rows are rewritten
     store.upsert(name, rows)
 

@@ -503,6 +503,42 @@ def test_cluster_pairs_deep_graph_cutover(spark):
     assert got == expected
 
 
+def test_cluster_pairs_self_pair_survives_fallback(spark):
+    """A node whose ONLY pair is a self-pair (doc_a == doc_b) must appear
+    as (id, id) in the output on BOTH paths — the propagation path always
+    kept it, and the star-contraction fallback must not drop it when it
+    filters to one edge orientation."""
+    from hivekudu_handler_spark.pipeline.dedup import cluster_pairs
+
+    chain = [(i, i + 1) for i in range(100, 147)]  # forces the fallback
+    lone = [(7, 7)]                                # self-pair-only node
+    pairs = spark.createDataFrame(chain + lone, "doc_a long, doc_b long")
+    # budget 4 < diameter 47: fallback path
+    fb = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in cluster_pairs(pairs, prop_round_budget=4).collect()
+    }
+    # budget 60 > diameter: propagation path
+    prop = {
+        (r["doc_id"], r["keeper_doc_id"])
+        for r in cluster_pairs(pairs, prop_round_budget=60).collect()
+    }
+    assert (7, 7) in fb and (7, 7) in prop
+    assert fb == prop
+
+
+def test_wav_short_fmt_chunk_rejected():
+    """A fmt chunk shorter than the 16-byte PCM header must fail through
+    the documented ValueError, not a struct.error."""
+    import struct
+
+    short_fmt = struct.pack("<HH", 1, 1)  # 4 bytes, not 16
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(short_fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        multimodal.decode_wav(bad)
+
+
 def test_cluster_pairs_shallow_graph_stays_on_propagation(spark):
     """Inside the budget, propagation converges and labels are exact."""
     from hivekudu_handler_spark.pipeline.dedup import cluster_pairs

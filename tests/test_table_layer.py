@@ -528,6 +528,42 @@ def test_sql_dml_update_delete(spark, store):
     assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "A")]
 
 
+def test_sql_update_set_reads_pre_update_row(spark, store):
+    """SQL semantics: every SET expression evaluates against the row as it
+    was BEFORE the update, so 'SET a = b, b = a' swaps (sequential
+    column-by-column application would set b to the new a)."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, a int, b int) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 10, 20), (2, 3, 4)")
+    execute(store, "UPDATE t SET a = b, b = a WHERE id = 1")
+    rows = sorted((r.id, r.a, r.b) for r in store.scan("t").collect())
+    assert rows == [(1, 20, 10), (2, 3, 4)]
+
+
+def test_sql_update_where_keyword_inside_string_literal(spark, store):
+    """The SET/WHERE split is quote-aware: a literal containing ' WHERE '
+    must not be misread as the predicate boundary, and a real WHERE after
+    such a literal must still be honored."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    execute(store, "UPDATE t SET name = 'x WHERE y'")  # literal, no predicate
+    assert {r.name for r in store.scan("t").collect()} == {"x WHERE y"}
+    execute(store, "UPDATE t SET name = 'p WHERE q' WHERE id = 2")
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "x WHERE y"), (2, "p WHERE q")]
+
+
 def test_sql_dml_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
 

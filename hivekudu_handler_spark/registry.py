@@ -61,6 +61,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         ddl,
         joins,
+        range_layout,
         scans,
         setops,
         sorts,

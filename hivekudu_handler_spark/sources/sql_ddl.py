@@ -49,6 +49,21 @@ from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreErr
 # the reference's property names (HiveKuduConstants.java:28-30) plus the
 # bare spelling for convenience
 _KEY_PROPS = ("kudu.key_columns", "key_columns")
+_SPLIT_PROPS = ("kudu.range_splits", "range_splits")
+
+
+def _parse_splits(text: str) -> list:
+    """``'10,20,30'`` → [10, 20, 30]: ints if every token parses as int,
+    else floats if every token parses as float, else strings — one kind
+    for the whole list (the store validates monotonicity and column-type
+    match)."""
+    tokens = [t.strip() for t in text.split(",") if t.strip()]
+    for conv in (int, float):
+        try:
+            return [conv(t) for t in tokens]
+        except ValueError:
+            continue
+    return tokens
 
 
 class SqlDdlError(TableStoreError):
@@ -290,7 +305,13 @@ def _create(store: TableStore, stmt: str) -> None:
             "TBLPROPERTIES ('kudu.key_columns'='col[,col...]')"
         )
     key_columns = [c.strip() for c in key_prop.split(",") if c.strip()]
-    store.create_table(name, cols, key_columns)
+    split_prop = next((props[p] for p in _SPLIT_PROPS if p in props), None)
+    store.create_table(
+        name,
+        cols,
+        key_columns,
+        range_splits=_parse_splits(split_prop) if split_prop else None,
+    )
 
 
 def _drop(store: TableStore, stmt: str) -> None:

@@ -19,10 +19,23 @@ Semantics replicated from the reference (with file:line cites):
   (``HiveKuduTableOutputFormat.java:175-176``, ``doc/DesignDocument.md:9``);
   we implement them with PK merge semantics (SURVEY.md §7 M3).
 
-Scale design: tables are laid out as hash buckets on the primary key
-(Hive-style ``kb=<n>`` directories — the Spark analogue of Kudu's hash
-partitioning into tablets, ``HiveKuduTableInputFormat.java:166-217``), so
-every mutation touches only the buckets its keys hash into:
+Scale design: tables are laid out as key-partitioned directories — the
+Spark analogue of Kudu's tablets (``HiveKuduTableInputFormat.java:
+166-217``), in either of Kudu's two partitioning schemes:
+
+* **hash** (default): ``kb=<n>`` directories, ``pmod(xxhash64(key), B)``
+  — uniform write spread, point-lookup pruning to one bucket.
+* **range** (``range_splits=[...]``): ``kr=<i>`` ordered key-range
+  directories split on the first key column (Kudu's range-partitioned
+  tablets — the reference's declared partitioning goal,
+  ``doc/DesignDocument.md:8``, TODO at ``KuduStorageHandler.java:266``).
+  Range scans prune to only the directories the interval intersects
+  (:meth:`scan_range`), which hash buckets structurally cannot do (a
+  time-range query over a hash layout reads every bucket); rows are
+  sorted on the range key within each directory so Parquet row-group
+  min/max stats prune further inside it.
+
+Either way every mutation touches only the directories its keys land in:
 
 * INSERT appends new files to affected buckets (existing files are never
   rewritten; dup-key checks anti-join only the affected buckets' rows via
@@ -72,6 +85,10 @@ class TableMeta:
     partition_by: list[str] | None = None
     external: bool = False
     location: str | None = None
+    # sorted split points on the FIRST key column; N splits make N+1
+    # half-open ranges (-inf, s0), [s0, s1), ..., [sN-1, inf) — Kudu's
+    # range-partition bounds model.  None = hash-bucketed layout.
+    range_splits: list | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -83,6 +100,7 @@ class TableMeta:
                 "partition_by": self.partition_by,
                 "external": self.external,
                 "location": self.location,
+                "range_splits": self.range_splits,
             }
         )
 
@@ -97,6 +115,7 @@ class TableMeta:
             partition_by=d.get("partition_by"),
             external=bool(d.get("external", False)),
             location=d.get("location"),
+            range_splits=d.get("range_splits"),
         )
 
 
@@ -104,12 +123,15 @@ class TableStore:
     """A warehouse of managed, primary-keyed Parquet tables."""
 
     def __init__(
-        self, spark: SparkSession, warehouse_dir: str, range_partitions: int = 4
+        self, spark: SparkSession, warehouse_dir: str, num_buckets: int = 4
     ):
         self.spark = spark
         self.root = Path(warehouse_dir)
         self.root.mkdir(parents=True, exist_ok=True)
-        self.range_partitions = range_partitions
+        # hash-bucket count for tables without range_splits (the knob was
+        # misleadingly named range_partitions through r5; it always was
+        # the hash fan-out — real range partitioning is range_splits)
+        self.num_buckets = num_buckets
 
     # ------------------------------------------------------------------ paths
     def _dir(self, name: str) -> Path:
@@ -132,6 +154,7 @@ class TableStore:
         location: str | None = None,
         extended: bool = False,
         partition_by: list[str] | None = None,
+        range_splits: list | None = None,
     ) -> TableMeta:
         """CREATE TABLE with mandatory key columns (managed only).
 
@@ -141,6 +164,11 @@ class TableStore:
         partitioning goal (``KuduStorageHandler.java:266`` TODO,
         ``doc/DesignDocument.md:8,37-39``) as hive-style directory
         partitioning, giving scans partition pruning on those columns.
+        ``range_splits`` selects Kudu's OTHER tablet scheme — key-range
+        partitioning on the first key column: strictly-increasing split
+        points making half-open ranges, each a ``kr=<i>`` directory that
+        :meth:`scan_range` prunes against (hash buckets cannot serve a
+        range predicate without reading every bucket).
         """
         if external:
             raise TableStoreError(
@@ -160,8 +188,17 @@ class TableStore:
             missing = [c for c in partition_by if c not in known]
             if missing:
                 raise TableStoreError(f"unknown partition columns: {missing}")
+        if range_splits is not None:
+            range_splits = self._validate_splits(
+                normalized, list(key_columns), range_splits
+            )
         meta = TableMeta(
-            name, normalized, list(key_columns), extended, partition_by or None
+            name,
+            normalized,
+            list(key_columns),
+            extended,
+            partition_by or None,
+            range_splits=range_splits,
         )
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
@@ -265,20 +302,94 @@ class TableStore:
             rows, "col_name string, data_type string, is_key boolean"
         )
 
-    # --------------------------------------------------------------- buckets
-    _BUCKET_COL = "kb"
+    # ------------------------------------------------- tablets (hash/range)
+    _BUCKET_COL = "kb"   # hash-bucketed layout
+    _RANGE_COL = "kr"    # key-range layout
 
-    def _bucket_expr(self, meta: TableMeta) -> Column:
-        """Deterministic hash bucket of the primary key — the tablet id."""
+    @staticmethod
+    def _validate_splits(
+        schema: T.StructType, key_columns: list[str], splits: list
+    ) -> list:
+        """Range splits must be strictly increasing, JSON-durable scalars
+        (int/float/str) on a range column of matching kind.  The range
+        column is the FIRST key column (Kudu: range columns ⊆ primary
+        key)."""
+        if not splits:
+            raise TableStoreError("range_splits must be a non-empty list")
+        if not all(isinstance(s, (int, float, str)) for s in splits) or any(
+            isinstance(s, bool) for s in splits
+        ):
+            raise TableStoreError(
+                "range_splits must be int/float/str scalars (stored in the "
+                "table's JSON meta and compared driver-side for pruning)"
+            )
+        kinds = {isinstance(s, str) for s in splits}
+        if len(kinds) > 1:
+            raise TableStoreError("range_splits must not mix strings and numbers")
+        if any(a >= b for a, b in zip(splits, splits[1:])):
+            raise TableStoreError(f"range_splits must be strictly increasing: {splits}")
+        col = key_columns[0]
+        typ = {f.name: f.dataType for f in schema.fields}[col]
+        str_col = isinstance(typ, T.StringType)
+        if str_col != (kinds == {True}):
+            raise TableStoreError(
+                f"range_splits kind does not match range column {col!r} "
+                f"type {typ.simpleString()}"
+            )
+        return list(splits)
+
+    def _part_col(self, meta: TableMeta) -> str:
+        """The layout's partition-directory column — the tablet id."""
+        return self._RANGE_COL if meta.range_splits else self._BUCKET_COL
+
+    def _num_parts(self, meta: TableMeta) -> int:
+        return (
+            len(meta.range_splits) + 1 if meta.range_splits else self.num_buckets
+        )
+
+    def _range_col_type(self, meta: TableMeta) -> T.DataType:
+        return {f.name: f.dataType for f in meta.schema.fields}[
+            meta.key_columns[0]
+        ]
+
+    def _range_id_expr(self, meta: TableMeta, value: Column) -> Column:
+        """Range id of ``value`` = number of split points <= value — a
+        chain of JVM comparisons (foldable to a constant when ``value`` is
+        a literal, so it lands in PartitionFilters)."""
+        typ = self._range_col_type(meta)
+        rid = F.lit(0)
+        for s in meta.range_splits:
+            rid = rid + (value >= F.lit(s).cast(typ)).cast("int")
+        return rid.cast("int")
+
+    def _range_id_py(self, meta: TableMeta, value) -> int:
+        """Driver-side twin of :meth:`_range_id_expr` for pruning bounds
+        (bisect over the bounded split list, never data-sized)."""
+        import bisect
+
+        return bisect.bisect_right(meta.range_splits, value)
+
+    def _part_expr(self, meta: TableMeta) -> Column:
+        """Deterministic tablet id of a row: hash bucket of the primary
+        key, or key-range index of the first key column."""
+        if meta.range_splits:
+            return self._range_id_expr(meta, F.col(meta.key_columns[0]))
         return F.pmod(
             F.xxhash64(*[F.col(k) for k in meta.key_columns]),
-            F.lit(self.range_partitions),
+            F.lit(self.num_buckets),
         ).cast("int")
+
+    def _part_expr_of_literals(self, meta: TableMeta, lits: list[Column]) -> Column:
+        """Tablet id of one literal key tuple (``lits`` in key_columns
+        order) — foldable, so it prunes partition directories."""
+        if meta.range_splits:
+            return self._range_id_expr(meta, lits[0])
+        return F.pmod(F.xxhash64(*lits), F.lit(self.num_buckets)).cast("int")
 
     def _read_schema(self, meta: TableMeta) -> T.StructType:
         return T.StructType(
             list(meta.schema.fields)
-            + [T.StructField(self._BUCKET_COL, T.IntegerType())]
+            + [T.StructField(self._part_col(meta), T.IntegerType())]
         )
 
     def _has_data(self, meta: TableMeta) -> bool:
@@ -323,6 +434,60 @@ class TableStore:
             df = df.select(*columns)
         return df
 
+    def scan_range(
+        self,
+        name: str,
+        lower=None,
+        upper=None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Range scan over a range-partitioned table, pruned to only the
+        ``kr=`` directories the half-open interval ``[lower, upper)``
+        intersects — the read path hash buckets structurally cannot serve
+        (Kudu's range-tablet scan pruning; the reference transported
+        key-range bounds to its scanner at
+        ``HiveKuduTableInputFormat.java:466-467``).
+
+        The surviving directory ids are computed driver-side by bisecting
+        the bounded split list: ids in [bisect_right(splits, lower),
+        bisect_left(splits, upper)].  The ``kr`` bound lands in the scan's
+        PartitionFilters (plan-asserted in tests/test_plans.py); the exact
+        value predicate on the range key is pushed into the Parquet scan,
+        where the per-directory sort makes row-group min/max skipping
+        effective.  At 100 TB a time/id-range query reads
+        len(intersected ranges)/N of the table, independent of cluster
+        size."""
+        import bisect
+
+        meta = self.table_meta(name)
+        if not meta.range_splits:
+            raise TableStoreError(
+                f"table {name!r} is not range-partitioned: create it with "
+                "range_splits, or use scan(predicate=...) on a hash layout"
+            )
+        if lower is not None and upper is not None and lower >= upper:
+            return self.spark.createDataFrame([], meta.schema)
+        rc = meta.key_columns[0]
+        typ = self._range_col_type(meta)
+        df = self._scan_raw(meta)
+        lo_id = 0 if lower is None else self._range_id_py(meta, lower)
+        hi_id = (
+            len(meta.range_splits)
+            if upper is None
+            else bisect.bisect_left(meta.range_splits, upper)
+        )
+        df = df.filter(F.col(self._RANGE_COL).between(lo_id, hi_id))
+        if lower is not None:
+            df = df.filter(F.col(rc) >= F.lit(lower).cast(typ))
+        if upper is not None:
+            df = df.filter(F.col(rc) < F.lit(upper).cast(typ))
+        out_cols = columns or [f.name for f in meta.schema.fields]
+        known = {f.name for f in meta.schema.fields}
+        bad = [c for c in out_cols if c not in known]
+        if bad:
+            raise TableStoreError(f"unknown projected columns: {bad}")
+        return df.select(*out_cols)
+
     def register_views(self, *names: str) -> None:
         """Expose tables as session temp views so ARBITRARY Spark SQL runs
         over them — the reference's whole contract ("Hive SQL over handler
@@ -360,8 +525,8 @@ class TableStore:
             )
         types = {f.name: f.dataType for f in meta.schema.fields}
         lits = [F.lit(key[k]).cast(types[k]) for k in meta.key_columns]
-        bucket = F.pmod(F.xxhash64(*lits), F.lit(self.range_partitions)).cast("int")
-        df = self._scan_raw(meta).filter(F.col(self._BUCKET_COL) == bucket)
+        bucket = self._part_expr_of_literals(meta, lits)
+        df = self._scan_raw(meta).filter(F.col(self._part_col(meta)) == bucket)
         for k in meta.key_columns:
             df = df.filter(F.col(k) == F.lit(key[k]).cast(types[k]))
         return df.select(*[f.name for f in meta.schema.fields])
@@ -412,10 +577,7 @@ class TableStore:
                     f"covering {keys}, got scalar {v!r}"
                 )
         lit_rows = [[F.lit(v[k]).cast(types[k]) for k in keys] for v in batch]
-        buckets = [
-            F.pmod(F.xxhash64(*lits), F.lit(self.range_partitions)).cast("int")
-            for lits in lit_rows
-        ]
+        buckets = [self._part_expr_of_literals(meta, lits) for lits in lit_rows]
         if len(keys) == 1:
             key_filter = F.col(keys[0]).isin(*[lits[0] for lits in lit_rows])
         else:
@@ -423,7 +585,7 @@ class TableStore:
                 *[F.struct(*lits) for lits in lit_rows]
             )
         df = self._scan_raw(meta).filter(
-            F.col(self._BUCKET_COL).isin(*buckets) & key_filter
+            F.col(self._part_col(meta)).isin(*buckets) & key_filter
         )
         return df.select(*[f.name for f in meta.schema.fields])
 
@@ -478,24 +640,29 @@ class TableStore:
         )
 
     def _affected_buckets(self, meta: TableMeta, batch: DataFrame) -> list[int]:
-        """Bucket ids a batch touches — bounded by the bucket count (the
-        tablet count), never by data volume, so collecting it is safe."""
+        """Tablet ids a batch touches — bounded by the tablet count, never
+        by data volume, so collecting it is safe."""
         return [
             r[0]
-            for r in batch.select(self._bucket_expr(meta).alias("b"))
+            for r in batch.select(self._part_expr(meta).alias("b"))
             .distinct()
             .collect()
         ]
 
     def _write_partitioned(self, meta: TableMeta, df: DataFrame, path: Path, mode: str) -> None:
-        kb = self._BUCKET_COL
+        pc = self._part_col(meta)
         out = (
-            df.withColumn(kb, self._bucket_expr(meta))
-            # one write task per bucket: each append adds one file per
-            # affected bucket instead of num_tasks × num_buckets shards
-            .repartition(self.range_partitions, F.col(kb))
+            df.withColumn(pc, self._part_expr(meta))
+            # one write task per tablet: each append adds one file per
+            # affected tablet instead of num_tasks × num_tablets shards
+            .repartition(self._num_parts(meta), F.col(pc))
         )
-        parts = [kb] + (meta.partition_by or [])
+        if meta.range_splits:
+            # ordered files inside each range directory: Parquet row-group
+            # min/max stats on the range key become tight, so a pushed
+            # range predicate skips row groups within the surviving dirs
+            out = out.sortWithinPartitions(pc, meta.key_columns[0])
+        parts = [pc] + (meta.partition_by or [])
         out.write.mode(mode).partitionBy(*parts).parquet(str(path))
 
     def _replace_buckets(
@@ -508,9 +675,10 @@ class TableStore:
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_partitioned(meta, df, tmp, "overwrite")
         data = self._data_dir(meta.name)
+        pc = self._part_col(meta)
         for b in bucket_ids:
-            old = data / f"{self._BUCKET_COL}={b}"
-            new = tmp / f"{self._BUCKET_COL}={b}"
+            old = data / f"{pc}={b}"
+            new = tmp / f"{pc}={b}"
             shutil.rmtree(old, ignore_errors=True)
             if new.exists():
                 new.rename(old)
@@ -530,7 +698,7 @@ class TableStore:
             return
         existing_keys = (
             self._scan_raw(meta)
-            .filter(F.col(self._BUCKET_COL).isin(affected))
+            .filter(F.col(self._part_col(meta)).isin(affected))
             .select(*meta.key_columns)
         )
         # hint-free: AQE sizes the anti-join at runtime (the key set of a
@@ -556,8 +724,8 @@ class TableStore:
             return
         existing = (
             self._scan_raw(meta)
-            .filter(F.col(self._BUCKET_COL).isin(affected))
-            .drop(self._BUCKET_COL)
+            .filter(F.col(self._part_col(meta)).isin(affected))
+            .drop(self._part_col(meta))
         )
         kept = existing.join(
             batch.select(*meta.key_columns), on=meta.key_columns, how="left_anti"
@@ -577,16 +745,16 @@ class TableStore:
         affected = [
             r[0]
             for r in raw.filter(F.coalesce(pred, F.lit(False)))
-            .select(self._BUCKET_COL)
+            .select(self._part_col(meta))
             .distinct()
             .collect()
         ]
         if not affected:
             return
         remaining = (
-            raw.filter(F.col(self._BUCKET_COL).isin(affected))
+            raw.filter(F.col(self._part_col(meta)).isin(affected))
             .filter(~F.coalesce(pred, F.lit(False)))
-            .drop(self._BUCKET_COL)
+            .drop(self._part_col(meta))
         )
         self._replace_buckets(meta, affected, remaining)
 
@@ -600,7 +768,7 @@ class TableStore:
         meta = self._writable_meta(name)
         data = self._data_dir(name)
         crowded = []
-        for bdir in data.glob(f"{self._BUCKET_COL}=*"):
+        for bdir in data.glob(f"{self._part_col(meta)}=*"):
             n_files = sum(1 for _ in bdir.rglob("*.parquet"))
             if n_files > max_files_per_bucket:
                 crowded.append(int(bdir.name.split("=", 1)[1]))
@@ -608,8 +776,8 @@ class TableStore:
             return []
         rows = (
             self._scan_raw(meta)
-            .filter(F.col(self._BUCKET_COL).isin(crowded))
-            .drop(self._BUCKET_COL)
+            .filter(F.col(self._part_col(meta)).isin(crowded))
+            .drop(self._part_col(meta))
         )
         self._replace_buckets(meta, crowded, rows)
         return sorted(crowded)

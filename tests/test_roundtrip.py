@@ -76,7 +76,7 @@ def _eq(a, b):
 @given(rows=st.lists(_row, min_size=1, max_size=8, unique_by=lambda r: r[0]))
 def test_typed_rows_roundtrip(spark, tmp_path_factory, rows):
     store = TableStore(
-        spark, str(tmp_path_factory.mktemp("wh")), range_partitions=2
+        spark, str(tmp_path_factory.mktemp("wh")), num_buckets=2
     )
     store.create_table("kudu_typed", _SCHEMA, ["k"])
     store.insert("kudu_typed", spark.createDataFrame(rows, _SCHEMA))

@@ -308,6 +308,119 @@ def test_partitioned_layout_prunes_partitions(spark, store):
     assert {r["id"] for r in df.collect()} == {1, 3}
 
 
+def test_range_layout_scan_prunes_to_intersected_ranges(spark, store):
+    """Key-range layout (Kudu's range tablets; the reference's declared
+    partitioning goal, doc/DesignDocument.md:8): an interval scan must
+    pin kr to the bisected directory-id bounds in PartitionFilters —
+    only ranges the interval intersects are opened — and push the exact
+    key bounds into the Parquet scan."""
+    import re
+
+    from hivekudu_handler_spark.plans.checks import plan_string, pushed_filters
+
+    store.create_table(
+        "ev", "k bigint, v string", ["k"], range_splits=[100, 200, 300]
+    )
+    store.insert(
+        "ev",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(0, 400, 10)], "k bigint, v string"
+        ),
+    )
+    df = store.scan_range("ev", 120, 250)
+    plan = plan_string(df)
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # bisect(120)=1, bisect_left(250)=2: only kr=1 and kr=2 survive
+    assert re.search(r"kr#\d+ >= 1", pf) and re.search(r"kr#\d+ <= 2", pf), plan
+    assert "k" in pushed_filters(df), plan
+    assert sorted(r["k"] for r in df.collect()) == list(range(120, 250, 10))
+    # half-open boundary semantics: a split point belongs to the upper range
+    assert sorted(r["k"] for r in store.scan_range("ev", 200, 210).collect()) == [200]
+    assert store.scan_range("ev", 250, 250).count() == 0
+    # open-ended scans
+    assert store.scan_range("ev", lower=350).count() == 5
+    assert store.scan_range("ev", upper=50).count() == 5
+
+
+def test_range_layout_files_are_range_partitioned_dirs(spark, store):
+    """The physical layout is one kr=<i> directory per populated range,
+    with rows routed by the split points (write path twin of the scan's
+    driver-side bisect)."""
+    store.create_table(
+        "rt", "k int, v int", ["k"], range_splits=[10, 20]
+    )
+    store.insert(
+        "rt",
+        spark.createDataFrame([(i, i) for i in range(30)], "k int, v int"),
+    )
+    data = store._data_dir("rt")
+    assert sorted(p.name for p in data.glob("kr=*")) == ["kr=0", "kr=1", "kr=2"]
+    got = {
+        d.name: sorted(
+            r["k"] for r in spark.read.parquet(str(d)).collect()
+        )
+        for d in data.glob("kr=*")
+    }
+    assert got == {
+        "kr=0": list(range(0, 10)),
+        "kr=1": list(range(10, 20)),
+        "kr=2": list(range(20, 30)),
+    }
+
+
+def test_range_layout_mutations_rewrite_only_affected_ranges(spark, store):
+    """upsert/delete on a range table ride the same tablet-scoped I/O
+    bound as hash buckets: untouched range directories keep their files
+    byte-identical."""
+    store.create_table("m", "k int, v string", ["k"], range_splits=[10, 20])
+    store.insert(
+        "m",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "k int, v string"
+        ),
+    )
+    data = store._data_dir("m")
+
+    def files(b):
+        return sorted(
+            (p.name, p.stat().st_mtime_ns)
+            for p in (data / f"kr={b}").rglob("*.parquet")
+        )
+
+    before = {b: files(b) for b in (0, 1, 2)}
+    store.upsert(
+        "m", spark.createDataFrame([(15, "NEW")], "k int, v string")
+    )
+    assert files(0) == before[0] and files(2) == before[2]
+    assert files(1) != before[1]
+    assert [r["v"] for r in store.lookup("m", {"k": 15}).collect()] == ["NEW"]
+    store.delete_where("m", F.col("k") >= 25)
+    assert files(0) == before[0]
+    assert store.scan("m").count() == 25
+    # point lookup on a range table prunes via the folded range id
+    from hivekudu_handler_spark.plans.checks import plan_string
+
+    plan = plan_string(store.lookup("m", {"k": 5}))
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "kr" in pf and "= 0" in pf, plan
+
+
+def test_range_splits_validation(spark, store):
+    for bad in ([], [10, 10], [20, 10], [1, "x"], [True, 2]):
+        with pytest.raises(TableStoreError):
+            store.create_table("b", "k int, v int", ["k"], range_splits=bad)
+    with pytest.raises(TableStoreError, match="kind does not match"):
+        store.create_table(
+            "b", "k int, v int", ["k"], range_splits=["a", "b"]
+        )
+    with pytest.raises(TableStoreError, match="not range-partitioned"):
+        store.create_table("h", "k int, v int", ["k"])
+        store.scan_range("h", 0, 10)
+    # splits survive the JSON meta roundtrip
+    store.create_table("ok", "k int, v int", ["k"], range_splits=[5, 7])
+    assert store.table_meta("ok").range_splits == [5, 7]
+
+
 def test_keyed_lookup_prunes_to_one_bucket(spark, store):
     """Point-lookup by primary key: the literal key's hash bucket is
     constant-folded, so the scan's PartitionFilters pins kb to ONE value
@@ -526,6 +639,24 @@ def test_sql_dml_update_delete(spark, store):
     assert {r.score for r in store.scan("t").collect()} == {0}
     execute(store, "DELETE FROM t WHERE id >= 2")
     assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "A")]
+
+
+def test_sql_ddl_range_splits_property(spark, store):
+    """TBLPROPERTIES ('kudu.range_splits'='...') selects the key-range
+    layout through the SQL front-end, typed by token parse."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE r (k bigint, v string) TBLPROPERTIES "
+        "('kudu.key_columns'='k', 'kudu.range_splits'='100,200')",
+    )
+    assert store.table_meta("r").range_splits == [100, 200]
+    execute(store, "INSERT INTO r VALUES (50, 'a'), (150, 'b'), (250, 'c')")
+    assert sorted(p.name for p in store._data_dir("r").glob("kr=*")) == [
+        "kr=0", "kr=1", "kr=2",
+    ]
+    assert [r["v"] for r in store.scan_range("r", 100, 200).collect()] == ["b"]
 
 
 def test_sql_update_set_reads_pre_update_row(spark, store):

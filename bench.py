@@ -45,6 +45,7 @@ HEADLINE = [
     "sql_q9_product_profit",    # 5-relation fact-fact join tree (TPC-H Q9)
     "scan_full",            # raw scan throughput
     "filter_range",         # pushdown + range predicates
+    "scan_range_pruned",    # key-range layout: pruned interval scan
     "join_inner",           # shuffle join
     "join_broadcast",       # broadcast dimension join + agg
     "join_range",           # equi+band join
@@ -62,6 +63,7 @@ HEADLINE = [
     "dedup_minhash",        # minhash-lsh + verify
     "dedup_cluster",        # connected components over near-dup pairs
     "dedup_embedding",      # block-pair cosine matmul
+    "dedup_ann_verified",   # LSH candidates -> exact verify (sub-quadratic path)
     "sim_topk_cosine",      # brute-force ANN baseline
     "sim_ann_lsh",          # LSH ANN
     "text_quality",         # text pipeline built-ins

@@ -496,6 +496,100 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.42,
+    bits: int = 24,
+    tables: int = 8,
+) -> DataFrame:
+    """Sign-LSH candidate pairs + exact cosine verify on candidates ONLY —
+    the sub-quadratic composition ``dedup_embedding``'s docstring defers
+    to: same output contract (vec_a < vec_b, cosine ≥ threshold, precision
+    1.0 by construction), but work bounded by band-bucket collision counts
+    instead of n²/2 block pairs.
+
+    Pipeline: ``tables`` bands of ``bits // tables`` bits over the
+    corpus's sign signatures (hyperplanes data-derived, RNG-free —
+    pipeline/similarity.py); candidate pairs are same-band bucket
+    collisions (self-equi-join on (band, bucket), never a cross join —
+    plan-asserted in tests); exact cosine runs as JVM array expressions on
+    the candidate pairs alone.  Recall is the banding knob: a pair at
+    angle θ collides per band with p = (1 - θ/π)^width, misses every band
+    with (1-p)^tables.  The defaults (8 bands × 3 bits, threshold 0.42)
+    target the fixture corpus's actual near-dup regime (max pairwise
+    cosine ≈ 0.51): predicted recall at the boundary ≈ 0.91, pinned ≥ 0.8
+    vs an exact baseline in tests/test_pipeline.py.  A production corpus
+    deduped at cosine ≥ 0.85 uses WIDER bands (e.g. 8 × 8 over 64 bits):
+    collision probability at the threshold stays high while random-pair
+    collisions — the candidate-volume driver — fall exponentially with
+    width."""
+    from hivekudu_handler_spark.pipeline.similarity import (
+        _as_double,
+        _dot,
+        _hyperplanes,
+        _norm,
+        _signatures,
+    )
+
+    if bits % tables:
+        raise ValueError("bits must divide evenly into tables")
+    width = bits // tables
+    mask = (1 << width) - 1
+    e = _as_double(load_table(spark, sf_dir, "embeddings")).persist()
+    e.count()  # one materialization feeds signatures and both verify sides
+    sigs = _signatures(e, _hyperplanes(e, bits))
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), width * t).bitwiseAND(F.lit(mask))
+                    for t in range(tables)
+                ]
+            )
+        ).alias("band_idx", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@query("dedup_ann_verified", tags=("dedup", "vector", "approx"))
+def dedup_ann_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered key: the 100 TB near-dup path — LSH candidate generation
+    feeding the exact verify on candidates only (vs ``dedup_embedding``'s
+    exact-by-semantics all-pairs).  Rows-only driver check (LSH candidate
+    generation is not SQL-expressible); tests pin precision 1.0 (pair set
+    ⊆ exact pairs with matching cosines) and recall ≥ 0.8 vs the exact
+    operator, and assert the plan scores candidates only (equi-joins, no
+    cartesian)."""
+    return ann_verified_pairs(spark, sf_dir)
+
+
 @query(
     "text_ngram_topk",
     oracle=(

@@ -46,6 +46,55 @@ def test_simhash_pairs_are_near_duplicates(spark, specs):
         assert doc_a < doc_b and 0 <= hamming <= 3
 
 
+def test_ann_verified_pairs_vs_exact(spark, specs):
+    """The composed 100 TB near-dup path (LSH candidates → exact verify):
+    (a) precision 1.0 — every emitted pair is in the exact all-pairs
+    output with the identical cosine; (b) recall ≥ 0.8 vs the exact
+    operator at fixture scale; (c) the plan scores candidates only —
+    every join is an equi-join (band/bucket or pair id), no cartesian of
+    the corpus against itself anywhere."""
+    from hivekudu_handler_spark.plans.checks import plan_string
+
+    ann_df = specs["dedup_ann_verified"].fn(spark, SF)
+    plan = plan_string(ann_df)
+    assert "CartesianProduct" not in plan, plan
+    # exact all-pairs baseline at the key's threshold (500 vectors: the
+    # brute-force join is trivially affordable in a test)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+        .filter(F.col("cos") >= 0.42)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+        .collect()
+    }
+    ann = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in ann_df.collect()}
+    assert set(ann) <= set(exact), sorted(set(ann) - set(exact))[:5]
+    for pair, cos in ann.items():
+        assert cos == pytest.approx(exact[pair], abs=1e-4)
+    assert exact, "fixture must contain near-dup pairs for recall to mean anything"
+    recall = len(set(ann) & set(exact)) / len(exact)
+    assert recall >= 0.8, f"ann recall {recall} over {len(exact)} exact pairs"
+    # consistency tie to the registered exact operator: the ann pairs at
+    # its 0.5 threshold are a subset of dedup_embedding's output
+    emb = {
+        (r["vec_a"], r["vec_b"])
+        for r in specs["dedup_embedding"].fn(spark, SF).collect()
+    }
+    assert {p for p, c in ann.items() if c >= 0.5} <= emb
+
+
 def test_exact_dedup_covers_all_docs(spark, specs):
     out = specs["dedup_exact_docs"].fn(spark, SF)
     total = out.agg(F.sum("n_copies")).collect()[0][0]

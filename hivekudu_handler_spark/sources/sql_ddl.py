@@ -319,7 +319,7 @@ def _drop(store: TableStore, stmt: str) -> None:
     if not m:
         raise SqlDdlError(f"cannot parse DROP statement: {stmt!r}")
     name = m.group("name")
-    if m.group("if_exists") and name not in store.list_tables():
+    if m.group("if_exists") and name.lower() not in store.list_tables():
         return
     store.drop_table(name)
 

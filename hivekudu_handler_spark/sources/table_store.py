@@ -134,8 +134,15 @@ class TableStore:
         self.num_buckets = num_buckets
 
     # ------------------------------------------------------------------ paths
+    @staticmethod
+    def _norm_name(name: str) -> str:
+        """Hive semantics: table identifiers are case-insensitive (the
+        metastore stores them lowercased) — the reference's golden script
+        itself mixes ``test_drop`` and ``test_Drop`` (``README.md:39,43``)."""
+        return name.lower()
+
     def _dir(self, name: str) -> Path:
-        return self.root / name
+        return self.root / self._norm_name(name)
 
     def _data_dir(self, name: str) -> Path:
         return self._dir(name) / "data"
@@ -193,7 +200,7 @@ class TableStore:
                 normalized, list(key_columns), range_splits
             )
         meta = TableMeta(
-            name,
+            self._norm_name(name),
             normalized,
             list(key_columns),
             extended,
@@ -236,7 +243,7 @@ class TableStore:
             discovered, key_columns, allow_extended=True
         )
         meta = TableMeta(
-            name,
+            self._norm_name(name),
             normalized,
             list(key_columns),
             extended=True,

@@ -79,6 +79,70 @@ def test_null_key_rows_are_dropped(spark, store):
     assert [tuple(r) for r in store.scan("t").collect()] == [(7, "y")]
 
 
+def test_simple_test_sql_verbatim_script(spark, store):
+    """The reference's golden ``simple_test.sql`` replayed VERBATIM
+    modulo dialect (``README.md:14-43``): the CLI-only lines (``add
+    jar``, ``set hive.cli.print.header``) are dropped and the handler
+    class string is inert here, but every remaining statement keeps its
+    original text — including the unused ``kudu.table_name`` /
+    ``kudu.master_addresses`` properties the reference carried, the
+    ``describe formatted`` form, and the script's own mixed-case
+    ``test_Drop`` (Hive table identifiers are case-insensitive).
+    Expected values are the reference's captured outputs
+    (``README.md:150-218``)."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    script = """
+CREATE TABLE if not exists test_drop (
+id INT,
+name STRING
+)
+stored by 'org.apache.hadoop.hive.kududb.KuduHandler.KuduStorageHandler'
+TBLPROPERTIES(
+  'kudu.table_name' = 'test_drop',
+  'kudu.master_addresses' = 'ip-172-31-56-74.ec2.internal:7051',
+  'kudu.key_columns' = 'id'
+);
+
+describe formatted test_drop;
+
+insert into test_drop values (1, 'a'), (2, 'b'), (3, 'a');
+
+select count(*) from test_drop;
+
+select id from test_Drop where name = 'a';
+
+select name, count(*) from test_drop group by name;
+
+drop table test_Drop;
+"""
+    results = []
+    for stmt in script.split(";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        if stmt.split(None, 1)[0].upper() == "SELECT":
+            store.register_views()
+            results.append(spark.sql(stmt).collect())
+        else:
+            out = execute(store, stmt)
+            if out is not None:
+                results.append(out.collect())
+    desc, cnt, ids, grp = results
+    # describe formatted (README.md:76-110): both columns, id is the key
+    assert {r["col_name"]: r["is_key"] for r in desc} == {
+        "id": True, "name": False,
+    }
+    # select count(*) => 3 (README.md:155-158)
+    assert cnt[0][0] == 3
+    # select id where name='a' => 1, 3 (README.md:176-180)
+    assert sorted(r["id"] for r in ids) == [1, 3]
+    # group by name => a 2 / b 1 (README.md:205-209)
+    assert {(r[0], r[1]) for r in grp} == {("a", 2), ("b", 1)}
+    # drop table test_Drop took effect despite the case difference
+    assert store.list_tables() == []
+
+
 def test_simple_test_sql_scenario_pure_sql(spark, store):
     """The same golden script driven entirely through SQL TEXT — DDL/DML
     via the statement router, queries via spark.sql over registered

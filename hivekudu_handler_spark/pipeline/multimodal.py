@@ -420,7 +420,43 @@ def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "src_side", "thumb_hex"])
 
 
-@query("mm_resize", tags=("multimodal",))
+@query(
+    "mm_resize",
+    oracle=(
+        # The full decode→block-average→hex path re-derived in SQL: the
+        # source grid is the blob's first side² bytes (ASCII corpus, so
+        # ascii() == byte), padded to 8 when smaller; each target cell
+        # floor-averages its (i*8)//side_eff block.  Exact across
+        # engines: integer sums are exact in doubles, and both sides
+        # perform the identical double division before floor.
+        "WITH b AS (SELECT doc_id, text, "
+        "           CAST(floor(sqrt(length(text))) AS INT) AS side "
+        "           FROM documents), "
+        "g AS (SELECT doc_id, text, side, greatest(side, 8) AS se "
+        "      FROM b WHERE side > 0), "
+        "rows_i AS (SELECT doc_id, text, side, se, "
+        "           unnest(range(0, se)) AS i FROM g), "
+        "cells AS (SELECT doc_id, side, i, unnest(range(0, se)) AS j, "
+        "          se, text FROM rows_i), "
+        "vals AS (SELECT doc_id, side, (i * 8) // se AS r, "
+        "         (j * 8) // se AS c, "
+        "         CASE WHEN i < side AND j < side THEN "
+        "           ascii(substring(text, CAST(i * side + j + 1 AS INT), 1)) "
+        "         ELSE 0 END AS val FROM cells), "
+        "agg AS (SELECT doc_id, side, r, c, "
+        "        CAST(floor(SUM(CAST(val AS DOUBLE)) / COUNT(*)) AS INT) "
+        "          AS tv "
+        "        FROM vals GROUP BY doc_id, side, r, c) "
+        "SELECT doc_id, CAST(side AS INT) AS src_side, "
+        "       string_agg(printf('%02X', tv), '' ORDER BY r, c) "
+        "         AS thumb_hex "
+        "FROM agg GROUP BY doc_id, side "
+        "UNION ALL "
+        "SELECT doc_id, CAST(0 AS INT) AS src_side, "
+        "       repeat('00', 64) AS thumb_hex FROM b WHERE side = 0"
+    ),
+    tags=("multimodal",),
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + resize over REAL images: stage 1 encodes each blob into a
     P6 PPM container (a real encoded fixture as a binary column), stage 2
@@ -429,9 +465,11 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     full decode→resize path of an image pipeline, end-to-end through a
     real format.  Pure scan-shaped work — no shuffle, Arrow-batched,
     output size fixed per row regardless of blob size, which is what
-    makes a full-corpus re-thumbnail pass feasible at 100 TB.  Rows-only
-    driver check (block-average resampling is not reasonably
-    SQL-expressible); tests pin a golden thumbnail and codec roundtrips."""
+    makes a full-corpus re-thumbnail pass feasible at 100 TB.  Oracle-
+    backed since r6: with real deterministic codecs the whole
+    decode→resample→hex path is re-derivable in SQL over the same text
+    bytes (promoted from rows-only per the r5 verdict); tests also pin a
+    golden thumbnail and codec roundtrips."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     ppms = blobs.mapInPandas(_encode_ppm_batch, schema="doc_id bigint, ppm binary")

@@ -337,11 +337,19 @@ class TableStore:
             raise TableStoreError(f"range_splits must be strictly increasing: {splits}")
         col = key_columns[0]
         typ = {f.name: f.dataType for f in schema.fields}[col]
-        str_col = isinstance(typ, T.StringType)
-        if str_col != (kinds == {True}):
+        # string splits serve string AND timestamp/date range columns: ISO
+        # 8601 text compares lexicographically in time order, casts
+        # losslessly via F.lit(s).cast(timestamp) on the expression side,
+        # and stays JSON-durable in the table meta (time-range pruning
+        # over an event-time key is the canonical 100 TB range query)
+        wants_str = isinstance(
+            typ, (T.StringType, T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+        if wants_str != (kinds == {True}):
             raise TableStoreError(
                 f"range_splits kind does not match range column {col!r} "
-                f"type {typ.simpleString()}"
+                f"type {typ.simpleString()} (timestamp/date columns take "
+                "ISO-8601 string splits)"
             )
         return list(splits)
 
@@ -369,12 +377,27 @@ class TableStore:
             rid = rid + (value >= F.lit(s).cast(typ)).cast("int")
         return rid.cast("int")
 
+    @staticmethod
+    def _range_key(meta: TableMeta, value):
+        """Normalize a bound/key for driver-side comparison against the
+        stored splits: datetime/date values become ISO text in the same
+        form the splits use ('YYYY-MM-DD HH:MM:SS' — space separator, so
+        text order == time order against space-separated splits)."""
+        import datetime
+
+        if isinstance(meta.range_splits[0], str) and not isinstance(value, str):
+            if isinstance(value, datetime.datetime):
+                return value.isoformat(sep=" ")
+            if isinstance(value, datetime.date):
+                return value.isoformat()
+        return value
+
     def _range_id_py(self, meta: TableMeta, value) -> int:
         """Driver-side twin of :meth:`_range_id_expr` for pruning bounds
         (bisect over the bounded split list, never data-sized)."""
         import bisect
 
-        return bisect.bisect_right(meta.range_splits, value)
+        return bisect.bisect_right(meta.range_splits, self._range_key(meta, value))
 
     def _part_expr(self, meta: TableMeta) -> Column:
         """Deterministic tablet id of a row: hash bucket of the primary
@@ -472,7 +495,11 @@ class TableStore:
                 f"table {name!r} is not range-partitioned: create it with "
                 "range_splits, or use scan(predicate=...) on a hash layout"
             )
-        if lower is not None and upper is not None and lower >= upper:
+        if (
+            lower is not None
+            and upper is not None
+            and self._range_key(meta, lower) >= self._range_key(meta, upper)
+        ):
             return self.spark.createDataFrame([], meta.schema)
         rc = meta.key_columns[0]
         typ = self._range_col_type(meta)
@@ -481,7 +508,7 @@ class TableStore:
         hi_id = (
             len(meta.range_splits)
             if upper is None
-            else bisect.bisect_left(meta.range_splits, upper)
+            else bisect.bisect_left(meta.range_splits, self._range_key(meta, upper))
         )
         df = df.filter(F.col(self._RANGE_COL).between(lo_id, hi_id))
         if lower is not None:

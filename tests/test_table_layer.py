@@ -405,6 +405,42 @@ def test_range_layout_mutations_rewrite_only_affected_ranges(spark, store):
     assert "kr" in pf and "= 0" in pf, plan
 
 
+def test_range_layout_on_event_time(spark, store):
+    """Time-range pruning over an event-time key — the canonical 100 TB
+    range query: a table keyed (ts, event_id) and range-split on ISO
+    week boundaries serves an interval scan from only the intersected
+    kr= directories; datetime and ISO-string bounds are equivalent."""
+    from datetime import datetime
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_id", "event_type")
+    )
+    store.create_table(
+        "ev_t",
+        ev.schema,
+        ["ts", "event_id"],
+        range_splits=[
+            "2024-01-08 00:00:00",
+            "2024-01-15 00:00:00",
+            "2024-01-22 00:00:00",
+        ],
+    )
+    store.insert("ev_t", ev)
+    lo, hi = datetime(2024, 1, 10), datetime(2024, 1, 16)
+    got = store.scan_range("ev_t", lo, hi)
+    expected = ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+    assert got.count() == expected.count() > 0
+    # string bounds hit the same rows
+    assert store.scan_range("ev_t", "2024-01-10 00:00:00", "2024-01-16 00:00:00").count() == expected.count()
+    # pruning: the kr bound pins to ranges 1..2 of 0..3
+    from hivekudu_handler_spark.plans.checks import plan_string
+    import re
+
+    pf = plan_string(got).split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert re.search(r"kr#\d+ >= 1", pf) and re.search(r"kr#\d+ <= 2", pf), pf
+
+
 def test_range_splits_validation(spark, store):
     for bad in ([], [10, 10], [20, 10], [1, "x"], [True, 2]):
         with pytest.raises(TableStoreError):

@@ -26,8 +26,11 @@ as explicit input*:
 4. keys with no official record in any round yet — cheap (non-slow-tagged)
    before slow, in case the cap is time- rather than count-based;
 5. repeat-errored keys (see 1);
-6. everything else (recorded AND hash-verified current), registration
-   order.
+6. everything else (recorded AND hash-verified current), oldest record
+   round first: when the window has slots left over, they refresh the
+   stalest still-valid evidence (an r1 green row, even hash-verified,
+   is worth re-certifying before an r5 one — r5 verdict item 4),
+   registration order within a round.
 
 This is deliberately NOT in ``hivekudu_handler_spark.registry``: library
 code stays deterministic (registration order) and never reads harness
@@ -107,7 +110,7 @@ def order_keys(
     changed: list[tuple[int, str]] = []  # (record round, key)
     fresh: list[str] = []
     unknown: list[str] = []
-    rest: list[str] = []
+    rest: list[tuple[int, str]] = []  # (record round, key)
 
     for key in specs:  # registration order within every tier
         rows = hist.get(key)
@@ -126,9 +129,10 @@ def order_keys(
         elif stamped != cur:
             changed.append((last_round, key))
         else:
-            rest.append(key)
+            rest.append((last_round, key))
 
     # oldest stale evidence first; stable on registration order within a round
     changed_keys = [k for _, k in sorted(changed, key=lambda t: t[0])]
     fresh = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
-    return [*errored_new, *changed_keys, *unknown, *fresh, *errored_repeat, *rest]
+    rest_keys = [k for _, k in sorted(rest, key=lambda t: t[0])]
+    return [*errored_new, *changed_keys, *unknown, *fresh, *errored_repeat, *rest_keys]

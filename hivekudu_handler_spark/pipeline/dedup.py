@@ -538,7 +538,10 @@ def ann_verified_pairs(
     mask = (1 << width) - 1
     e = _as_double(load_table(spark, sf_dir, "embeddings")).persist()
     e.count()  # one materialization feeds signatures and both verify sides
-    sigs = _signatures(e, _hyperplanes(e, bits))
+    sigs = _signatures(e, _hyperplanes(e, bits)).persist()
+    sigs.count()  # both sides of the band self-join read the cached
+    # signatures: unpersisted, each side would re-run the full
+    # hyperplane crossJoin + sign aggregation (measured 3× key cost)
     bands = sigs.select(
         "vec_id",
         F.posexplode(

@@ -89,6 +89,10 @@ class TableMeta:
     # half-open ranges (-inf, s0), [s0, s1), ..., [sN-1, inf) — Kudu's
     # range-partition bounds model.  None = hash-bucketed layout.
     range_splits: list | None = None
+    # hash buckets nested INSIDE each range (kr=<i>/kb=<j> — Kudu's
+    # composite hash×range tablet scheme); None = range-only layout.
+    # Only meaningful together with range_splits.
+    hash_in_range: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -101,6 +105,7 @@ class TableMeta:
                 "external": self.external,
                 "location": self.location,
                 "range_splits": self.range_splits,
+                "hash_in_range": self.hash_in_range,
             }
         )
 
@@ -116,6 +121,7 @@ class TableMeta:
             external=bool(d.get("external", False)),
             location=d.get("location"),
             range_splits=d.get("range_splits"),
+            hash_in_range=d.get("hash_in_range"),
         )
 
 
@@ -162,6 +168,7 @@ class TableStore:
         extended: bool = False,
         partition_by: list[str] | None = None,
         range_splits: list | None = None,
+        hash_in_range: int | None = None,
     ) -> TableMeta:
         """CREATE TABLE with mandatory key columns (managed only).
 
@@ -175,7 +182,11 @@ class TableStore:
         partitioning on the first key column: strictly-increasing split
         points making half-open ranges, each a ``kr=<i>`` directory that
         :meth:`scan_range` prunes against (hash buckets cannot serve a
-        range predicate without reading every bucket).
+        range predicate without reading every bucket).  ``hash_in_range``
+        adds Kudu's COMPOSITE scheme: that many hash buckets nested
+        inside each range (``kr=<i>/kb=<j>`` leaf tablets), bounding
+        per-range file sizes and write parallelism while keeping range
+        pruning — a time-partitioned event table at 100 TB wants both.
         """
         if external:
             raise TableStoreError(
@@ -199,6 +210,17 @@ class TableStore:
             range_splits = self._validate_splits(
                 normalized, list(key_columns), range_splits
             )
+        if hash_in_range is not None:
+            if range_splits is None:
+                raise TableStoreError(
+                    "hash_in_range nests hash buckets inside key ranges: "
+                    "it requires range_splits (a hash-only table uses the "
+                    "store-level bucket count)"
+                )
+            if not isinstance(hash_in_range, int) or hash_in_range < 2:
+                raise TableStoreError(
+                    f"hash_in_range must be an int >= 2, got {hash_in_range!r}"
+                )
         meta = TableMeta(
             self._norm_name(name),
             normalized,
@@ -206,6 +228,7 @@ class TableStore:
             extended,
             partition_by or None,
             range_splits=range_splits,
+            hash_in_range=hash_in_range,
         )
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
@@ -353,14 +376,23 @@ class TableStore:
             )
         return list(splits)
 
-    def _part_col(self, meta: TableMeta) -> str:
-        """The layout's partition-directory column — the tablet id."""
-        return self._RANGE_COL if meta.range_splits else self._BUCKET_COL
+    def _part_cols(self, meta: TableMeta) -> list[str]:
+        """The layout's partition-directory columns, outer first: [kb]
+        for hash tables, [kr] for range tables, [kr, kb] for composite
+        hash-in-range tables (Kudu's three tablet schemes)."""
+        if meta.range_splits:
+            return (
+                [self._RANGE_COL, self._BUCKET_COL]
+                if meta.hash_in_range
+                else [self._RANGE_COL]
+            )
+        return [self._BUCKET_COL]
 
     def _num_parts(self, meta: TableMeta) -> int:
-        return (
-            len(meta.range_splits) + 1 if meta.range_splits else self.num_buckets
-        )
+        if meta.range_splits:
+            n = len(meta.range_splits) + 1
+            return n * meta.hash_in_range if meta.hash_in_range else n
+        return self.num_buckets
 
     def _range_col_type(self, meta: TableMeta) -> T.DataType:
         return {f.name: f.dataType for f in meta.schema.fields}[
@@ -399,27 +431,55 @@ class TableStore:
 
         return bisect.bisect_right(meta.range_splits, self._range_key(meta, value))
 
-    def _part_expr(self, meta: TableMeta) -> Column:
-        """Deterministic tablet id of a row: hash bucket of the primary
-        key, or key-range index of the first key column."""
-        if meta.range_splits:
-            return self._range_id_expr(meta, F.col(meta.key_columns[0]))
-        return F.pmod(
-            F.xxhash64(*[F.col(k) for k in meta.key_columns]),
-            F.lit(self.num_buckets),
-        ).cast("int")
+    def _hash_expr(self, meta: TableMeta, cols: list[Column]) -> Column:
+        n = meta.hash_in_range or self.num_buckets
+        return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
 
-    def _part_expr_of_literals(self, meta: TableMeta, lits: list[Column]) -> Column:
-        """Tablet id of one literal key tuple (``lits`` in key_columns
-        order) — foldable, so it prunes partition directories."""
+    def _part_exprs(self, meta: TableMeta, lits: list[Column] | None = None) -> list[Column]:
+        """Deterministic tablet id of a row, one expression per partition
+        level (matching :meth:`_part_cols` order): key-range index of the
+        first key column and/or hash bucket of the primary key.  With
+        ``lits`` (literal key tuple in key_columns order) every
+        expression is foldable, so comparisons against the partition
+        columns prune directories."""
+        keys = (
+            lits
+            if lits is not None
+            else [F.col(k) for k in meta.key_columns]
+        )
+        out: list[Column] = []
         if meta.range_splits:
-            return self._range_id_expr(meta, lits[0])
-        return F.pmod(F.xxhash64(*lits), F.lit(self.num_buckets)).cast("int")
+            out.append(self._range_id_expr(meta, keys[0]))
+            if meta.hash_in_range:
+                out.append(self._hash_expr(meta, keys))
+        else:
+            out.append(self._hash_expr(meta, keys))
+        return out
+
+    def _part_filter(self, meta: TableMeta, ids: list[tuple]) -> Column:
+        """Membership of the row's tablet in ``ids`` (tuples matching
+        :meth:`_part_cols`), as an OR-of-equalities over the partition
+        columns — deterministic boolean over partition cols, so Catalyst
+        folds it into directory pruning for any layout depth."""
+        cols = [F.col(c) for c in self._part_cols(meta)]
+        conds = []
+        for tup in ids:
+            c = F.lit(True)
+            for col, v in zip(cols, tup):
+                c = c & (col == F.lit(v))
+            conds.append(c)
+        out = F.lit(False)
+        for c in conds:
+            out = out | c
+        return out
 
     def _read_schema(self, meta: TableMeta) -> T.StructType:
         return T.StructType(
             list(meta.schema.fields)
-            + [T.StructField(self._part_col(meta), T.IntegerType())]
+            + [
+                T.StructField(c, T.IntegerType())
+                for c in self._part_cols(meta)
+            ]
         )
 
     def _has_data(self, meta: TableMeta) -> bool:
@@ -559,8 +619,9 @@ class TableStore:
             )
         types = {f.name: f.dataType for f in meta.schema.fields}
         lits = [F.lit(key[k]).cast(types[k]) for k in meta.key_columns]
-        bucket = self._part_expr_of_literals(meta, lits)
-        df = self._scan_raw(meta).filter(F.col(self._part_col(meta)) == bucket)
+        df = self._scan_raw(meta)
+        for col, expr in zip(self._part_cols(meta), self._part_exprs(meta, lits)):
+            df = df.filter(F.col(col) == expr)
         for k in meta.key_columns:
             df = df.filter(F.col(k) == F.lit(key[k]).cast(types[k]))
         return df.select(*[f.name for f in meta.schema.fields])
@@ -611,16 +672,22 @@ class TableStore:
                     f"covering {keys}, got scalar {v!r}"
                 )
         lit_rows = [[F.lit(v[k]).cast(types[k]) for k in keys] for v in batch]
-        buckets = [self._part_expr_of_literals(meta, lits) for lits in lit_rows]
+        part_cols = self._part_cols(meta)
+        # per-level IN of folded tablet ids: a superset of the exact
+        # tablet tuples for composite layouts (cartesian of the level
+        # sets), which is what directory pruning needs; the key filter
+        # below keeps the result exact
+        level_filter = F.lit(True)
+        for lvl, col in enumerate(part_cols):
+            ids = [self._part_exprs(meta, lits)[lvl] for lits in lit_rows]
+            level_filter = level_filter & F.col(col).isin(*ids)
         if len(keys) == 1:
             key_filter = F.col(keys[0]).isin(*[lits[0] for lits in lit_rows])
         else:
             key_filter = F.struct(*[F.col(k) for k in keys]).isin(
                 *[F.struct(*lits) for lits in lit_rows]
             )
-        df = self._scan_raw(meta).filter(
-            F.col(self._part_col(meta)).isin(*buckets) & key_filter
-        )
+        df = self._scan_raw(meta).filter(level_filter & key_filter)
         return df.select(*[f.name for f in meta.schema.fields])
 
     # ----------------------------------------------------------------- writes
@@ -673,48 +740,53 @@ class TableStore:
             .drop("__rn")
         )
 
-    def _affected_buckets(self, meta: TableMeta, batch: DataFrame) -> list[int]:
-        """Tablet ids a batch touches — bounded by the tablet count, never
-        by data volume, so collecting it is safe."""
-        return [
-            r[0]
-            for r in batch.select(self._part_expr(meta).alias("b"))
-            .distinct()
-            .collect()
+    def _affected_buckets(self, meta: TableMeta, batch: DataFrame) -> list[tuple]:
+        """Tablet ids a batch touches, as tuples matching
+        :meth:`_part_cols` — bounded by the tablet count, never by data
+        volume, so collecting it is safe."""
+        exprs = [
+            e.alias(c)
+            for c, e in zip(self._part_cols(meta), self._part_exprs(meta))
         ]
+        return [tuple(r) for r in batch.select(*exprs).distinct().collect()]
 
     def _write_partitioned(self, meta: TableMeta, df: DataFrame, path: Path, mode: str) -> None:
-        pc = self._part_col(meta)
-        out = (
-            df.withColumn(pc, self._part_expr(meta))
-            # one write task per tablet: each append adds one file per
-            # affected tablet instead of num_tasks × num_tablets shards
-            .repartition(self._num_parts(meta), F.col(pc))
-        )
+        pcs = self._part_cols(meta)
+        out = df
+        for c, e in zip(pcs, self._part_exprs(meta)):
+            out = out.withColumn(c, e)
+        # one write task per tablet: each append adds one file per
+        # affected tablet instead of num_tasks × num_tablets shards
+        out = out.repartition(self._num_parts(meta), *[F.col(c) for c in pcs])
         if meta.range_splits:
             # ordered files inside each range directory: Parquet row-group
             # min/max stats on the range key become tight, so a pushed
             # range predicate skips row groups within the surviving dirs
-            out = out.sortWithinPartitions(pc, meta.key_columns[0])
-        parts = [pc] + (meta.partition_by or [])
+            out = out.sortWithinPartitions(*pcs, meta.key_columns[0])
+        parts = pcs + (meta.partition_by or [])
         out.write.mode(mode).partitionBy(*parts).parquet(str(path))
 
     def _replace_buckets(
-        self, meta: TableMeta, bucket_ids: list[int], df: DataFrame
+        self, meta: TableMeta, bucket_ids: list[tuple], df: DataFrame
     ) -> None:
-        """Rewrite ONLY the given bucket directories with ``df`` (which
-        must contain exactly the surviving rows of those buckets).  Every
-        other bucket's files are never read, written, or moved."""
+        """Rewrite ONLY the given tablet directories with ``df`` (which
+        must contain exactly the surviving rows of those tablets).  Every
+        other tablet's files are never read, written, or moved.  For a
+        composite layout the tablet is a kr=/kb= leaf directory; its
+        parent range directory is created when renaming into a range that
+        previously held no data."""
         tmp = self._dir(meta.name) / "data.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         self._write_partitioned(meta, df, tmp, "overwrite")
         data = self._data_dir(meta.name)
-        pc = self._part_col(meta)
-        for b in bucket_ids:
-            old = data / f"{pc}={b}"
-            new = tmp / f"{pc}={b}"
+        pcs = self._part_cols(meta)
+        for tup in bucket_ids:
+            sub = Path(*[f"{c}={v}" for c, v in zip(pcs, tup)])
+            old = data / sub
+            new = tmp / sub
             shutil.rmtree(old, ignore_errors=True)
             if new.exists():
+                old.parent.mkdir(parents=True, exist_ok=True)
                 new.rename(old)
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -732,7 +804,7 @@ class TableStore:
             return
         existing_keys = (
             self._scan_raw(meta)
-            .filter(F.col(self._part_col(meta)).isin(affected))
+            .filter(self._part_filter(meta, affected))
             .select(*meta.key_columns)
         )
         # hint-free: AQE sizes the anti-join at runtime (the key set of a
@@ -758,8 +830,8 @@ class TableStore:
             return
         existing = (
             self._scan_raw(meta)
-            .filter(F.col(self._part_col(meta)).isin(affected))
-            .drop(self._part_col(meta))
+            .filter(self._part_filter(meta, affected))
+            .drop(*self._part_cols(meta))
         )
         kept = existing.join(
             batch.select(*meta.key_columns), on=meta.key_columns, how="left_anti"
@@ -777,18 +849,18 @@ class TableStore:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         raw = self._scan_raw(meta)
         affected = [
-            r[0]
+            tuple(r)
             for r in raw.filter(F.coalesce(pred, F.lit(False)))
-            .select(self._part_col(meta))
+            .select(*self._part_cols(meta))
             .distinct()
             .collect()
         ]
         if not affected:
             return
         remaining = (
-            raw.filter(F.col(self._part_col(meta)).isin(affected))
+            raw.filter(self._part_filter(meta, affected))
             .filter(~F.coalesce(pred, F.lit(False)))
-            .drop(self._part_col(meta))
+            .drop(*self._part_cols(meta))
         )
         self._replace_buckets(meta, affected, remaining)
 
@@ -801,19 +873,27 @@ class TableStore:
         upsert/delete); returns the compacted bucket ids."""
         meta = self._writable_meta(name)
         data = self._data_dir(name)
+        pcs = self._part_cols(meta)
+        leaf_glob = "/".join(f"{c}=*" for c in pcs)
         crowded = []
-        for bdir in data.glob(f"{self._part_col(meta)}=*"):
+        for bdir in data.glob(leaf_glob):
             n_files = sum(1 for _ in bdir.rglob("*.parquet"))
             if n_files > max_files_per_bucket:
-                crowded.append(int(bdir.name.split("=", 1)[1]))
+                parts = bdir.relative_to(data).parts
+                crowded.append(
+                    tuple(int(p.split("=", 1)[1]) for p in parts)
+                )
         if not crowded:
             return []
         rows = (
             self._scan_raw(meta)
-            .filter(F.col(self._part_col(meta)).isin(crowded))
-            .drop(self._part_col(meta))
+            .filter(self._part_filter(meta, crowded))
+            .drop(*pcs)
         )
         self._replace_buckets(meta, crowded, rows)
+        # single-level layouts keep the scalar-id public contract
+        if len(pcs) == 1:
+            return sorted(t[0] for t in crowded)
         return sorted(crowded)
 
     def insert_overwrite(self, name: str, df: DataFrame) -> None:

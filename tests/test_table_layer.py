@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -439,6 +441,117 @@ def test_range_layout_on_event_time(spark, store):
 
     pf = plan_string(got).split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert re.search(r"kr#\d+ >= 1", pf) and re.search(r"kr#\d+ <= 2", pf), pf
+
+
+def test_composite_hash_in_range_layout(spark, store):
+    """Kudu's composite hash×range tablets: kr=<i>/kb=<j> leaf
+    directories; range scans prune on kr alone, point lookups fold BOTH
+    levels to constants (one leaf dir opened), and mutations rewrite
+    only the touched leaves."""
+    import re
+
+    from hivekudu_handler_spark.plans.checks import plan_string
+
+    store.create_table(
+        "c", "k bigint, v string", ["k"], range_splits=[100, 200],
+        hash_in_range=2,
+    )
+    store.insert(
+        "c",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(0, 300, 5)], "k bigint, v string"
+        ),
+    )
+    data = store._data_dir("c")
+    leaves = sorted(str(p.relative_to(data)) for p in data.glob("kr=*/kb=*"))
+    assert leaves == [
+        "kr=0/kb=0", "kr=0/kb=1", "kr=1/kb=0", "kr=1/kb=1",
+        "kr=2/kb=0", "kr=2/kb=1",
+    ]
+    # range scan: kr pruned, kb untouched; rows exact
+    got = sorted(r["k"] for r in store.scan_range("c", 100, 200).collect())
+    assert got == list(range(100, 200, 5))
+    pf = plan_string(store.scan_range("c", 100, 200)).split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert re.search(r"kr#\d+ >= 1", pf) and re.search(r"kr#\d+ <= 1", pf), pf
+    # point lookup folds both levels: kr AND kb pinned to constants
+    df = store.lookup("c", {"k": 150})
+    pf = plan_string(df).split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert re.search(r"kr#\d+ = 1", pf) and re.search(r"kb#\d+ = \d+", pf), pf
+    assert "xxhash64" not in pf, pf
+    assert [r["v"] for r in df.collect()] == ["v150"]
+    # upsert rewrites only the hot leaf; the other five stay byte-identical
+    def snap():
+        return {
+            str(p.relative_to(data)): p.stat().st_mtime_ns
+            for p in data.rglob("*.parquet")
+        }
+
+    before = snap()
+    store.upsert(
+        "c", spark.createDataFrame([(150, "NEW")], "k bigint, v string")
+    )
+    after = snap()
+    changed_leaves = {
+        str(Path(p).parent) for p in set(before) ^ set(after)
+    } | {
+        str(Path(p).parent)
+        for p in set(before) & set(after)
+        if before[p] != after[p]
+    }
+    assert len(changed_leaves) == 1 and next(iter(changed_leaves)).startswith(
+        "kr=1/kb="
+    ), changed_leaves
+    assert [r["v"] for r in store.lookup("c", {"k": 150}).collect()] == ["NEW"]
+    # delete scoped to its leaves; contents exact afterward
+    store.delete_where("c", F.col("k") >= 250)
+    assert sorted(r["k"] for r in store.scan("c").collect()) == [
+        k for k in range(0, 250, 5)
+    ]
+    # batched lookup prunes per-level and returns exact rows
+    got = sorted(
+        r["k"] for r in store.lookup_many("c", [5, 105, 205]).collect()
+    )
+    assert got == [5, 105, 205]
+    # compact returns leaf tuples on composite layouts
+    for i in range(4):
+        store.insert_values("c", [(300 + i * 2, f"x{i}")])
+    crowded = store.compact("c", max_files_per_bucket=2)
+    assert all(isinstance(t, tuple) and len(t) == 2 for t in crowded)
+
+
+def test_range_id_expr_matches_python_bisect(spark, store):
+    """The write path routes rows with the JVM range-id expression; the
+    read path prunes with bisect over the same splits.  They must agree
+    on every value, including exact split points and extremes — checked
+    over a property-style grid of (splits, values) in ONE Spark job."""
+    import bisect
+
+    from pyspark.sql import types as T
+
+    cases = [
+        [0],
+        [-5, 5],
+        [1, 2, 3],
+        [-(2**31), 0, 2**31],
+        [10, 100, 1000, 10000],
+    ]
+    values = [-(2**33), -11, -5, -1, 0, 1, 2, 3, 5, 9, 10, 11, 99, 100,
+              101, 999, 1000, 10000, 2**31, 2**33]
+    rows = spark.createDataFrame([(v,) for v in values], "k bigint")
+    for splits in cases:
+        store.create_table("prop", "k bigint, v int", ["k"], range_splits=splits)
+        meta = store.table_meta("prop")
+        got = {
+            r["k"]: r["rid"]
+            for r in rows.withColumn(
+                "rid", store._range_id_expr(meta, rows["k"])
+            ).collect()
+        }
+        want = {v: bisect.bisect_right(splits, v) for v in values}
+        assert got == want, (splits, got, want)
+        store.drop_table("prop")
 
 
 def test_range_splits_validation(spark, store):

@@ -62,3 +62,42 @@ def scan_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "scan_range_composite",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        f"FROM orders WHERE o_orderkey >= {_LO} AND o_orderkey < {_HI} "
+        "UNION ALL "
+        "SELECT o_orderkey, o_custkey, o_totalprice "
+        "FROM orders WHERE o_orderkey = 42"
+    ),
+    tags=("scan", "ddl"),
+)
+def scan_range_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kudu's composite hash×range tablet scheme end-to-end: the same
+    orders table laid out as ``kr=<i>/kb=<j>`` leaves (3 hash buckets in
+    each of 5 key ranges).  Exercises BOTH pruned read paths against one
+    oracle: the interval scan prunes on the range level alone, and a
+    point lookup folds both levels to constants so exactly one leaf of
+    (N+1)·H opens (lifecycle + plan assertions in
+    tests/test_table_layer.py)."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "orders_hr",
+            src.schema,
+            ["o_orderkey"],
+            range_splits=_SPLITS,
+            hash_in_range=3,
+        )
+        store.insert("orders_hr", src)
+        ranged = store.scan_range("orders_hr", _LO, _HI)
+        point = store.lookup("orders_hr", {"o_orderkey": 42})
+        return ranged.unionByName(point).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

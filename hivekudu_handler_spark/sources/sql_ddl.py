@@ -50,6 +50,7 @@ from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreErr
 # bare spelling for convenience
 _KEY_PROPS = ("kudu.key_columns", "key_columns")
 _SPLIT_PROPS = ("kudu.range_splits", "range_splits")
+_HASH_IN_RANGE_PROPS = ("kudu.hash_in_range", "hash_in_range")
 
 
 def _parse_splits(text: str) -> list:
@@ -306,11 +307,22 @@ def _create(store: TableStore, stmt: str) -> None:
         )
     key_columns = [c.strip() for c in key_prop.split(",") if c.strip()]
     split_prop = next((props[p] for p in _SPLIT_PROPS if p in props), None)
+    hir_prop = next((props[p] for p in _HASH_IN_RANGE_PROPS if p in props), None)
+    if hir_prop is not None:
+        try:
+            hir = int(hir_prop)
+        except ValueError:
+            raise SqlDdlError(
+                f"hash_in_range must be an integer, got {hir_prop!r}"
+            ) from None
+    else:
+        hir = None
     store.create_table(
         name,
         cols,
         key_columns,
         range_splits=_parse_splits(split_prop) if split_prop else None,
+        hash_in_range=hir,
     )
 
 

@@ -806,6 +806,32 @@ def test_sql_ddl_range_splits_property(spark, store):
         "kr=0", "kr=1", "kr=2",
     ]
     assert [r["v"] for r in store.scan_range("r", 100, 200).collect()] == ["b"]
+    # composite layout through the SQL front-end, incl. rejection parity
+    execute(
+        store,
+        "CREATE TABLE hr (k bigint, v string) TBLPROPERTIES "
+        "('kudu.key_columns'='k', 'kudu.range_splits'='100,200', "
+        "'kudu.hash_in_range'='2')",
+    )
+    assert store.table_meta("hr").hash_in_range == 2
+    execute(store, "INSERT INTO hr VALUES (50, 'a'), (150, 'b')")
+    leaves = sorted(
+        str(p.relative_to(store._data_dir("hr")))
+        for p in store._data_dir("hr").glob("kr=*/kb=*")
+    )
+    # one nested leaf per inserted range (k=50 -> kr=0, k=150 -> kr=1)
+    assert len(leaves) == 2
+    assert {l.split("/")[0] for l in leaves} == {"kr=0", "kr=1"}
+    assert all(l.split("/")[1].startswith("kb=") for l in leaves)
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
+
+    with pytest.raises(SqlDdlError, match="integer"):
+        execute(
+            store,
+            "CREATE TABLE bad (k bigint) TBLPROPERTIES "
+            "('kudu.key_columns'='k', 'kudu.range_splits'='10', "
+            "'kudu.hash_in_range'='lots')",
+        )
 
 
 def test_sql_update_set_reads_pre_update_row(spark, store):

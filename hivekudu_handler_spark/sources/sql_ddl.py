@@ -163,7 +163,12 @@ def _split_where(text: str) -> tuple[str, str | None]:
                 and (not before or before[-1].isspace())
                 and (not after or not (after.isalnum() or after == "_"))
             ):
-                return before, text[i + 5 :].strip() or None
+                pred = text[i + 5 :].strip()
+                if not pred:
+                    # a bare trailing WHERE must not silently widen the
+                    # statement to every row
+                    raise SqlDdlError("WHERE clause has no predicate")
+                return before, pred
         i += 1
     return text, None
 

@@ -885,5 +885,8 @@ def test_sql_dml_rejections(spark, store):
         execute(store, "UPDATE t SET nope = 1")
     with pytest.raises(SqlDdlError, match="WHERE is mandatory"):
         execute(store, "DELETE FROM t")
+    with pytest.raises(SqlDdlError, match="no predicate"):
+        # a bare trailing WHERE must not become a full-table update
+        execute(store, "UPDATE t SET name = 'x' WHERE")
     # nothing was mutated by the rejected statements
     assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "a")]

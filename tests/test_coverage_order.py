@@ -127,3 +127,18 @@ def test_changed_tier_orders_oldest_evidence_first():
     current = {"stale_old": "h1x", "stale_new": "h4x"}
     got = order_keys(specs, records, sidecar=sidecar, current=current)
     assert got == ["stale_old", "stale_new"]
+
+
+def test_rest_tier_orders_oldest_record_first():
+    """Hash-verified-current keys fill leftover window slots oldest
+    record first: an r1 green row is worth re-certifying before an r4
+    one even when both provably match the current source."""
+    specs = {n: _spec(n) for n in ("ok_new", "ok_old")}
+    records = [
+        (1, {"ok_old": OK}),
+        (4, {"ok_new": OK}),
+    ]
+    sidecar = {"ok_old": {"1": "h1"}, "ok_new": {"4": "h4"}}
+    current = {"ok_old": "h1", "ok_new": "h4"}
+    got = order_keys(specs, records, sidecar=sidecar, current=current)
+    assert got == ["ok_old", "ok_new"]

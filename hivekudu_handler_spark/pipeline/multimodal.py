@@ -313,7 +313,37 @@ def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_audio_windows", tags=("multimodal",))
+@query(
+    "mm_audio_windows",
+    oracle=(
+        # The decode→window→reduce path re-derived in SQL: samples are
+        # the blob's bytes centered (ascii - 128, ASCII corpus), windows
+        # are 256-sample slices at hop 128 (one short window when the
+        # whole clip is shorter), and RMS/peak/crossings are exact
+        # across engines — integer sums are exact in doubles, division
+        # and sqrt are the same IEEE ops, and sign transitions count
+        # identically via LAG over the in-window order.
+        "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents "
+        "           WHERE length(text) > 0), "
+        "w AS (SELECT doc_id, text, n, unnest(range(0, "
+        "        greatest(1, (n - 256) // 128 + 1))) AS w_idx FROM d), "
+        "pos AS (SELECT doc_id, w_idx, text, unnest(range(w_idx * 128, "
+        "        least(w_idx * 128 + 256, n))) AS p FROM w), "
+        "s AS (SELECT doc_id, w_idx, p, "
+        "      ascii(substring(text, CAST(p + 1 AS INT), 1)) - 128 AS v "
+        "      FROM pos), "
+        "sgn AS (SELECT doc_id, w_idx, p, v, sign(v) AS sg, "
+        "        lag(sign(v)) OVER (PARTITION BY doc_id, w_idx ORDER BY p) "
+        "          AS prev_sg FROM s) "
+        "SELECT doc_id, CAST(w_idx AS INT) AS window_idx, "
+        "       sqrt(SUM(CAST(v * v AS DOUBLE)) / COUNT(*)) AS rms, "
+        "       CAST(MAX(abs(v)) AS INT) AS peak, "
+        "       CAST(COUNT(*) FILTER (WHERE prev_sg IS NOT NULL "
+        "            AND sg <> prev_sg) AS INT) AS zero_crossings "
+        "FROM sgn GROUP BY doc_id, w_idx"
+    ),
+    tags=("multimodal",),
+)
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window feature extraction over REAL WAV audio: stage 1
     encodes each blob into a PCM16 RIFF/WAVE container (a real encoded
@@ -321,9 +351,11 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-numpy :func:`decode_wav` and windows the decoded samples
     (256-sample windows, hop 128) — overlap fan-out, vectorized
     per-window reductions, Arrow-batched transfer, end-to-end through a
-    real audio format.  Rows-only driver check (windowed
-    RMS/zero-crossings are not reasonably SQL-expressible); tests pin
-    golden values for a fixed doc and codec roundtrips."""
+    real audio format.  Oracle-backed since r6: with the real
+    deterministic codec the decode→window→reduce path is re-derivable
+    in SQL over the same text bytes (promoted from rows-only, same
+    class as ``mm_resize``); tests also pin golden values for a fixed
+    doc and codec roundtrips."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     wavs = blobs.mapInPandas(_encode_wav_batch, schema="doc_id bigint, wav binary")

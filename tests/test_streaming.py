@@ -142,3 +142,83 @@ def test_stream_stream_join_equals_batch(spark):
     )
     assert len(_normalize(batch)) > 0
     assert _normalize(stream_result) == _normalize(batch)
+
+
+def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
+    """The semantics that bound state at scale: a row arriving after its
+    window's state was evicted must be DROPPED by the streaming engine
+    (append-mode windowed agg), while the same row counts in batch.
+
+    Needs ≥3 micro-batches — a single availableNow batch never declares
+    anything late, and a straggler in the batch right after the
+    watermark advance still merges into not-yet-evicted state (drops
+    only count once the window is evicted).  The source is three
+    parquet files consumed oldest-first with maxFilesPerTrigger=1:
+    file A's max event time (12:00) advances the watermark to 11:50 and
+    its batch-end eviction emits the 10:xx windows; file B keeps the
+    stream moving; file C delivers a 10:05 straggler into an evicted
+    window — dropped, and visible in numRowsDroppedByWatermark."""
+    from datetime import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_one(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("*.parquet"))
+        dest = src / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    write_one(
+        "a", [(1, t(10, 1)), (2, t(10, 5)), (3, t(10, 12)), (4, t(12, 0))],
+        1_000_000,
+    )
+    write_one("b", [(5, t(12, 5))], 2_000_000)
+    write_one("c", [(9, t(10, 5))], 3_000_000)  # behind the 11:50 watermark
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, dropped
+    got = {
+        (r["w"]["start"].strftime("%H:%M"), r["n"])
+        for r in spark.table("late_drop_result").collect()
+    }
+    # emitted windows carry on-time counts only: the straggler was
+    # dropped, and the still-open 12:00 window is not emitted in append
+    assert got == {("10:00", 2), ("10:10", 1)}, got
+    # batch over the same files HAS the straggler: 3 rows in [10:00,10:10)
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bg = {
+        (r["w"]["start"].strftime("%H:%M"), r["n"]) for r in batch.collect()
+    }
+    assert ("10:00", 3) in bg, bg

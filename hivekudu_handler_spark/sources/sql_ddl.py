@@ -15,6 +15,10 @@ test exercises (``README.md:14-218``) and routing them to the store:
 * ``DESCRIBE [FORMATTED] name``     (demo ``README.md:33,76-110``)
 * ``INSERT INTO [TABLE] name VALUES (...), (...)``
   (demo ``README.md:35,113-130``)
+* ``UPSERT INTO [TABLE] name VALUES (...)`` — the Kudu dialect's
+  first-class merge verb (Impala-on-Kudu syntax; the reference's
+  declared goal, ``doc/DesignDocument.md:9``), routed to the store's
+  keyed upsert
 * ``UPDATE name SET col = expr[, ...] [WHERE pred]`` and
   ``DELETE FROM name WHERE pred`` — the reference's *declared* DML goals
   (``doc/DesignDocument.md:9,46-48``; TODO at
@@ -123,7 +127,7 @@ _DESCRIBE_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"^INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+"
+    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+"
     r"VALUES\s+(?P<values>\(.*\))$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -190,7 +194,11 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         if not m:
             raise SqlDdlError(f"cannot parse DESCRIBE statement: {sql!r}")
         return store.describe(m.group("name"))
-    if verb == "INSERT":
+    if verb in ("INSERT", "UPSERT"):
+        # UPSERT INTO is the Kudu dialect's first-class verb (Impala on
+        # Kudu; the reference's declared merge goal,
+        # doc/DesignDocument.md:9): same literal syntax as INSERT, PK
+        # merge semantics instead of duplicate-key ignore
         return _insert(store, stmt)
     if verb == "DELETE":
         m = _DELETE_STMT_RE.match(stmt)
@@ -363,4 +371,7 @@ def _insert(store: TableStore, stmt: str) -> None:
     df = df.select(
         *[F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, fields)]
     )
-    store.insert(name, df)
+    if m.group("verb").upper() == "UPSERT":
+        store.upsert(name, df)
+    else:
+        store.insert(name, df)

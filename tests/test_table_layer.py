@@ -834,6 +834,28 @@ def test_sql_ddl_range_splits_property(spark, store):
         )
 
 
+def test_sql_upsert_into(spark, store):
+    """UPSERT INTO (Kudu-dialect first-class verb): same literal syntax
+    as INSERT, PK merge semantics — existing keys are replaced where
+    INSERT would silently ignore them."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    execute(store, "INSERT INTO t VALUES (1, 'ignored')")  # dup-key ignore
+    assert sorted((r.id, r.name) for r in store.scan("t").collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    execute(store, "UPSERT INTO t VALUES (1, 'replaced'), (3, 'new')")
+    assert sorted((r.id, r.name) for r in store.scan("t").collect()) == [
+        (1, "replaced"), (2, "b"), (3, "new"),
+    ]
+
+
 def test_sql_update_set_reads_pre_update_row(spark, store):
     """SQL semantics: every SET expression evaluates against the row as it
     was BEFORE the update, so 'SET a = b, b = a' swaps (sequential

@@ -340,7 +340,60 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_pack_sequences", tags=("text", "stateful"))
+@query(
+    "doc_pack_sequences",
+    oracle=(
+        # The greedy fold replayed as a recursive CTE: per bucket, rows
+        # step in (md5, doc_id) order carrying (seq_after, fill_after)
+        # state; every transition mirrors pack()'s next-fit rules.
+        "WITH RECURSIVE base AS ("
+        "  SELECT doc_id, "
+        "    strpos('0123456789abcdef', "
+        "           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS bucket, "
+        "    md5(CAST(doc_id AS VARCHAR)) AS sort_key, "
+        "    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "  FROM documents), "
+        "ordered AS ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket "
+        "         ORDER BY sort_key, doc_id) AS rn FROM base), "
+        "walk(bucket, rn, doc_id, n_tokens, seq_use, off, seq_after, fill_after) AS ("
+        "  SELECT bucket, rn, doc_id, n_tokens, "
+        "         CAST(0 AS BIGINT) AS seq_use, CAST(0 AS BIGINT) AS off, "
+        "         CAST(CASE WHEN n_tokens >= 128 THEN 1 ELSE 0 END AS BIGINT) "
+        "           AS seq_after, "
+        "         CAST(CASE WHEN n_tokens >= 128 THEN 0 ELSE n_tokens END "
+        "           AS BIGINT) AS fill_after "
+        "  FROM ordered WHERE rn = 1 "
+        "  UNION ALL "
+        "  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens, "
+        "    CASE WHEN w.fill_after > 0 AND w.fill_after + o.n_tokens > 128 "
+        "         THEN w.seq_after + 1 ELSE w.seq_after END, "
+        "    CASE WHEN w.fill_after > 0 AND w.fill_after + o.n_tokens > 128 "
+        "         THEN 0 ELSE w.fill_after END, "
+        "    CASE WHEN (CASE WHEN w.fill_after > 0 "
+        "                    AND w.fill_after + o.n_tokens > 128 "
+        "               THEN 0 ELSE w.fill_after END) + o.n_tokens >= 128 "
+        "         THEN (CASE WHEN w.fill_after > 0 "
+        "                    AND w.fill_after + o.n_tokens > 128 "
+        "               THEN w.seq_after + 1 ELSE w.seq_after END) + 1 "
+        "         ELSE (CASE WHEN w.fill_after > 0 "
+        "                    AND w.fill_after + o.n_tokens > 128 "
+        "               THEN w.seq_after + 1 ELSE w.seq_after END) END, "
+        "    CASE WHEN (CASE WHEN w.fill_after > 0 "
+        "                    AND w.fill_after + o.n_tokens > 128 "
+        "               THEN 0 ELSE w.fill_after END) + o.n_tokens >= 128 "
+        "         THEN 0 "
+        "         ELSE (CASE WHEN w.fill_after > 0 "
+        "                    AND w.fill_after + o.n_tokens > 128 "
+        "               THEN 0 ELSE w.fill_after END) + o.n_tokens END "
+        "  FROM walk w JOIN ordered o "
+        "    ON o.bucket = w.bucket AND o.rn = w.rn + 1) "
+        "SELECT doc_id, bucket * 1099511627776 + seq_use AS seq_id, "
+        "       off AS offset, n_tokens, n_tokens > 128 AS truncated "
+        "FROM walk"
+    ),
+    tags=("text", "stateful"),
+)
 def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: concatenate documents into fixed
     token-budget training sequences (budget ``_PACK_BUDGET``), the step
@@ -363,16 +416,26 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     industry default: O(n) per bucket, deterministic, and waste is
     bounded by the shortest-doc tail, verified in tests.
 
-    No SQL oracle: first-fit packing is an inherently sequential fold
-    (driver rows-only check); tests/test_curation.py pins exactly-once
-    coverage, budget compliance, offset contiguity, greedy minimality,
-    and partitioning-independence."""
+    Oracle-backed since r6: the sequential fold is replayed as a
+    recursive CTE stepping each bucket's rows in (md5, doc_id) order
+    with the packing state carried through the recursion — possible
+    once the bucket id became the md5 hex digit both engines compute
+    identically (xxhash64 through r5 kept this key rows-only).
+    tests/test_curation.py additionally pins exactly-once coverage,
+    budget compliance, offset contiguity, greedy minimality, and
+    partitioning-independence."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
+    # bucket = first hex digit of the md5 shuffle key: a uniform 0..15
+    # id both engines compute byte-identically (xxhash64 through r5 —
+    # Spark-only, which is what kept this key rows-only)
     keyed = d.select(
         "doc_id",
-        F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_BUCKETS)).alias("bucket"),
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+        ).cast("int").alias("bucket"),
         _shuffle_key(F.col("doc_id")).alias("sort_key"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )

@@ -9,8 +9,8 @@ from hivekudu_handler_spark.registry import QuerySpec
 from tools.coverage_order import order_keys
 
 
-def _spec(name, tags=()):
-    return QuerySpec(name=name, fn=lambda spark, sf: None, oracle=None, tags=tags)
+def _spec(name, tags=(), oracle="SELECT 1"):
+    return QuerySpec(name=name, fn=lambda spark, sf: None, oracle=oracle, tags=tags)
 
 
 SPECS = {
@@ -80,6 +80,23 @@ def test_missing_sidecar_degrades_to_unknown_stale():
 def test_registration_order_within_tiers():
     specs = {n: _spec(n) for n in ("k3", "k1", "k2")}
     assert order_keys(specs, []) == ["k3", "k1", "k2"]
+
+
+def test_stale_rows_only_yields_window_to_fresh_oracle_keys():
+    """A stale rows-only key re-certifies only "runs, returns N rows" —
+    the weakest evidence class — so it must not crowd a never-recorded
+    oracle-backed key out of the bounded window (r6: 39 stale keys
+    would have displaced the r5 verdict's nine-key priority)."""
+    specs = {
+        "stale_rows_only": _spec("stale_rows_only", oracle=None),
+        "stale_oracle": _spec("stale_oracle"),
+        "fresh_oracle": _spec("fresh_oracle"),
+    }
+    records = [(1, {"stale_rows_only": NO_ORACLE, "stale_oracle": OK})]
+    sidecar = {"stale_rows_only": {"1": "h1"}, "stale_oracle": {"1": "h1"}}
+    current = {k: "h2" for k in specs}  # both recorded keys went stale
+    got = order_keys(specs, records, sidecar=sidecar, current=current)
+    assert got == ["stale_oracle", "fresh_oracle", "stale_rows_only"]
 
 
 def test_sidecar_covers_every_latest_record():

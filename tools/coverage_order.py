@@ -11,13 +11,20 @@ as explicit input*:
    ``no_oracle`` rows-only marker) — unless the same key also errored in
    its previous record (tier 4: a persistently-failing key must not crowd
    out fresh signal every round — r3 ADVICE);
-2. keys whose source changed since their latest record (the sidecar hash
-   stamped for that round differs from the current hash) — a green row
-   for rewritten code is stale evidence (r3 verdict, ``join_asof``).
-   Ordered by ascending record round: when the stale set exceeds the
-   window, the OLDEST evidence is the most misleading and re-records
-   first (a key certified 4 rounds ago and rewritten since tells the
-   reader less than one certified last round);
+2. ORACLE-BACKED keys whose source changed since their latest record
+   (the sidecar hash stamped for that round differs from the current
+   hash) — a green row for rewritten code is stale evidence (r3
+   verdict, ``join_asof``).  Ordered by ascending record round: when
+   the stale set exceeds the window, the OLDEST evidence is the most
+   misleading and re-records first (a key certified 4 rounds ago and
+   rewritten since tells the reader less than one certified last
+   round).  Stale ROWS-ONLY keys are NOT here but in tier 4b: their
+   official check certifies only "runs, returns N rows" — the weakest
+   evidence class, which barely goes stale (the real verification for
+   oracle-less keys is pytest invariants, re-run every round) — so
+   re-certifying one must not crowd out a first oracle-checked record
+   of a never-recorded key (r6: 39 stale keys would have pushed the
+   r5 verdict's nine-key priority out of the window);
 3. keys recorded in a round with no stored hash — staleness unknowable,
    so presumed stale.  Stale-but-recorded outranks never-recorded (r4
    verdict: rewritten keys above *new* keys) because an obsolete green row
@@ -25,6 +32,7 @@ as explicit input*:
    should be empty after ``tools/source_hashes.py backfill``;
 4. keys with no official record in any round yet — cheap (non-slow-tagged)
    before slow, in case the cap is time- rather than count-based;
+4b. stale rows-only keys (see 2), oldest record first;
 5. repeat-errored keys (see 1);
 6. everything else (recorded AND hash-verified current), oldest record
    round first: when the window has slots left over, they refresh the
@@ -132,7 +140,17 @@ def order_keys(
             rest.append((last_round, key))
 
     # oldest stale evidence first; stable on registration order within a round
-    changed_keys = [k for _, k in sorted(changed, key=lambda t: t[0])]
+    changed_sorted = [k for _, k in sorted(changed, key=lambda t: t[0])]
+    changed_oracle = [k for k in changed_sorted if specs[k].oracle is not None]
+    changed_rows_only = [k for k in changed_sorted if specs[k].oracle is None]
     fresh = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
     rest_keys = [k for _, k in sorted(rest, key=lambda t: t[0])]
-    return [*errored_new, *changed_keys, *unknown, *fresh, *errored_repeat, *rest_keys]
+    return [
+        *errored_new,
+        *changed_oracle,
+        *unknown,
+        *fresh,
+        *changed_rows_only,
+        *errored_repeat,
+        *rest_keys,
+    ]

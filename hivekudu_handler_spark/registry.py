@@ -64,6 +64,7 @@ def load_all() -> dict[str, QuerySpec]:
         range_layout,
         scans,
         setops,
+        snapshots,
         sorts,
         sql_surface,
         windows,

@@ -48,6 +48,24 @@ Either way every mutation touches only the directories its keys land in:
 On a cluster the same code paths run unchanged; per-bucket file lists and
 bucket ids (bounded by the bucket count, never by data volume) are the
 only driver-side state.
+
+**MVCC snapshots** (Kudu's ``READ_AT_SNAPSHOT`` scan mode — the scanner
+the reference builds at ``HiveKuduTableInputFormat.java:449-517`` reads
+through exactly this Kudu MVCC layer): every mutation commits a numbered
+version manifest (``versions/v<N>.json``, the full data-file listing at
+that version), and files displaced by a rewrite move to ``archive/``
+*keeping their data-relative path* instead of being deleted (Parquet part
+file names embed a task UUID, so relative paths are unique across the
+table's lifetime and never collide in the archive).  ``scan(..,
+as_of=N)`` resolves manifest ``N``'s listing against ``data/`` then
+``archive/`` and reads exactly those files — a consistent point-in-time
+snapshot regardless of later upserts/deletes/compactions.  ``diff()`` is
+Kudu's *diff scan* (key-level changes between two snapshots, the
+incremental-backup primitive); ``vacuum()`` is Kudu's ancient-history
+mark (``--tablet_history_max_age_sec``): drop manifests older than the
+last *K* and GC archive files no kept manifest references.  Manifests
+are O(files), written once per mutation — no per-row versioning cost,
+and current-state scans don't consult the version log at all.
 """
 
 from __future__ import annotations
@@ -234,6 +252,7 @@ class TableStore:
             self._dir(name).mkdir(parents=True, exist_ok=True)
             self._data_dir(name).mkdir(parents=True, exist_ok=True)
             self._meta_path(name).write_text(meta.to_json())
+            self._commit_version(meta, "create")
         except Exception:
             # rollback mirrors KuduStorageHandler.java:313-330
             shutil.rmtree(self._dir(name), ignore_errors=True)
@@ -331,6 +350,266 @@ class TableStore:
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, is_key boolean"
         )
+
+    # ------------------------------------------------------- version log
+    def _versions_dir(self, name: str) -> Path:
+        return self._dir(name) / "versions"
+
+    def _archive_dir(self, name: str) -> Path:
+        return self._dir(name) / "archive"
+
+    def _manifest_path(self, name: str, version: int) -> Path:
+        return self._versions_dir(name) / f"v{version:08d}.json"
+
+    def _list_data_files(self, name: str) -> list[str]:
+        """Current data files as paths relative to ``data/`` (the
+        identity that survives archival)."""
+        data = self._data_dir(name)
+        return sorted(
+            str(p.relative_to(data)) for p in data.rglob("*.parquet")
+        )
+
+    def _version_numbers(self, name: str) -> list[int]:
+        vdir = self._versions_dir(name)
+        if not vdir.exists():
+            return []
+        return sorted(
+            int(p.stem[1:]) for p in vdir.glob("v*.json")
+        )
+
+    def current_version(self, name: str) -> int:
+        """Latest committed version (0 = table creation)."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                "external tables are unmanaged storage: no version log"
+            )
+        versions = self._version_numbers(meta.name)
+        if not versions:
+            raise TableStoreError(
+                f"table {name!r} predates the version log (no manifests)"
+            )
+        return versions[-1]
+
+    def _commit_version(self, meta: TableMeta, op: str) -> int:
+        """Record the post-mutation state as the next version manifest.
+
+        O(files in table) driver-side listing, once per mutation batch —
+        the same cost class as the bucket-id collection the write itself
+        already does; never O(rows)."""
+        versions = self._version_numbers(meta.name)
+        nxt = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": nxt,
+            "op": op,
+            "files": self._list_data_files(meta.name),
+        }
+        vdir = self._versions_dir(meta.name)
+        vdir.mkdir(parents=True, exist_ok=True)
+        tmp = vdir / f".v{nxt:08d}.json.tmp"
+        tmp.write_text(json.dumps(manifest))
+        tmp.rename(self._manifest_path(meta.name, nxt))
+        return nxt
+
+    def _read_manifest(self, name: str, version: int) -> dict:
+        p = self._manifest_path(name, version)
+        if not p.exists():
+            versions = self._version_numbers(name)
+            if versions and version < versions[0]:
+                raise TableStoreError(
+                    f"version {version} of {name!r} was vacuumed "
+                    f"(oldest retained: {versions[0]})"
+                )
+            raise TableStoreError(f"no such version of {name!r}: {version}")
+        return json.loads(p.read_text())
+
+    def _archive_displaced(self, meta: TableMeta, root: Path) -> None:
+        """Move every parquet file under ``root`` into the archive,
+        keeping its path relative to ``root`` (= its original
+        data-relative path), then drop the emptied tree.  This is the ONLY
+        way files leave ``data/`` short of DROP/vacuum — deletion is
+        deferred to :meth:`vacuum` so older manifests stay readable."""
+        arch = self._archive_dir(meta.name)
+        for p in sorted(root.rglob("*")):
+            if not p.is_file():
+                continue
+            if p.suffix == ".parquet":
+                dest = arch / p.relative_to(root)
+                dest.parent.mkdir(parents=True, exist_ok=True)
+                if dest.exists():
+                    # parquet part names embed a task UUID; a collision
+                    # means the uniqueness invariant broke — fail loudly
+                    # rather than silently overwrite a snapshot's bytes.
+                    raise TableStoreError(
+                        f"archive collision for {dest} (corrupt version log?)"
+                    )
+                p.rename(dest)
+            else:
+                p.unlink()  # _SUCCESS / .crc markers carry no data
+        shutil.rmtree(root, ignore_errors=True)
+
+    def history(self, name: str) -> DataFrame:
+        """The table's committed version log as (version, op, n_files) —
+        Kudu exposes the same lineage through its tablet history, bounded
+        by the ancient-history mark (here: :meth:`vacuum`)."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                "external tables are unmanaged storage: no version log"
+            )
+        rows = [
+            (m["version"], m["op"], len(m["files"]))
+            for m in (
+                self._read_manifest(meta.name, v)
+                for v in self._version_numbers(meta.name)
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows, "version int, op string, n_files int"
+        )
+
+    def _snapshot_df(self, meta: TableMeta, version: int) -> DataFrame:
+        """Read the exact file set of manifest ``version`` (resolving each
+        data-relative path against ``data/`` first, ``archive/`` second)
+        as a DataFrame of the logical columns."""
+        manifest = self._read_manifest(meta.name, version)
+        data = self._data_dir(meta.name)
+        arch = self._archive_dir(meta.name)
+        by_root: dict[Path, list[str]] = {data: [], arch: []}
+        for rel in manifest["files"]:
+            live, archived = data / rel, arch / rel
+            if live.exists():
+                by_root[data].append(str(live))
+            elif archived.exists():
+                by_root[arch].append(str(archived))
+            else:
+                raise TableStoreError(
+                    f"file {rel} of {meta.name!r}@v{version} is gone "
+                    "(vacuumed past this snapshot?)"
+                )
+        parts = []
+        # one read per root so `basePath` makes partition-dir parsing
+        # (kb=/kr=/partition_by columns) work identically in both trees
+        for root, files in by_root.items():
+            if files:
+                parts.append(
+                    self.spark.read.schema(self._read_schema(meta))
+                    .option("basePath", str(root))
+                    .parquet(*files)
+                )
+        if not parts:
+            return self.spark.createDataFrame([], self._read_schema(meta))
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other)
+        return df
+
+    def scan_snapshot(
+        self,
+        name: str,
+        version: int,
+        columns: list[str] | None = None,
+        predicate: Column | str | None = None,
+    ) -> DataFrame:
+        """Point-in-time scan: the table exactly as of ``version``
+        (Kudu ``READ_AT_SNAPSHOT``, the mode the reference's scanner
+        stack rides on).  Projection and predicate push into the Parquet
+        reads like a current-state scan."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError("external tables have no snapshots")
+        df = self._snapshot_df(meta, version).select(
+            *[f.name for f in meta.schema.fields]
+        )
+        if predicate is not None:
+            df = df.filter(
+                F.expr(predicate) if isinstance(predicate, str) else predicate
+            )
+        if columns is not None:
+            known = {f.name for f in meta.schema.fields}
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise TableStoreError(f"unknown projected columns: {bad}")
+            df = df.select(*columns)
+        return df
+
+    def diff(self, name: str, from_version: int, to_version: int) -> DataFrame:
+        """Key-level changes between two snapshots — Kudu's *diff scan*
+        (its incremental-backup primitive): one row per primary key whose
+        state changed, carrying the newer values (older values for
+        deletes) plus a ``change_type`` in {'insert','update','delete'}.
+
+        Plan shape: two snapshot reads full-outer-joined on the key — one
+        shuffle each side, keyed exactly like every other PK operation on
+        the table; no version-log state ever reaches the executors."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError("external tables have no snapshots")
+        keys = meta.key_columns
+        vals = [f.name for f in meta.schema.fields if f.name not in keys]
+        # full_outer with `on=keys` coalesces the key columns, and non-key
+        # columns are nullable, so presence on each side is tracked with an
+        # explicit pre-join marker literal.
+        old_m = self.scan_snapshot(name, from_version).withColumn("_o", F.lit(1))
+        new_m = self.scan_snapshot(name, to_version).withColumn("_n", F.lit(1))
+        j = old_m.join(new_m, on=keys, how="full_outer")
+        change = (
+            F.when(F.col("_o").isNull(), F.lit("insert"))
+            .when(F.col("_n").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        out_vals = [
+            F.when(F.col("_n").isNull(), old_m[f"{c}"]).otherwise(new_m[f"{c}"]).alias(c)
+            for c in vals
+        ]
+        out = j.select(*keys, *out_vals, change.alias("change_type"))
+        if vals:
+            # an 'update' whose values are byte-identical is not a change
+            unchanged = F.lit(True)
+            for c in vals:
+                unchanged = unchanged & old_m[c].eqNullSafe(new_m[c])
+            out = j.filter(
+                F.col("_o").isNull() | F.col("_n").isNull() | ~unchanged
+            ).select(*keys, *out_vals, change.alias("change_type"))
+        return out
+
+    def vacuum(self, name: str, keep_last: int = 1) -> dict:
+        """Kudu's ancient-history mark: retain only the last ``keep_last``
+        versions *before* the current one (current is always kept), drop
+        older manifests, and delete archive files no retained manifest
+        references.  Returns ``{"dropped_versions": [...],
+        "deleted_files": N}``."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError("external tables have no snapshots")
+        if keep_last < 0:
+            raise TableStoreError("keep_last must be >= 0")
+        versions = self._version_numbers(meta.name)
+        if not versions:
+            return {"dropped_versions": [], "deleted_files": 0}
+        keep = set(versions[-(keep_last + 1):])
+        dropped = [v for v in versions if v not in keep]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._read_manifest(meta.name, v)["files"])
+        for v in dropped:
+            self._manifest_path(meta.name, v).unlink()
+        arch = self._archive_dir(meta.name)
+        deleted = 0
+        if arch.exists():
+            for p in sorted(arch.rglob("*.parquet")):
+                if str(p.relative_to(arch)) not in referenced:
+                    p.unlink()
+                    deleted += 1
+            # prune emptied directories bottom-up
+            for d in sorted(
+                (d for d in arch.rglob("*") if d.is_dir()), reverse=True
+            ):
+                try:
+                    d.rmdir()
+                except OSError:
+                    pass
+        return {"dropped_versions": dropped, "deleted_files": deleted}
 
     # ------------------------------------------------- tablets (hash/range)
     _BUCKET_COL = "kb"   # hash-bucketed layout
@@ -780,14 +1059,23 @@ class TableStore:
         self._write_partitioned(meta, df, tmp, "overwrite")
         data = self._data_dir(meta.name)
         pcs = self._part_cols(meta)
+        arch_stage = self._dir(meta.name) / "data.displaced"
+        shutil.rmtree(arch_stage, ignore_errors=True)
         for tup in bucket_ids:
             sub = Path(*[f"{c}={v}" for c, v in zip(pcs, tup)])
             old = data / sub
             new = tmp / sub
-            shutil.rmtree(old, ignore_errors=True)
+            if old.exists():
+                # displaced files go to the archive (keeping their
+                # data-relative path) so older manifests stay readable
+                stage = arch_stage / sub
+                stage.parent.mkdir(parents=True, exist_ok=True)
+                old.rename(stage)
             if new.exists():
                 old.parent.mkdir(parents=True, exist_ok=True)
                 new.rename(old)
+        if arch_stage.exists():
+            self._archive_displaced(meta, arch_stage)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def insert(self, name: str, df: DataFrame) -> None:
@@ -811,6 +1099,7 @@ class TableStore:
         # few buckets is usually broadcastable; at scale it may not be)
         fresh = batch.join(existing_keys, on=meta.key_columns, how="left_anti")
         self._write_partitioned(meta, fresh, self._data_dir(meta.name), "append")
+        self._commit_version(meta, "insert")
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
         """INSERT INTO ... VALUES — the reference demo's ingest path
@@ -837,6 +1126,7 @@ class TableStore:
             batch.select(*meta.key_columns), on=meta.key_columns, how="left_anti"
         )
         self._replace_buckets(meta, affected, kept.unionByName(batch))
+        self._commit_version(meta, "upsert")
 
     def delete_where(self, name: str, predicate: Column | str) -> None:
         """DELETE (reference goal ``doc/DesignDocument.md:9,46-48``).
@@ -863,6 +1153,7 @@ class TableStore:
             .drop(*self._part_cols(meta))
         )
         self._replace_buckets(meta, affected, remaining)
+        self._commit_version(meta, "delete")
 
     def compact(self, name: str, max_files_per_bucket: int = 8) -> list[int]:
         """Rewrite buckets whose file count exceeds the threshold into one
@@ -891,6 +1182,7 @@ class TableStore:
             .drop(*pcs)
         )
         self._replace_buckets(meta, crowded, rows)
+        self._commit_version(meta, "compact")
         # single-level layouts keep the scalar-id public contract
         if len(pcs) == 1:
             return sorted(t[0] for t in crowded)
@@ -911,4 +1203,6 @@ class TableStore:
         if old.exists():
             old.rename(bak)
         tmp.rename(old)
-        shutil.rmtree(bak, ignore_errors=True)
+        if bak.exists():
+            self._archive_displaced(meta, bak)
+        self._commit_version(meta, "insert_overwrite")

@@ -1,0 +1,163 @@
+"""MVCC snapshot layer tests (Kudu READ_AT_SNAPSHOT / diff-scan /
+ancient-history-mark parity, SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.sources.table_store import (
+    TableStore,
+    TableStoreError,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "wh"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(store, spark, **create_kw):
+    store.create_table("t", "id int, v string", ["id"], **create_kw)
+    store.insert_values("t", [(i, f"v{i}") for i in range(1, 7)])
+    return store.table_meta("t")
+
+
+def test_snapshot_survives_upsert_and_delete(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(2, "X"), (9, "nine")], meta.schema))
+    store.delete_where("t", "id <= 3")
+    assert _rows(store.scan_snapshot("t", v1)) == [
+        (i, f"v{i}") for i in range(1, 7)
+    ]
+    assert _rows(store.scan("t")) == [(4, "v4"), (5, "v5"), (6, "v6"), (9, "nine")]
+
+
+def test_snapshot_of_every_intermediate_version(spark, store):
+    meta = _mk(store, spark)
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    v2 = store.current_version("t")
+    store.insert_values("t", [(10, "ten")])
+    v3 = store.current_version("t")
+    store.delete_where("t", "id = 10")
+    assert (1, "one") in _rows(store.scan_snapshot("t", v2))
+    assert (10, "ten") not in _rows(store.scan_snapshot("t", v2))
+    assert (10, "ten") in _rows(store.scan_snapshot("t", v3))
+    assert (10, "ten") not in _rows(store.scan("t"))
+
+
+def test_snapshot_on_composite_range_hash_layout(spark, store):
+    store.create_table(
+        "t", "id int, v string", ["id"], range_splits=[3, 5], hash_in_range=2
+    )
+    store.insert_values("t", [(i, f"v{i}") for i in range(1, 7)])
+    v1 = store.current_version("t")
+    store.delete_where("t", "id >= 4")
+    assert _rows(store.scan_snapshot("t", v1)) == [
+        (i, f"v{i}") for i in range(1, 7)
+    ]
+    assert _rows(store.scan("t")) == [(1, "v1"), (2, "v2"), (3, "v3")]
+
+
+def test_snapshot_predicate_and_projection(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.delete_where("t", "id > 0")  # wipe everything
+    got = store.scan_snapshot("t", v1, columns=["id"], predicate="id >= 5")
+    assert _rows(got) == [(5,), (6,)]
+    with pytest.raises(TableStoreError, match="unknown projected"):
+        store.scan_snapshot("t", v1, columns=["nope"])
+
+
+def test_displaced_files_actually_move_to_archive(spark, store, tmp_path):
+    meta = _mk(store, spark)
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    arch = tmp_path / "wh" / "t" / "archive"
+    archived = list(arch.rglob("*.parquet"))
+    assert archived, "upsert displaced no files into the archive"
+    # archived files keep their data-relative bucket path
+    assert any(p.parent.name.startswith("kb=") for p in archived)
+
+
+def test_insert_overwrite_snapshot(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.insert_overwrite(
+        "t", spark.createDataFrame([(100, "hundred")], meta.schema)
+    )
+    assert _rows(store.scan("t")) == [(100, "hundred")]
+    assert _rows(store.scan_snapshot("t", v1)) == [
+        (i, f"v{i}") for i in range(1, 7)
+    ]
+
+
+def test_compaction_preserves_snapshots(spark, store):
+    meta = _mk(store, spark)
+    for i in range(10, 20):
+        store.insert_values("t", [(i, f"v{i}")])
+    v_pre = store.current_version("t")
+    compacted = store.compact("t", max_files_per_bucket=1)
+    assert compacted, "expected at least one crowded bucket"
+    assert store.history("t").filter(F.col("op") == "compact").count() == 1
+    assert _rows(store.scan_snapshot("t", v_pre)) == _rows(store.scan("t"))
+
+
+def test_diff_noop_upsert_is_not_an_update(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    # rewrite row 1 with identical values, row 2 with new ones
+    store.upsert(
+        "t", spark.createDataFrame([(1, "v1"), (2, "changed")], meta.schema)
+    )
+    d = {(r["id"]): r["change_type"] for r in store.diff("t", v1, v1 + 1).collect()}
+    assert d == {2: "update"}
+
+
+def test_diff_empty_between_identical_versions(spark, store):
+    _mk(store, spark)
+    v1 = store.current_version("t")
+    assert store.diff("t", v1, v1).count() == 0
+
+
+def test_vacuum_gc_and_retention(spark, store, tmp_path):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    v2 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(2, "two")], meta.schema))
+    # keep_last=1 keeps v2 and v3 (current); v0/v1 drop
+    res = store.vacuum("t", keep_last=1)
+    assert res["dropped_versions"] == [0, v1]
+    with pytest.raises(TableStoreError, match="vacuumed"):
+        store.scan_snapshot("t", v1).count()
+    # v2 must still resolve every file (archive keeps referenced ones)
+    assert (1, "one") in _rows(store.scan_snapshot("t", v2))
+    # a second vacuum down to current-only deletes the rest of the archive
+    store.vacuum("t", keep_last=0)
+    arch = tmp_path / "wh" / "t" / "archive"
+    assert not list(arch.rglob("*.parquet"))
+    assert (2, "two") in _rows(store.scan("t"))
+
+
+def test_version_log_rejections(spark, store, tmp_path, sf_dir):
+    store.attach_external(
+        "ext", f"{sf_dir}/nation.parquet", ["n_nationkey"]
+    )
+    for call in (
+        lambda: store.current_version("ext"),
+        lambda: store.history("ext"),
+        lambda: store.scan_snapshot("ext", 0),
+        lambda: store.diff("ext", 0, 1),
+        lambda: store.vacuum("ext"),
+    ):
+        with pytest.raises(TableStoreError):
+            call()
+    store.create_table("t2", "id int, v string", ["id"])
+    with pytest.raises(TableStoreError, match="no such version"):
+        store.scan_snapshot("t2", 99).count()

@@ -1,0 +1,188 @@
+"""Batch event-stream analytics over the ``events`` fixture (SURVEY.md
+§2.5/§2.9 adjacency): sessionization, ordered funnels, cohort retention.
+
+The reference's workload family is Hive SQL over fast-changing operational
+tables (``doc/DesignDocument.md:4-8`` — "analytical queries on fast
+changing data"); clickstream sessionization / funnel / retention are the
+canonical such queries.  All three are pure JVM window/aggregate plans:
+
+* ``events_sessionize`` — gaps-and-islands: one window pass computes the
+  new-session marker (lag + gap compare), a running sum turns markers into
+  per-user session ordinals, then a keyed aggregate folds each session.
+  Scale: two shuffles total, both on ``user_id`` (the window and the
+  group-by reuse the same hash partitioning; AQE coalesces), state per
+  task bounded by the partition's rows — no driver-side state.  Gap
+  comparison is done on microsecond-exact epoch doubles (2024 epoch ×
+  1e6 µs ≈ 1.7e15 < 2^53, so the double is exact) to avoid
+  second-truncation disagreeing with the oracle's INTERVAL compare.
+* ``events_funnel`` — strict-order funnel (view → click after first view
+  → purchase after first qualifying click) via per-step keyed min-aggs
+  joined on ``user_id``; at scale each step is one shuffle on the same
+  key, and steps shrink monotonically (each join is against an
+  already-reduced per-user table).
+* ``events_retention`` — weekly cohort retention: cohort = Monday-truncated
+  week of the user's first event; one distinct-activity aggregate joined
+  to the per-user cohort, then a count per (cohort, offset) cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_events
+
+_GAP_SECONDS = 30 * 60
+
+
+@query(
+    "events_sessionize",
+    oracle=(
+        "WITH marked AS ("
+        "  SELECT user_id, ts, event_id, "
+        "         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE "
+        "              THEN 0 ELSE 1 END AS is_new "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "numbered AS ("
+        "  SELECT user_id, ts, "
+        "         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "                           ROWS UNBOUNDED PRECEDING) AS session_seq "
+        "  FROM marked) "
+        "SELECT user_id, CAST(session_seq AS INT) AS session_seq, "
+        "       COUNT(*) AS n_events, "
+        "       MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "       date_diff('second', MIN(ts), MAX(ts)) AS duration_secs "
+        "FROM numbered GROUP BY user_id, session_seq "
+        "ORDER BY user_id, session_seq"
+    ),
+    tags=("events",),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization with a 30-minute inactivity gap:
+    per-session ordinals, event counts, bounds and duration."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact-µs epoch as double; NULL lag (first event) compares to NULL →
+    # otherwise-branch → new session, matching the oracle's CASE shape
+    gap_ok = (
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ) <= F.lit(float(_GAP_SECONDS))
+    marked = ev.withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+    numbered = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_secs"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "events_funnel",
+    oracle=(
+        "WITH v AS ("
+        "  SELECT user_id, MIN(ts) AS t0 FROM events "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS ("
+        "  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e "
+        "  JOIN v ON e.user_id = v.user_id "
+        "  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id), "
+        "p AS ("
+        "  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+        "  JOIN c ON e.user_id = c.user_id "
+        "  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id) "
+        "SELECT * FROM (VALUES "
+        "  (1, 'view', (SELECT COUNT(*) FROM v)), "
+        "  (2, 'click', (SELECT COUNT(*) FROM c)), "
+        "  (3, 'purchase', (SELECT COUNT(*) FROM p))) "
+        "AS t(step, name, n_users) ORDER BY step"
+    ),
+    tags=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → purchase: a user
+    counts at step N only with an event after their first step-N-1 event."""
+    ev = load_events(spark, sf_dir)
+
+    def first_after(step_type: str, prev: DataFrame, prev_t: str, out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = first_after("click", v, "t0", "t1")
+    p = first_after("purchase", c, "t1", "t2")
+    counts = [df.count() for df in (v, c, p)]
+    return spark.createDataFrame(
+        [(i + 1, n, cnt) for i, (n, cnt) in enumerate(zip(["view", "click", "purchase"], counts))],
+        "step int, name string, n_users bigint",
+    ).orderBy("step")
+
+
+@query(
+    "events_retention",
+    oracle=(
+        "WITH cohorts AS ("
+        "  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week "
+        "  FROM events GROUP BY user_id), "
+        "activity AS ("
+        "  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week "
+        "  FROM events) "
+        "SELECT cohort_week, "
+        "       CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset, "
+        "       COUNT(*) AS n_users "
+        "FROM activity JOIN cohorts USING (user_id) "
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"
+    ),
+    tags=("events",),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the Monday week of
+    their first event, counted in every week they were active.
+
+    One data-sized shuffle: repartition on ``user_id`` up front, then the
+    (user, week) distinct AND the per-user min-week window both reuse that
+    partitioning (hash on a subset of the grouping keys satisfies the
+    aggregate's clustering requirement) — no cohort join at all.  The
+    remaining exchanges move only the already-tiny (cohort, offset)
+    cells."""
+    ev = load_events(spark, sf_dir)
+    activity = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+        )
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    with_cohort = activity.withColumn(
+        "cohort_week", F.min("active_week").over(w)
+    )
+    return (
+        with_cohort.groupBy(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

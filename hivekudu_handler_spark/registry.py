@@ -60,6 +60,7 @@ def load_all() -> dict[str, QuerySpec]:
     from hivekudu_handler_spark.operators import (  # noqa: F401
         aggregates,
         ddl,
+        event_analytics,
         joins,
         range_layout,
         scans,

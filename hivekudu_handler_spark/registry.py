@@ -77,6 +77,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         sampling,
         similarity,
+        span_dedup,
         text,
     )
     from hivekudu_handler_spark.streaming import events as streaming_events  # noqa: F401

@@ -360,3 +360,140 @@ def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     timing is not SQL-expressible; tests/test_streaming.py proves the
     final state equals the batch groupBy over the same fixture."""
     return run_stateful_over_fixture(spark, sf_dir)
+
+
+# ---- streaming upsert sink (Kudu ingest path) -----------------------------
+
+def run_upsert_sink(
+    spark: SparkSession,
+    events: DataFrame,
+    store,
+    table: str,
+    checkpoint_dir: str,
+    stage_dir: str,
+    n_files: int = 4,
+    *,
+    reverse_order: bool = False,
+) -> int:
+    """Drive an event stream into a managed keyed table through
+    ``foreachBatch`` — the Spark sink for Kudu's core positioning
+    ("analytical queries on fast changing data",
+    ``doc/DesignDocument.md:4-8``; the reference's write path is the
+    batch ``HiveKuduTableOutputFormat.java:94-116`` riding the same Kudu
+    upsert machinery).
+
+    Merge rule: **last-write-wins by (ts, event_id)** — each micro-batch
+    reduces to its newest row per key, joins the currently-stored rows
+    for the touched keys, and upserts only per-key winners.  The final
+    table state is therefore the global newest row per key regardless of
+    how events are split into micro-batches or in which order batches
+    arrive — exactly the property an at-least-once streaming ingest needs
+    for the sink to stay convergent (and what makes the result
+    SQL-checkable: the oracle is a plain window rank over all events).
+
+    Scale: per micro-batch the work is one window over the batch + a
+    keyed read of only the affected tablets (``scan`` filtered on the
+    batch's keys prunes on the bucket column) + a bucket-scoped upsert —
+    never a full-table rewrite.  Returns the number of micro-batches.
+
+    ``reverse_order`` stages the files newest-first so tests can prove
+    batch-order independence.
+    """
+    from pyspark.sql import Window
+
+    # stage the stream as n ts-range files so maxFilesPerTrigger=1 yields
+    # a deterministic multi-batch run
+    ranged = events.withColumn(
+        "_f", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    )
+    order = range(n_files, 0, -1) if reverse_order else range(1, n_files + 1)
+    for seq, i in enumerate(order):
+        (
+            ranged.filter(F.col("_f") == i)
+            .drop("_f")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage_dir}/f{seq:02d}")
+        )
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{stage_dir}/f*")
+    )
+
+    keys = store.table_meta(table).key_columns
+    assert keys == ["user_id"]
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    n_batches = {"n": 0}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w_latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        current = store.scan(table).join(
+            latest.select("user_id"), "user_id", "left_semi"
+        )
+        winners = (
+            current.unionByName(latest)
+            .withColumn("_rn", F.row_number().over(w_latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        store.upsert(table, winners)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return n_batches["n"]
+
+
+@query(
+    "stream_upsert_sink",
+    oracle=(
+        "SELECT user_id, event_id, ts, event_type, value FROM ("
+        "  SELECT user_id, event_id, ts, event_type, value, "
+        "         ROW_NUMBER() OVER (PARTITION BY user_id "
+        "                            ORDER BY ts DESC, event_id DESC) AS rn "
+        "  FROM events) WHERE rn = 1 ORDER BY user_id"
+    ),
+    tags=("streaming", "stateful", "slow"),
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events streamed through ``foreachBatch`` into a managed keyed
+    table with last-write-wins merge: the final table is each user's
+    newest event — checked against the one-shot SQL window oracle."""
+    import shutil
+    import tempfile
+
+    from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "user_state",
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "event_type string, value double",
+            ["user_id"],
+        )
+        run_upsert_sink(
+            spark, ev, store, "user_state",
+            checkpoint_dir=str(d / "ckpt"), stage_dir=str(d / "stage"),
+        )
+        return _materialize(spark, store.scan("user_state").orderBy("user_id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -222,3 +222,52 @@ def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
         (r["w"]["start"].strftime("%H:%M"), r["n"]) for r in batch.collect()
     }
     assert ("10:00", 3) in bg, bg
+
+
+# ---- streaming upsert sink ------------------------------------------------
+
+def test_stream_upsert_sink_multibatch_and_order_independent(spark, sf_dir, tmp_path):
+    """The foreachBatch upsert sink really runs multiple micro-batches,
+    and last-write-wins merge makes the final table identical whether
+    batches arrive oldest-first or newest-first."""
+    from hivekudu_handler_spark.sources.table_store import TableStore
+    from hivekudu_handler_spark.streaming.events import run_upsert_sink
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    results = {}
+    n_batches = {}
+    for label, rev in (("fwd", False), ("rev", True)):
+        store = TableStore(spark, str(tmp_path / f"wh_{label}"))
+        store.create_table(
+            "user_state",
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "event_type string, value double",
+            ["user_id"],
+        )
+        n_batches[label] = run_upsert_sink(
+            spark, ev, store, "user_state",
+            checkpoint_dir=str(tmp_path / f"ckpt_{label}"),
+            stage_dir=str(tmp_path / f"stage_{label}"),
+            reverse_order=rev,
+        )
+        results[label] = sorted(
+            tuple(r) for r in store.scan("user_state").collect()
+        )
+    assert n_batches["fwd"] > 1 and n_batches["rev"] > 1
+    assert results["fwd"] == results["rev"]
+    # final state is the newest event per user
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expect = sorted(
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    assert results["fwd"] == expect

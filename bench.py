@@ -72,6 +72,11 @@ HEADLINE = [
     "sample_global_shuffle",  # range-partitioned deterministic permutation
     "stream_session",       # session windows (batch mode)
     "mm_byte_features",     # mapInPandas Arrow path
+    "events_sessionize",    # gaps-and-islands sessions, single data shuffle
+    "events_retention",     # cohort retention, repartition-reuse plan
+    "dedup_span_ngram",     # positioned-gram inverted index + span merge
+    "scan_snapshot",        # MVCC as-of read across data/ + archive/
+    "stream_upsert_sink",   # multi-batch foreachBatch LWW merge into keyed table
 ]
 
 

@@ -374,3 +374,41 @@ def sink_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("test_drop"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_alter_table",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(1, 'a', CAST(NULL AS DOUBLE)), (2, 'b', CAST(NULL AS DOUBLE)), "
+        "(3, 'c', CAST(3.5 AS DOUBLE))) "
+        "AS t(id, label, score) ORDER BY id"
+    ),
+    tags=("ddl",),
+)
+def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE through the SQL front-end — the Kudu
+    AlterTableRequest verbs the reference's bundled client supports but
+    its handler never wired (no preAlterTable hook in
+    ``KuduStorageHandler.java``): ADD COLUMNS (pre-existing rows read
+    NULL), RENAME COLUMN (metadata-only; physical file bytes keep the
+    stable name), RENAME TO.  Returns the final scan under the evolved
+    schema and new table name."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE test_alter (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id');",
+        )
+        execute(store, "INSERT INTO TABLE test_alter VALUES (1, 'a'), (2, 'b')")
+        execute(store, "ALTER TABLE test_alter ADD COLUMNS (score double)")
+        execute(store, "UPSERT INTO TABLE test_alter VALUES (3, 'c', 3.5)")
+        execute(store, "ALTER TABLE test_alter RENAME COLUMN name TO label")
+        execute(store, "ALTER TABLE test_alter RENAME TO test_alter2")
+        assert store.list_tables() == ["test_alter2"]
+        return _materialize(spark, store.scan("test_alter2").orderBy("id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

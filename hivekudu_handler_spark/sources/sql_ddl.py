@@ -211,6 +211,8 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         return None
     if verb == "UPDATE":
         return _update(store, stmt)
+    if verb == "ALTER":
+        return _alter(store, stmt)
     raise SqlDdlError(
         f"unsupported statement (this front-end owns DDL and DML only, "
         f"queries go through Spark SQL): {sql!r}"
@@ -285,6 +287,86 @@ def _update(store: TableStore, stmt: str) -> None:
     )
     # keyed upsert: only the buckets holding matched rows are rewritten
     store.upsert(name, rows)
+
+
+_ALTER_RE = re.compile(
+    r"ALTER\s+TABLE\s+(?P<name>[A-Za-z_][\w]*)\s+(?P<action>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _alter(store: TableStore, stmt: str) -> None:
+    """ALTER TABLE — the Kudu AlterTableRequest verbs in Hive/Impala
+    dialect (add/drop/rename column, rename table).  The reference left
+    alter unimplemented (``KuduStorageHandler.java`` has no
+    preAlterTable hook), but the underlying Kudu client it ships
+    supports all four."""
+    m = _ALTER_RE.match(stmt)
+    if not m:
+        raise SqlDdlError(f"cannot parse ALTER statement: {stmt!r}")
+    name, action = m.group("name"), m.group("action").strip()
+
+    am = re.match(r"ADD\s+COLUMNS?\s*\(", action, re.IGNORECASE)
+    if am:
+        inner, _ = _match_paren_block(action, am.end() - 1)
+        for spec in _split_top(inner):
+            parts = spec.split()
+            if len(parts) != 2:
+                raise SqlDdlError(f"bad column spec in ADD COLUMNS: {spec!r}")
+            store.add_column(name, parts[0], parts[1])
+        return None
+    am = re.match(
+        r"ADD\s+COLUMN\s+(?P<col>[A-Za-z_][\w]*)\s+(?P<type>\S+)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        store.add_column(name, am.group("col"), am.group("type"))
+        return None
+    am = re.match(
+        r"DROP\s+COLUMN\s+(?P<col>[A-Za-z_][\w]*)\s*$", action, re.IGNORECASE
+    )
+    if am:
+        store.drop_column(name, am.group("col"))
+        return None
+    am = re.match(
+        r"RENAME\s+COLUMN\s+(?P<old>[A-Za-z_][\w]*)\s+TO\s+(?P<new>[A-Za-z_][\w]*)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        store.rename_column(name, am.group("old"), am.group("new"))
+        return None
+    am = re.match(
+        # Hive's CHANGE old new type — type must restate the current type
+        # (type ALTER is not a Kudu capability; rejected below)
+        r"CHANGE\s+(?:COLUMN\s+)?(?P<old>[A-Za-z_][\w]*)\s+(?P<new>[A-Za-z_][\w]*)\s+(?P<type>\S+)\s*$",
+        action,
+        re.IGNORECASE,
+    )
+    if am:
+        meta = store.table_meta(name)
+        cur = next(
+            (f for f in meta.schema.fields if f.name == am.group("old")), None
+        )
+        if cur is None:
+            raise SqlDdlError(f"no such column: {am.group('old')!r}")
+        from hivekudu_handler_spark import typesys
+
+        if typesys.resolve_hive_type(am.group("type")) != cur.dataType:
+            raise SqlDdlError(
+                "CHANGE cannot alter a column's type (Kudu alter supports "
+                "rename only); restate the current type"
+            )
+        store.rename_column(name, am.group("old"), am.group("new"))
+        return None
+    am = re.match(
+        r"RENAME\s+TO\s+(?P<new>[A-Za-z_][\w]*)\s*$", action, re.IGNORECASE
+    )
+    if am:
+        store.rename_table(name, am.group("new"))
+        return None
+    raise SqlDdlError(f"unsupported ALTER action: {action!r}")
 
 
 def _create(store: TableStore, stmt: str) -> None:

@@ -111,6 +111,15 @@ class TableMeta:
     # composite hash×range tablet scheme); None = range-only layout.
     # Only meaningful together with range_splits.
     hash_in_range: int | None = None
+    # ALTER TABLE support (Kudu AlterTableRequest parity): columns carry a
+    # stable PHYSICAL name (what parquet footers store) separate from the
+    # logical schema name, so RENAME COLUMN is metadata-only and DROP +
+    # re-ADD of a name can never resurrect old bytes.  `physical` maps
+    # logical → physical only where they differ; `used_physical` records
+    # every physical name ever assigned (current + retired) so new
+    # columns always get a collision-free physical name.
+    physical: dict | None = None
+    used_physical: list | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -124,6 +133,8 @@ class TableMeta:
                 "location": self.location,
                 "range_splits": self.range_splits,
                 "hash_in_range": self.hash_in_range,
+                "physical": self.physical,
+                "used_physical": self.used_physical,
             }
         )
 
@@ -140,7 +151,12 @@ class TableMeta:
             location=d.get("location"),
             range_splits=d.get("range_splits"),
             hash_in_range=d.get("hash_in_range"),
+            physical=d.get("physical"),
+            used_physical=d.get("used_physical"),
         )
+
+    def phys_name(self, logical: str) -> str:
+        return (self.physical or {}).get(logical, logical)
 
 
 class TableStore:
@@ -351,6 +367,131 @@ class TableStore:
             rows, "col_name string, data_type string, is_key boolean"
         )
 
+    # ------------------------------------------------------------ ALTER
+    def _write_meta(self, meta: TableMeta) -> None:
+        self._meta_path(meta.name).write_text(meta.to_json())
+
+    def _alterable_meta(self, name: str) -> TableMeta:
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                "external tables are unmanaged: ALTER is not supported"
+            )
+        return meta
+
+    def _fresh_physical(self, meta: TableMeta, logical: str) -> str:
+        """A physical name never used by this table: the logical name if
+        free, else ``<logical>__v<k>``.  Prevents a re-added column from
+        resurrecting bytes an earlier same-named column left in old
+        files (Kudu semantics: dropped data is gone)."""
+        used = set(meta.used_physical or self._init_used(meta))
+        if logical not in used:
+            return logical
+        k = 2
+        while f"{logical}__v{k}" in used:
+            k += 1
+        return f"{logical}__v{k}"
+
+    def add_column(self, name: str, col_name: str, hive_type: str) -> TableMeta:
+        """ALTER TABLE ADD COLUMN (Kudu AlterTableRequest add_column;
+        Kudu new columns are nullable non-key).  Metadata-only: existing
+        files simply lack the physical column and read as NULL."""
+        meta = self._alterable_meta(name)
+        if any(f.name == col_name for f in meta.schema.fields):
+            raise TableStoreError(f"column {col_name!r} already exists")
+        dtype = typesys.resolve_hive_type(hive_type)
+        used = set(meta.used_physical or self._init_used(meta))
+        phys = self._fresh_physical(meta, col_name)
+        meta.schema = T.StructType(
+            list(meta.schema.fields)
+            + [T.StructField(col_name, dtype, nullable=True)]
+        )
+        meta.used_physical = sorted(used | {phys})
+        if phys != col_name:
+            meta.physical = {**(meta.physical or {}), col_name: phys}
+        self._write_meta(meta)
+        return meta
+
+    def drop_column(self, name: str, col_name: str) -> TableMeta:
+        """ALTER TABLE DROP COLUMN (non-key, non-partition).  Metadata
+        only — the physical bytes stay in old files, unreadable (the
+        physical name is retired), and disappear physically at the next
+        compaction/rewrite of each bucket."""
+        meta = self._alterable_meta(name)
+        if col_name in meta.key_columns:
+            raise TableStoreError(f"cannot drop key column {col_name!r}")
+        if col_name in (meta.partition_by or []):
+            raise TableStoreError(
+                f"cannot drop partition column {col_name!r}"
+            )
+        if not any(f.name == col_name for f in meta.schema.fields):
+            raise TableStoreError(f"no such column: {col_name!r}")
+        phys = meta.phys_name(col_name)
+        meta.used_physical = sorted(
+            set(
+                meta.used_physical
+                or [meta.phys_name(f.name) for f in meta.schema.fields]
+            )
+        )
+        meta.schema = T.StructType(
+            [f for f in meta.schema.fields if f.name != col_name]
+        )
+        if meta.physical and col_name in meta.physical:
+            meta.physical = {
+                k: v for k, v in meta.physical.items() if k != col_name
+            }
+        self._write_meta(meta)
+        return meta
+
+    def rename_column(self, name: str, old: str, new: str) -> TableMeta:
+        """ALTER TABLE RENAME COLUMN (Kudu rename_column) — metadata
+        only: the logical name changes, the stable physical name in the
+        files does not."""
+        meta = self._alterable_meta(name)
+        if not any(f.name == old for f in meta.schema.fields):
+            raise TableStoreError(f"no such column: {old!r}")
+        if any(f.name == new for f in meta.schema.fields):
+            raise TableStoreError(f"column {new!r} already exists")
+        if old in (meta.partition_by or []):
+            raise TableStoreError(
+                f"cannot rename partition column {old!r} (directory layout)"
+            )
+        phys = meta.phys_name(old)
+        used = set(meta.used_physical or self._init_used(meta))
+        meta.schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in meta.schema.fields
+            ]
+        )
+        mapping = {k: v for k, v in (meta.physical or {}).items() if k != old}
+        if phys != new:
+            mapping[new] = phys
+        meta.physical = mapping or None
+        meta.used_physical = sorted(used | {phys})
+        meta.key_columns = [new if k == old else k for k in meta.key_columns]
+        self._write_meta(meta)
+        return meta
+
+    def rename_table(self, name: str, new_name: str) -> TableMeta:
+        """ALTER TABLE RENAME TO (Kudu rename_table; the reference's
+        golden script itself renames via case-insensitive identifiers,
+        ``README.md:39-43``): a directory rename, history included."""
+        meta = self._alterable_meta(name)
+        if self._meta_path(new_name).exists():
+            raise TableExistsError(f"table {new_name!r} already exists")
+        new_norm = self._norm_name(new_name)
+        self._dir(name).rename(self.root / new_norm)
+        meta.name = new_norm
+        self._write_meta(meta)
+        return meta
+
+    @staticmethod
+    def _init_used(meta: TableMeta) -> list[str]:
+        return [meta.phys_name(f.name) for f in meta.schema.fields]
+
     # ------------------------------------------------------- version log
     def _versions_dir(self, name: str) -> Path:
         return self._dir(name) / "versions"
@@ -498,11 +639,13 @@ class TableStore:
                     .parquet(*files)
                 )
         if not parts:
-            return self.spark.createDataFrame([], self._read_schema(meta))
+            return self._to_logical(
+                self.spark.createDataFrame([], self._read_schema(meta)), meta
+            )
         df = parts[0]
         for other in parts[1:]:
             df = df.unionByName(other)
-        return df
+        return self._to_logical(df, meta)
 
     def scan_snapshot(
         self,
@@ -753,13 +896,29 @@ class TableStore:
         return out
 
     def _read_schema(self, meta: TableMeta) -> T.StructType:
+        """PHYSICAL read schema: parquet footers store the stable physical
+        column names; a column absent from a file (added after the file
+        was written) reads as NULL."""
         return T.StructType(
-            list(meta.schema.fields)
+            [
+                T.StructField(meta.phys_name(f.name), f.dataType, f.nullable)
+                for f in meta.schema.fields
+            ]
             + [
                 T.StructField(c, T.IntegerType())
                 for c in self._part_cols(meta)
             ]
         )
+
+    def _to_logical(self, df: DataFrame, meta: TableMeta) -> DataFrame:
+        for lg, ph in (meta.physical or {}).items():
+            df = df.withColumnRenamed(ph, lg)
+        return df
+
+    def _to_physical(self, df: DataFrame, meta: TableMeta) -> DataFrame:
+        for lg, ph in (meta.physical or {}).items():
+            df = df.withColumnRenamed(lg, ph)
+        return df
 
     def _has_data(self, meta: TableMeta) -> bool:
         return any(self._data_dir(meta.name).rglob("*.parquet"))
@@ -769,9 +928,14 @@ class TableStore:
         discovery fills ``kb`` from the directory names, so a filter on it
         prunes whole bucket directories from the scan)."""
         if not self._has_data(meta):
-            return self.spark.createDataFrame([], self._read_schema(meta))
-        return self.spark.read.schema(self._read_schema(meta)).parquet(
-            str(self._data_dir(meta.name))
+            return self._to_logical(
+                self.spark.createDataFrame([], self._read_schema(meta)), meta
+            )
+        return self._to_logical(
+            self.spark.read.schema(self._read_schema(meta)).parquet(
+                str(self._data_dir(meta.name))
+            ),
+            meta,
         )
 
     # ------------------------------------------------------------------ reads
@@ -1034,6 +1198,9 @@ class TableStore:
         out = df
         for c, e in zip(pcs, self._part_exprs(meta)):
             out = out.withColumn(c, e)
+        # files persist PHYSICAL column names (partition exprs above bind
+        # to the logical names the batch arrives with)
+        out = self._to_physical(out, meta)
         # one write task per tablet: each append adds one file per
         # affected tablet instead of num_tasks × num_tablets shards
         out = out.repartition(self._num_parts(meta), *[F.col(c) for c in pcs])

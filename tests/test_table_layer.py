@@ -912,3 +912,75 @@ def test_sql_dml_rejections(spark, store):
         execute(store, "UPDATE t SET name = 'x' WHERE")
     # nothing was mutated by the rejected statements
     assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "a")]
+
+
+# ---- ALTER TABLE (Kudu AlterTableRequest parity) --------------------------
+
+def test_alter_add_column_backfills_null(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a")])
+    store.add_column("t", "score", "double")
+    assert store.scan("t").collect()[0]["score"] is None
+    # new writes carry the column; old rows stay NULL
+    store.upsert("t", spark.createDataFrame([(2, "b", 2.5)], store.table_meta("t").schema))
+    got = {r["id"]: r["score"] for r in store.scan("t").collect()}
+    assert got == {1: None, 2: 2.5}
+
+
+def test_alter_drop_then_readd_does_not_resurrect(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "ghost")])
+    store.drop_column("t", "name")
+    store.add_column("t", "name", "string")
+    assert store.scan("t").collect()[0]["name"] is None
+
+
+def test_alter_rename_column_is_metadata_only(spark, store, tmp_path):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a")])
+    files_before = sorted((tmp_path / "wh" / "t" / "data").rglob("*.parquet"))
+    store.rename_column("t", "name", "label")
+    files_after = sorted((tmp_path / "wh" / "t" / "data").rglob("*.parquet"))
+    assert files_before == files_after
+    assert store.scan("t").columns == ["id", "label"]
+    assert store.scan("t").collect()[0]["label"] == "a"
+    # survives a fresh store instance (mapping persisted in meta.json)
+    from hivekudu_handler_spark.sources.table_store import TableStore
+
+    st2 = TableStore(spark, str(tmp_path / "wh"))
+    assert st2.scan("t").collect()[0]["label"] == "a"
+
+
+def test_alter_rename_key_column(spark, store):
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(7, "a")])
+    store.rename_column("t", "id", "pk")
+    assert store.table_meta("t").key_columns == ["pk"]
+    assert store.lookup("t", {"pk": 7}).count() == 1
+
+
+def test_alter_rejections(spark, store, sf_dir):
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+    from hivekudu_handler_spark.sources.table_store import (
+        TableExistsError,
+        TableStoreError,
+    )
+
+    store.create_table("t", "id int, name string", ["id"], partition_by=None)
+    store.create_table("other", "id int, v string", ["id"])
+    with pytest.raises(TableStoreError, match="key column"):
+        store.drop_column("t", "id")
+    with pytest.raises(TableStoreError, match="already exists"):
+        store.rename_column("t", "name", "id")
+    with pytest.raises(TableStoreError, match="no such column"):
+        store.drop_column("t", "nope")
+    with pytest.raises(TableExistsError):
+        store.rename_table("t", "other")
+    store.attach_external("ext", f"{sf_dir}/nation.parquet", ["n_nationkey"])
+    with pytest.raises(TableStoreError, match="ALTER"):
+        store.add_column("ext", "c", "int")
+    # CHANGE must restate the current type — type ALTER is not a Kudu verb
+    with pytest.raises(SqlDdlError, match="type"):
+        execute(store, "ALTER TABLE t CHANGE name name2 int")
+    execute(store, "ALTER TABLE t CHANGE name name2 string")
+    assert store.scan("t").columns == ["id", "name2"]

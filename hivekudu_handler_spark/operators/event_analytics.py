@@ -36,6 +36,23 @@ from hivekudu_handler_spark.tables import load_events
 _GAP_SECONDS = 30 * 60
 
 
+def with_sessions(ev: DataFrame) -> DataFrame:
+    """Events + a per-user ``session_seq`` ordinal (30-minute gap rule).
+    One window shuffle on ``user_id``; every consumer's follow-up
+    aggregate reuses that partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact-µs epoch as double; NULL lag (first event) compares to NULL →
+    # otherwise-branch → new session, matching the oracle's CASE shape
+    gap_ok = (
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    ) <= F.lit(float(_GAP_SECONDS))
+    marked = ev.withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+    return marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+
+
 @query(
     "events_sessionize",
     oracle=(
@@ -61,18 +78,7 @@ _GAP_SECONDS = 30 * 60
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization with a 30-minute inactivity gap:
     per-session ordinals, event counts, bounds and duration."""
-    ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact-µs epoch as double; NULL lag (first event) compares to NULL →
-    # otherwise-branch → new session, matching the oracle's CASE shape
-    gap_ok = (
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    ) <= F.lit(float(_GAP_SECONDS))
-    marked = ev.withColumn("is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
-    numbered = marked.withColumn(
-        "session_seq",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
-    )
+    numbered = with_sessions(load_events(spark, sf_dir))
     return (
         numbered.groupBy("user_id", "session_seq")
         .agg(
@@ -185,4 +191,59 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle=(
+        "WITH marked AS ("
+        "  SELECT user_id, ts, event_id, event_type, "
+        "         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE "
+        "              THEN 0 ELSE 1 END AS is_new "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "numbered AS ("
+        "  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "            ROWS UNBOUNDED PRECEDING) AS session_seq FROM marked), "
+        "paths AS ("
+        "  SELECT user_id, session_seq, "
+        "         string_agg(event_type, '>' ORDER BY ts, event_id) AS path "
+        "  FROM numbered GROUP BY user_id, session_seq) "
+        "SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path "
+        "ORDER BY n_sessions DESC, path LIMIT 10"
+    ),
+    tags=("events",),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent within-session event-type paths.
+
+    The per-session path is folded ORDER-DETERMINISTICALLY without an
+    ordered-aggregate primitive (Spark has none): collect the session's
+    (ts, event_id, type) structs, ``array_sort`` them (struct comparison
+    is field-lexicographic, and (ts, event_id) is a total order), then
+    project the types and join.  Session rows are bounded by session
+    length, so the per-group array is small by construction.  The session
+    fold reuses the window's user_id partitioning; only path-count cells
+    reach the final (tiny) top-k sort, made deterministic by the
+    (count DESC, path) tiebreak."""
+    numbered = with_sessions(load_events(spark, sf_dir))
+    paths = (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
     )

@@ -125,3 +125,102 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("snap").orderBy("id"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "incr_agg_refresh",
+    oracle=(
+        "WITH state AS ("
+        "  SELECT event_id, event_type, "
+        "         CASE WHEN event_id % 3 IN (0, 1) AND event_id % 5 = 0 "
+        "              THEN value * 2 ELSE value END AS value "
+        "  FROM events) "
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "FROM state WHERE event_type <> 'error' "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    tags=("table", "snapshot", "slow"),
+)
+def incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the diff scan — the 100 TB
+    pattern Kudu's incremental backups exist for: a materialized
+    aggregate is refreshed from ONLY the rows that changed between two
+    table versions, never rescanning unchanged tablets (`TableStore.diff`
+    reads just the manifests' symmetric-difference files).
+
+    Scenario over the events fixture: load two-thirds of the rows
+    (v_a), take the per-type aggregate as the materialized base, then
+    upsert the final third + double the value of every ``id%5=0`` row,
+    and delete the 'error' class.  Each diff row retracts its old
+    contribution (``old_*`` columns) and asserts its new one; merging
+    the signed deltas into the base must equal a from-scratch aggregate
+    of the final state — which is exactly what the oracle computes.
+    Money-style exact arithmetic (floor-cents) keeps the incremental
+    float path bit-identical to the recompute."""
+    import pyspark.sql.functions as F
+
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "ev", "event_id bigint, event_type string, value double", ["event_id"]
+        )
+        store.insert("ev", ev.filter(F.col("event_id") % 3 < 2))
+        v_a = store.current_version("ev")
+        # materialize NOW: snapshot reads bind concrete file paths at
+        # construction, and this base is conceptually a stored aggregate
+        base = _materialize(
+            spark,
+            store.scan_snapshot("ev", v_a)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100)).alias("sum_cents"),
+            ),
+        )
+        b_new = ev.filter(F.col("event_id") % 3 == 2)
+        b_upd = ev.filter(
+            (F.col("event_id") % 3 < 2) & (F.col("event_id") % 5 == 0)
+        ).withColumn("value", F.col("value") * 2)
+        store.upsert("ev", b_new.unionByName(b_upd))
+        store.delete_where("ev", "event_type = 'error'")
+        v_b = store.current_version("ev")
+
+        diff = store.diff("ev", v_a, v_b, include_old=True)
+        retract = diff.filter(F.col("change_type") != "insert").select(
+            F.col("old_event_type").alias("event_type"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.floor(F.col("old_value") * 100)).alias("dcents"),
+        )
+        assert_ = diff.filter(F.col("change_type") != "delete").select(
+            "event_type",
+            F.lit(1).cast("long").alias("dn"),
+            F.floor(F.col("value") * 100).alias("dcents"),
+        )
+        delta = (
+            retract.unionByName(assert_)
+            .groupBy("event_type")
+            .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
+        )
+        merged = (
+            base.join(delta, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("n_events"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("sum_cents"), F.lit(0))
+                    + F.coalesce(F.col("dcents"), F.lit(0))
+                ).alias("sum_cents"),
+            )
+            .filter(F.col("n_events") > 0)
+            .orderBy("event_type")
+        )
+        return _materialize(spark, merged)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -609,15 +609,22 @@ class TableStore:
             rows, "version int, op string, n_files int"
         )
 
-    def _snapshot_df(self, meta: TableMeta, version: int) -> DataFrame:
+    def _snapshot_df(
+        self,
+        meta: TableMeta,
+        version: int,
+        rels: list[str] | None = None,
+    ) -> DataFrame:
         """Read the exact file set of manifest ``version`` (resolving each
         data-relative path against ``data/`` first, ``archive/`` second)
-        as a DataFrame of the logical columns."""
+        as a DataFrame of the logical columns.  ``rels`` restricts the
+        read to a subset of the manifest's files (diff pruning)."""
         manifest = self._read_manifest(meta.name, version)
         data = self._data_dir(meta.name)
         arch = self._archive_dir(meta.name)
         by_root: dict[Path, list[str]] = {data: [], arch: []}
-        for rel in manifest["files"]:
+        wanted = manifest["files"] if rels is None else rels
+        for rel in wanted:
             live, archived = data / rel, arch / rel
             if live.exists():
                 by_root[data].append(str(live))
@@ -657,7 +664,11 @@ class TableStore:
         """Point-in-time scan: the table exactly as of ``version``
         (Kudu ``READ_AT_SNAPSHOT``, the mode the reference's scanner
         stack rides on).  Projection and predicate push into the Parquet
-        reads like a current-state scan."""
+        reads like a current-state scan.
+
+        File paths are resolved (data/ vs archive/) at CONSTRUCTION
+        time: execute or re-derive the DataFrame after any further
+        mutation of the table, don't hold it across mutations."""
         meta = self.table_meta(name)
         if meta.external:
             raise TableStoreError("external tables have no snapshots")
@@ -676,25 +687,56 @@ class TableStore:
             df = df.select(*columns)
         return df
 
-    def diff(self, name: str, from_version: int, to_version: int) -> DataFrame:
+    def diff(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int,
+        include_old: bool = False,
+    ) -> DataFrame:
         """Key-level changes between two snapshots — Kudu's *diff scan*
         (its incremental-backup primitive): one row per primary key whose
         state changed, carrying the newer values (older values for
         deletes) plus a ``change_type`` in {'insert','update','delete'}.
+        ``include_old=True`` appends ``old_<col>`` columns (NULL for
+        inserts) — what downstream incremental maintenance needs to
+        retract a changed row's former contribution.
 
-        Plan shape: two snapshot reads full-outer-joined on the key — one
-        shuffle each side, keyed exactly like every other PK operation on
-        the table; no version-log state ever reaches the executors."""
+        **Reads only changed tablets.** Data files are immutable and a
+        key lives in exactly one tablet, so any file present in BOTH
+        manifests contributes identical rows to both sides — those cancel
+        by definition and are never read: each side scans only its
+        manifest's files *outside the common set*.  A mutation batch
+        touching k of B tablets makes the diff O(k tablets), not
+        O(table) — the property that lets a 100 TB table feed
+        incremental consumers per commit.  The full-outer join on the key
+        shuffles only those rows."""
         meta = self.table_meta(name)
         if meta.external:
             raise TableStoreError("external tables have no snapshots")
         keys = meta.key_columns
         vals = [f.name for f in meta.schema.fields if f.name not in keys]
+        a_files = self._read_manifest(meta.name, from_version)["files"]
+        b_files = self._read_manifest(meta.name, to_version)["files"]
+        common = set(a_files) & set(b_files)
+        logical = [f.name for f in meta.schema.fields]
         # full_outer with `on=keys` coalesces the key columns, and non-key
         # columns are nullable, so presence on each side is tracked with an
         # explicit pre-join marker literal.
-        old_m = self.scan_snapshot(name, from_version).withColumn("_o", F.lit(1))
-        new_m = self.scan_snapshot(name, to_version).withColumn("_n", F.lit(1))
+        old_m = (
+            self._snapshot_df(
+                meta, from_version, [f for f in a_files if f not in common]
+            )
+            .select(*logical)
+            .withColumn("_o", F.lit(1))
+        )
+        new_m = (
+            self._snapshot_df(
+                meta, to_version, [f for f in b_files if f not in common]
+            )
+            .select(*logical)
+            .withColumn("_n", F.lit(1))
+        )
         j = old_m.join(new_m, on=keys, how="full_outer")
         change = (
             F.when(F.col("_o").isNull(), F.lit("insert"))
@@ -705,16 +747,18 @@ class TableStore:
             F.when(F.col("_n").isNull(), old_m[f"{c}"]).otherwise(new_m[f"{c}"]).alias(c)
             for c in vals
         ]
-        out = j.select(*keys, *out_vals, change.alias("change_type"))
-        if vals:
-            # an 'update' whose values are byte-identical is not a change
-            unchanged = F.lit(True)
-            for c in vals:
-                unchanged = unchanged & old_m[c].eqNullSafe(new_m[c])
-            out = j.filter(
-                F.col("_o").isNull() | F.col("_n").isNull() | ~unchanged
-            ).select(*keys, *out_vals, change.alias("change_type"))
-        return out
+        if include_old:
+            out_vals += [old_m[c].alias(f"old_{c}") for c in vals]
+        cols = [*keys, *out_vals, change.alias("change_type")]
+        if not vals:
+            return j.select(*cols)
+        # an 'update' whose values are byte-identical is not a change
+        unchanged = F.lit(True)
+        for c in vals:
+            unchanged = unchanged & old_m[c].eqNullSafe(new_m[c])
+        return j.filter(
+            F.col("_o").isNull() | F.col("_n").isNull() | ~unchanged
+        ).select(*cols)
 
     def vacuum(self, name: str, keep_last: int = 1) -> dict:
         """Kudu's ancient-history mark: retain only the last ``keep_last``

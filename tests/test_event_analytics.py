@@ -75,3 +75,21 @@ def test_retention_one_data_sized_shuffle(spark, sf_dir):
     distinct + cohort window reuse it (subset-key clustering), leaving
     the cell aggregate + sort on cohort-sized rows."""
     assert _n_exchanges(events_retention(spark, sf_dir)) == 3
+
+
+def test_top_paths_counts_match_sessionize(spark, sf_dir):
+    """Path multiplicities must sum to the total session count, and the
+    deterministic (count DESC, path) order is already applied."""
+    from hivekudu_handler_spark.operators.event_analytics import events_top_paths
+
+    top = events_top_paths(spark, sf_dir).collect()
+    assert len(top) == 10
+    counts = [r["n_sessions"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    n_sessions = events_sessionize(spark, sf_dir).count()
+    # the top-10 paths cannot cover more sessions than exist
+    assert sum(counts) <= n_sessions
+    # every path is a '>'-joined chain of known event types
+    known = {"signup", "click", "purchase", "error", "view"}
+    for r in top:
+        assert set(r["path"].split(">")) <= known

@@ -161,3 +161,36 @@ def test_version_log_rejections(spark, store, tmp_path, sf_dir):
     store.create_table("t2", "id int, v string", ["id"])
     with pytest.raises(TableStoreError, match="no such version"):
         store.scan_snapshot("t2", 99).count()
+
+
+def test_diff_reads_only_changed_tablets(spark, store, tmp_path):
+    """The diff scan's input files must be exactly the manifests'
+    symmetric difference — unchanged tablets are never opened."""
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    v2 = store.current_version("t")
+    a = set(store._read_manifest("t", v1)["files"])
+    b = set(store._read_manifest("t", v2)["files"])
+    sym = (a | b) - (a & b)
+    assert a & b, "expected untouched buckets to share files"
+    d = store.diff("t", v1, v2)
+    read = {f.split("/t/")[-1] for f in d.inputFiles()}
+    # normalize: inputFiles are absolute under data/ or archive/
+    read = {p.split("data/")[-1].split("archive/")[-1] for p in read}
+    assert read == sym, (read, sym)
+    got = {(r["id"], r["change_type"]) for r in d.collect()}
+    assert got == {(1, "update")}
+
+
+def test_diff_include_old_columns(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(1, "one"), (99, "new")], meta.schema))
+    store.delete_where("t", "id = 2")
+    v2 = store.current_version("t")
+    rows = {r["id"]: r for r in store.diff("t", v1, v2, include_old=True).collect()}
+    assert rows[1]["change_type"] == "update"
+    assert rows[1]["v"] == "one" and rows[1]["old_v"] == "v1"
+    assert rows[99]["change_type"] == "insert" and rows[99]["old_v"] is None
+    assert rows[2]["change_type"] == "delete" and rows[2]["old_v"] == "v2"

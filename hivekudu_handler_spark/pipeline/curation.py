@@ -472,3 +472,59 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack,
         "doc_id long, seq_id long, offset long, n_tokens long, truncated boolean",
     )
+
+
+@query(
+    "pipeline_curate_end2end",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, lang, text, "
+        "         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens "
+        "  FROM documents), "
+        "gated AS ("
+        "  SELECT * FROM toks WHERE length(text) >= 100 AND n_tokens >= 20), "
+        "ranked AS ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+        "  FROM gated) "
+        "SELECT lang, "
+        "       COUNT(*) FILTER (WHERE rn = 1) AS docs_kept, "
+        "       COUNT(*) FILTER (WHERE rn > 1) AS dupes_removed, "
+        "       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE rn = 1), 0) AS BIGINT) "
+        "           AS tokens_kept "
+        "FROM ranked GROUP BY lang ORDER BY lang"
+    ),
+    tags=("pipeline",),
+)
+def pipeline_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE composed job — what a user
+    actually runs nightly over a crawl: length/token quality gate →
+    exact dedup (md5 fingerprint, first-doc-wins) → per-language corpus
+    accounting (kept docs, removed duplicates, retained tokens).
+
+    Plan shape on purpose: the quality gate is a scan-local filter BELOW
+    the only data-sized exchange (the fingerprint shuffle for the dedup
+    window), so rejected docs never shuffle; the per-language rollup
+    moves aggregate cells only.  Each stage alone has a dedicated key
+    (text_quality, dedup_exact_docs, text_tokens); this key pins their
+    composition end-to-end against a single SQL replay."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    )
+    gated = toks.filter((F.length("text") >= 100) & (F.col("n_tokens") >= 20))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ranked = gated.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("rn") == 1, 1)).alias("docs_kept"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("dupes_removed"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") == 1, F.col("n_tokens"))), F.lit(0)
+            ).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -49,11 +49,11 @@ def test_tier_order():
     got = order_keys(SPECS, RECORDS, sidecar=SIDECAR, current=CURRENT)
     assert got == [
         "a_err_new",     # newest record errored, previous was green
-        "b_changed",     # source rewritten since its r2 record
-        "e_unknown",     # recorded, no stamp -> presumed stale, above fresh
-        "c_fresh",       # never recorded, cheap
+        "c_fresh",       # never recorded, cheap — a coverage HOLE, first
         "g_fresh_slow",  # never recorded, slow-tagged -> after cheap fresh
-        "d_err_repeat",  # errored in BOTH r2 and r3 -> demoted below fresh
+        "b_changed",     # source rewritten since its r2 record
+        "e_unknown",     # recorded, no stamp -> presumed stale, above rest
+        "d_err_repeat",  # errored in BOTH r2 and r3 -> demoted
         "f_ok",          # recorded and hash-verified current
     ]
 
@@ -72,9 +72,10 @@ def test_missing_sidecar_degrades_to_unknown_stale():
     specs = {n: _spec(n) for n in ("recorded", "fresh")}
     records = [(1, {"recorded": OK})]
     got = order_keys(specs, records)
-    # without hashes, a recorded key can't be proven current: its stale
-    # green row outranks the merely-unverified fresh key (r4 verdict)
-    assert got == ["recorded", "fresh"]
+    # r5 policy: a NEVER-recorded key is a coverage hole and outranks a
+    # recorded key that merely can't be proven current (which still has
+    # an old green row behind it)
+    assert got == ["fresh", "recorded"]
 
 
 def test_registration_order_within_tiers():
@@ -96,7 +97,7 @@ def test_stale_rows_only_yields_window_to_fresh_oracle_keys():
     sidecar = {"stale_rows_only": {"1": "h1"}, "stale_oracle": {"1": "h1"}}
     current = {k: "h2" for k in specs}  # both recorded keys went stale
     got = order_keys(specs, records, sidecar=sidecar, current=current)
-    assert got == ["stale_oracle", "fresh_oracle", "stale_rows_only"]
+    assert got == ["fresh_oracle", "stale_oracle", "stale_rows_only"]
 
 
 def test_sidecar_covers_every_latest_record():

@@ -145,11 +145,14 @@ def order_keys(
     changed_rows_only = [k for k in changed_sorted if specs[k].oracle is None]
     fresh = [k for k in fresh if not is_slow(k)] + [k for k in fresh if is_slow(k)]
     rest_keys = [k for _, k in sorted(rest, key=lambda t: t[0])]
+    # Never-recorded keys outrank stale-but-once-green ones (r5 verdict:
+    # "rank never-checked keys first"): a key with NO official row is a
+    # coverage hole; a stale key still has an old green record behind it.
     return [
         *errored_new,
+        *fresh,
         *changed_oracle,
         *unknown,
-        *fresh,
         *changed_rows_only,
         *errored_repeat,
         *rest_keys,

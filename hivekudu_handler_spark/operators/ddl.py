@@ -412,3 +412,35 @@ def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("test_alter2").orderBy("id"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_ctas",
+    oracle=(
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1 "
+        "ORDER BY n_nationkey"
+    ),
+    tags=("ddl",),
+)
+def ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... AS SELECT (Impala-on-Kudu's CTAS verb): schema
+    derived from the query result, key columns from the kudu.key_columns
+    property, rows landed through the keyed insert — then read back via
+    the store scan."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+    from hivekudu_handler_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE nation_sub "
+            "TBLPROPERTIES ('kudu.key_columns'='n_nationkey') "
+            "AS SELECT n_nationkey, n_name FROM nation_src "
+            "WHERE n_regionkey = 1",
+        )
+        return _materialize(spark, store.scan("nation_sub").orderBy("n_nationkey"))
+    finally:
+        spark.catalog.dropTempView("nation_src")
+        shutil.rmtree(d, ignore_errors=True)

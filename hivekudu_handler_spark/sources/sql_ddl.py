@@ -19,6 +19,13 @@ test exercises (``README.md:14-218``) and routing them to the store:
   first-class merge verb (Impala-on-Kudu syntax; the reference's
   declared goal, ``doc/DesignDocument.md:9``), routed to the store's
   keyed upsert
+* ``CREATE TABLE name TBLPROPERTIES (...) AS SELECT ...`` — CTAS
+  (Impala-on-Kudu verb): schema from the Spark-SQL query result, key
+  columns from the property, rows through the keyed insert
+* ``ALTER TABLE name ADD COLUMN[S] ... | DROP COLUMN c |
+  RENAME COLUMN a TO b | CHANGE a b type | RENAME TO t2`` — the Kudu
+  AlterTableRequest verbs (metadata-only; CHANGE with a different type
+  is rejected, as in Kudu)
 * ``UPDATE name SET col = expr[, ...] [WHERE pred]`` and
   ``DELETE FROM name WHERE pred`` — the reference's *declared* DML goals
   (``doc/DesignDocument.md:9,46-48``; TODO at
@@ -382,6 +389,15 @@ def _create(store: TableStore, stmt: str) -> None:
     name = m.group("name")
     rest = stmt[m.end() :].lstrip()
     if not rest.startswith("("):
+        # CTAS (Impala-on-Kudu's CREATE ... AS SELECT, schema derived
+        # from the query): CREATE TABLE t TBLPROPERTIES (...) AS SELECT ...
+        ctas = re.match(
+            r"(?P<clauses>.*?)\bAS\s+(?P<select>SELECT\b.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ctas:
+            return _ctas(store, name, ctas.group("clauses"), ctas.group("select"))
         raise SqlDdlError(f"expected column list after table name: {stmt!r}")
     cols, after = _match_paren_block(rest, 0)
     clauses = rest[after:]
@@ -419,6 +435,32 @@ def _create(store: TableStore, stmt: str) -> None:
         range_splits=_parse_splits(split_prop) if split_prop else None,
         hash_in_range=hir,
     )
+
+
+def _ctas(store: TableStore, name: str, clauses: str, select: str) -> None:
+    """CREATE TABLE ... AS SELECT: the SELECT runs through Spark SQL
+    (over whatever views the caller registered), the result's schema —
+    validated against the same strict type lattice — becomes the table
+    schema, and the rows land through the store's keyed insert.  Key
+    columns still come from the kudu.key_columns property, exactly like
+    a plain CREATE."""
+    if re.search(r"\bLOCATION\s+'", clauses, re.IGNORECASE):
+        raise SqlDdlError("LOCATION may not be specified for a managed table")
+    props: dict[str, str] = {}
+    tbl = re.search(r"\bTBLPROPERTIES\s*\(", clauses, re.IGNORECASE)
+    if tbl:
+        inner, _ = _match_paren_block(clauses, tbl.end() - 1)
+        props = _parse_props(inner)
+    key_prop = next((props[p] for p in _KEY_PROPS if p in props), None)
+    if not key_prop or not key_prop.strip():
+        raise SqlDdlError(
+            "key columns not specified: CREATE TABLE AS SELECT requires "
+            "TBLPROPERTIES ('kudu.key_columns'='col[,col...]')"
+        )
+    key_columns = [c.strip() for c in key_prop.split(",") if c.strip()]
+    df = store.spark.sql(select)
+    store.create_table(name, df.schema, key_columns)
+    store.insert(name, df)
 
 
 def _drop(store: TableStore, stmt: str) -> None:

@@ -984,3 +984,32 @@ def test_alter_rejections(spark, store, sf_dir):
         execute(store, "ALTER TABLE t CHANGE name name2 int")
     execute(store, "ALTER TABLE t CHANGE name name2 string")
     assert store.scan("t").columns == ["id", "name2"]
+
+
+def test_ctas_rejections_and_types(spark, store):
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    spark.createDataFrame([(1, "a")], "id int, v string").createOrReplaceTempView(
+        "ctas_src"
+    )
+    try:
+        with pytest.raises(SqlDdlError, match="key columns"):
+            execute(store, "CREATE TABLE t AS SELECT * FROM ctas_src")
+        with pytest.raises(SqlDdlError, match="LOCATION"):
+            execute(
+                store,
+                "CREATE TABLE t LOCATION '/tmp/x' TBLPROPERTIES "
+                "('kudu.key_columns'='id') AS SELECT * FROM ctas_src",
+            )
+        execute(
+            store,
+            "CREATE TABLE t TBLPROPERTIES ('kudu.key_columns'='id') "
+            "AS SELECT * FROM ctas_src",
+        )
+        assert [tuple(r) for r in store.scan("t").collect()] == [(1, "a")]
+        # key column arrived non-nullable through the lattice
+        meta = store.table_meta("t")
+        key_field = next(f for f in meta.schema.fields if f.name == "id")
+        assert not key_field.nullable
+    finally:
+        spark.catalog.dropTempView("ctas_src")

@@ -247,3 +247,68 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_anomaly",
+    oracle=(
+        "WITH cents AS ("
+        "  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events), "
+        "stats AS ("
+        "  SELECT event_type, "
+        "         CAST(quantile_disc(c, 0.25) AS BIGINT) AS q1, "
+        "         CAST(quantile_disc(c, 0.75) AS BIGINT) AS q3 "
+        "  FROM cents GROUP BY event_type) "
+        "SELECT c.event_type, COUNT(*) AS n_total, "
+        "       COUNT(*) FILTER (WHERE c.c < s.q1 - 3 * (s.q3 - s.q1) "
+        "                           OR c.c > s.q3 + 3 * (s.q3 - s.q1)) AS n_outliers, "
+        "       s.q1 - 3 * (s.q3 - s.q1) AS lo_fence, "
+        "       s.q3 + 3 * (s.q3 - s.q1) AS hi_fence "
+        "FROM cents c JOIN stats s USING (event_type) "
+        "GROUP BY c.event_type, s.q1, s.q3 ORDER BY c.event_type"
+    ),
+    tags=("events",),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection with Tukey fences (3×IQR) on
+    exact floor-cents integers.
+
+    Determinism by construction: the metric is an exact BIGINT
+    (floor-cents), the quartiles are DISCRETE (actual data values, no
+    interpolation — `percentile_disc` here, `quantile_disc` in the
+    oracle), and the fences are pure integer arithmetic, so the
+    outlier count cannot drift on float summation order the way a
+    mean/stddev z-score would across engines or partitionings.
+
+    Plan: the per-type stats aggregate is tiny (|event types| rows) and
+    broadcast back onto the scan — the corpus itself never shuffles;
+    the final rollup moves per-type cells only."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100).alias("c")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)").alias("q1"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)").alias("q3"),
+    )
+    lo = F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+    joined = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type", "c", lo.alias("lo"), hi.alias("hi")
+    )
+    return (
+        joined.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(
+                F.when((F.col("c") < F.col("lo")) | (F.col("c") > F.col("hi")), 1)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_total",
+            "n_outliers",
+            F.col("lo").alias("lo_fence"),
+            F.col("hi").alias("hi_fence"),
+        )
+        .orderBy("event_type")
+    )

@@ -271,3 +271,53 @@ def test_stream_upsert_sink_multibatch_and_order_independent(spark, sf_dir, tmp_
         .collect()
     )
     assert results["fwd"] == expect
+
+
+def test_stream_upsert_sink_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """A second availableNow run against the SAME checkpoint ingests the
+    newly staged files as fresh micro-batches (the file source's seen-files
+    log carries across runs) and the LWW merge folds the late slice into
+    the keyed table so the final state equals the one-shot result."""
+    import pyspark.sql.functions as F
+
+    from hivekudu_handler_spark.sources.table_store import TableStore
+    from hivekudu_handler_spark.streaming.events import run_upsert_sink
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    early = ev.filter(F.dayofmonth("ts") <= 20)
+    late = ev.filter(F.dayofmonth("ts") > 20)
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.create_table(
+        "user_state",
+        "user_id bigint, event_id bigint, ts timestamp, "
+        "event_type string, value double",
+        ["user_id"],
+    )
+    ckpt, stage = str(tmp_path / "ckpt"), str(tmp_path / "stage")
+    n1 = run_upsert_sink(
+        spark, early, store, "user_state",
+        checkpoint_dir=ckpt, stage_dir=stage, n_files=2,
+    )
+    # stage the late slice as new files; same checkpoint, new batches
+    n2 = run_upsert_sink(
+        spark, late, store, "user_state",
+        checkpoint_dir=ckpt, stage_dir=stage + "/more", n_files=2,
+    )
+    assert n1 == 2 and n2 == 2
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .collect()
+    )
+    got = sorted(tuple(r) for r in store.scan("user_state").collect())
+    assert got == expect

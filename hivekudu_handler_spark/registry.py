@@ -75,6 +75,7 @@ def load_all() -> dict[str, QuerySpec]:
         curation,
         dedup,
         multimodal,
+        pca,
         sampling,
         similarity,
         span_dedup,

@@ -194,3 +194,30 @@ def test_diff_include_old_columns(spark, store):
     assert rows[1]["v"] == "one" and rows[1]["old_v"] == "v1"
     assert rows[99]["change_type"] == "insert" and rows[99]["old_v"] is None
     assert rows[2]["change_type"] == "delete" and rows[2]["old_v"] == "v2"
+
+
+def test_snapshot_on_hive_partitioned_layout(spark, store):
+    """partition_by adds hive-style dirs under the bucket dirs; archived
+    files keep the full nested relative path, so as-of reads recover the
+    partition column from both trees."""
+    store.create_table(
+        "t", "id int, lang string, v string", ["id"], partition_by=["lang"]
+    )
+    store.insert_values(
+        "t", [(1, "en", "a"), (2, "de", "b"), (3, "en", "c")]
+    )
+    v1 = store.current_version("t")
+    store.delete_where("t", "lang = 'en'")
+    assert _rows(store.scan("t")) == [(2, "de", "b")]
+    assert _rows(store.scan_snapshot("t", v1)) == [
+        (1, "en", "a"), (2, "de", "b"), (3, "en", "c")
+    ]
+    d = {r["id"]: r["change_type"] for r in store.diff("t", v1, v1 + 1).collect()}
+    assert d == {1: "delete", 3: "delete"}
+
+
+def test_insert_append_never_archives(spark, store, tmp_path):
+    _mk(store, spark)
+    store.insert_values("t", [(50, "fifty")])
+    arch = tmp_path / "wh" / "t" / "archive"
+    assert not list(arch.rglob("*.parquet")), "append must not displace files"

@@ -231,3 +231,31 @@ def test_new_tpch_shapes_have_no_cartesian(spark):
         assert "BroadcastHashJoin" in plan, key
     q2 = checks.plan_string(specs["sql_q2_min_cost_supplier"].fn(spark, SF))
     assert "TakeOrderedAndProject" in q2
+
+
+def test_curate_end2end_gate_below_dedup_shuffle(spark):
+    """The quality gate must filter BELOW the fingerprint exchange so
+    rejected docs never shuffle (the plan's only data-sized exchange is
+    the dedup window's)."""
+    import re
+
+    df = load_all()["pipeline_curate_end2end"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    # formatted mode assigns operator ids bottom-up (leaves lowest): the
+    # length-gate Filter's id must be below every Exchange's id
+    gate_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\n[^\n]*\nCondition[^\n]*length", plan)
+    ]
+    exch_ids = [int(m.group(1)) for m in re.finditer(r"Exchange \((\d+)\)", plan)]
+    assert gate_ids and exch_ids, plan
+    assert min(gate_ids) < min(exch_ids), plan
+
+
+def test_events_anomaly_stats_join_broadcasts(spark):
+    """The per-type stats table must come back as a broadcast — the
+    event scan itself never shuffles for the join."""
+    df = load_all()["events_anomaly"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

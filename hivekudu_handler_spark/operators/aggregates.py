@@ -242,6 +242,33 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "       CAST(GROUPING(o_orderstatus) AS INT) AS g_status, "
+        "       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri, "
+        "       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2ⁿ grouping-set combinations, with GROUPING() markers
+    so NULL-as-subtotal is distinguishable from NULL data (the other half
+    of the Hive GROUPING SETS family next to ``agg_grouping_sets``'s
+    ROLLUP).  Spark expands the cube during analysis into a single
+    Expand + one partial/final aggregate — one shuffle for all four
+    grouping sets, not one scan per set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
     "agg_having",
     oracle=(
         "SELECT o_custkey, COUNT(*) AS n_orders, "

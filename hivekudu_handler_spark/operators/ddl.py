@@ -444,3 +444,57 @@ def ddl_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView("nation_src")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def partitioned_events_scan(
+    spark: SparkSession, sf_dir: str, out_dir: str, event_type: str = "click"
+) -> DataFrame:
+    """Write ``events`` hive-partitioned by ``event_type`` and return the
+    lazy read-back filtered to one partition value.
+
+    This is the directory-layout analogue of Kudu's tablet pruning for a
+    PARTITION BY HASH/RANGE table (`doc/DesignDocument.md:8`): the filter
+    on the partition column never touches data files — Spark's
+    ``InMemoryFileIndex`` resolves it against directory names
+    (``PartitionFilters`` in the scan node), so at 100 TB a one-type query
+    reads 1/|types| of the bytes with zero file opens outside the match.
+    ``tests/test_plans.py`` asserts the PartitionFilters line and that the
+    data filter list stays empty (the predicate is fully consumed by
+    pruning, not re-evaluated per row).
+    """
+    from hivekudu_handler_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # partitionBy moves the column into the directory key; one shuffle-free
+    # write (each input split appends into per-value subdirs).
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    back = spark.read.parquet(out_dir).filter(F.col("event_type") == event_type)
+    # partition columns come back last and typed-as-written; reorder to the
+    # source column order so the oracle's SELECT * matches.
+    return back.select([c for c in ev.columns])
+
+
+@query(
+    "sink_partitioned_prune",
+    oracle=(
+        "SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total "
+        "FROM events WHERE event_type = 'click' GROUP BY user_id"
+    ),
+    tags=("sink", "scan", "scale"),
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned read-back: land ``events``
+    PARTITION BY (event_type), then aggregate one partition.  The oracle
+    aggregates the unpartitioned source — identical results prove the
+    partitioned layout is lossless while the plan test proves the pruning."""
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix="part_", dir=_SCRATCH_ROOT))
+    try:
+        back = partitioned_events_scan(spark, sf_dir, str(d / "events_by_type"))
+        out = back.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

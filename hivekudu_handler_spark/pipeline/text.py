@@ -297,3 +297,85 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bag_fingerprint"
         ),
     )
+
+
+_TFIDF_SQL = (
+    "WITH toks AS ("
+    "  SELECT doc_id, "
+    f"        list_filter({_TOKENS_SQL}, x -> x <> '') AS w "
+    "  FROM documents), "
+    "tf AS ("
+    "  SELECT doc_id, unnest(w) AS token, len(w) AS dl FROM toks), "
+    "tfc AS ("
+    "  SELECT doc_id, token, dl, COUNT(*) AS tf "
+    "  FROM tf GROUP BY doc_id, token, dl), "
+    "dfreq AS ("
+    "  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tfc GROUP BY token), "
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+    "scored AS ("
+    "  SELECT t.doc_id, t.token, "
+    "         ROUND((t.tf * 1.0 / t.dl) * ln(n.n_docs * 1.0 / d.df), 6) "
+    "           AS tfidf "
+    "  FROM tfc t JOIN dfreq d USING (token) CROSS JOIN n), "
+    "ranked AS ("
+    "  SELECT doc_id, token, tfidf, "
+    "         ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "                            ORDER BY tfidf DESC, token) AS rnk "
+    "  FROM scored) "
+    "SELECT doc_id, token, tfidf, CAST(rnk AS INT) AS rnk "
+    "FROM ranked WHERE rnk <= 3"
+)
+
+
+@query("text_tfidf", oracle=_TFIDF_SQL, tags=("text",))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf/|doc| × ln(N/df).
+
+    The classic two-pass corpus statistic as three shuffles, each keyed
+    where the data already wants to live: (1) token counts shuffle on
+    (doc_id, token) — partial map-side combine absorbs the explode fanout;
+    (2) document frequencies shuffle on token (the vocabulary, ≪ corpus);
+    (3) the per-doc top-3 window shuffles on doc_id.  The df table joins
+    back token-keyed (AQE broadcasts it when the vocabulary is small;
+    hint-free because at 100 TB a web-scale vocab can exceed the broadcast
+    budget).  The corpus size N rides along as a 1-row cross join, not a
+    driver-side collect, so the whole plan stays lazy.
+
+    Ranking uses the ROUNDED score (6 dp) in BOTH engines so cross-engine
+    float noise below the rounding grain cannot reorder the top-3.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.filter(tokens(), lambda x: x != "").alias("w"))
+    tf = t.select(
+        "doc_id", F.explode("w").alias("token"), F.size("w").alias("dl")
+    )
+    tfc = tf.groupBy("doc_id", "token", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tfc.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfc.join(dfreq, "token")
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rnk").cast("int"))
+    )

@@ -72,6 +72,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from hivekudu_handler_spark.functions import scalar, udfs  # noqa: F401
     from hivekudu_handler_spark.pipeline import (  # noqa: F401
+        clustering,
         curation,
         dedup,
         multimodal,

@@ -599,3 +599,41 @@ def test_cluster_pairs_shallow_graph_stays_on_propagation(spark):
         for r in cluster_pairs(pairs, prop_round_budget=10).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_kmeans_lloyd_invariants(spark, specs):
+    """Lloyd's guarantees on the fixture: inertia never increases across
+    iterations, every vector lands in exactly one cluster, and the
+    reported profile covers the corpus."""
+    from hivekudu_handler_spark.pipeline.clustering import kmeans_fit, _assign
+    from hivekudu_handler_spark.pipeline.similarity import _as_double
+    from hivekudu_handler_spark.tables import load_table
+
+    e = _as_double(load_table(spark, SF, "embeddings"))
+    n = e.count()
+    cents, inertia = kmeans_fit(e, k=4, iters=3)
+    assert len(inertia) == 3
+    for prev, nxt in zip(inertia, inertia[1:]):
+        assert nxt <= prev * (1 + 1e-9), inertia
+    assert len(cents) == 4
+    sizes = (
+        _assign(e, cents).groupBy("cent_id").count().collect()
+    )
+    assert sum(r["count"] for r in sizes) == n
+    # the registered profile agrees with a direct assignment
+    prof = specs["emb_kmeans_lloyd"].fn(spark, SF).collect()
+    assert sum(r["n_members"] for r in prof) == n
+    assert all(r["mean_sqdist"] >= 0 for r in prof)
+
+
+def test_tfidf_top_terms_are_positive_and_ranked(spark, specs):
+    """Every emitted term has positive tf-idf (a term in ALL docs scores
+    ln(1)=0 and cannot be a top term unless nothing beats it), and ranks
+    are dense 1..3 per doc."""
+    rows = specs["text_tfidf"].fn(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rnk"])
+    for doc, rnks in by_doc.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (doc, rnks)
+    assert all(r["tfidf"] >= 0 for r in rows)

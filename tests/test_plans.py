@@ -259,3 +259,36 @@ def test_events_anomaly_stats_join_broadcasts(spark):
     plan = checks.plan_string(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_partitioned_sink_scan_prunes_directories(spark, tmp_path):
+    """A filter on the hive-partition column must resolve to
+    PartitionFilters (directory pruning) — not a data filter re-checked
+    per row, and not a full-layout scan."""
+    from hivekudu_handler_spark.operators.ddl import partitioned_events_scan
+
+    df = partitioned_events_scan(spark, SF, str(tmp_path / "ev"), "click")
+    plan = checks.plan_string(df)
+    pf = "\n".join(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf, plan
+    # the predicate is fully consumed by pruning: no residual event_type
+    # filter remains in PushedFilters (data-file level)
+    pushed = checks.pushed_filters(df)
+    assert "event_type" not in pushed, plan
+    # and only the matching partition's rows come back
+    types = [r["event_type"] for r in df.select("event_type").distinct().collect()]
+    assert types == ["click"]
+
+
+def test_kmeans_assignment_is_scan_shaped(spark):
+    """Lloyd assignment embeds centroids as literals: the corpus is never
+    shuffled and never joined — zero Exchange below the final stats agg."""
+    from hivekudu_handler_spark.pipeline.clustering import _assign
+    from hivekudu_handler_spark.pipeline.similarity import _as_double
+    from hivekudu_handler_spark.tables import load_table
+
+    e = _as_double(load_table(spark, SF, "embeddings"))
+    cents = [(i, [float(i)] * 8) for i in range(4)]
+    df = _assign(e.withColumn("v", F.slice("v", 1, 8)), cents)
+    assert checks.count_shuffles(df) == 0, checks.plan_string(df)
+    assert "Join" not in checks.plan_string(df)

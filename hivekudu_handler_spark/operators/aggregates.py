@@ -404,3 +404,69 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_conditional",
+    oracle=(
+        "SELECT l_returnflag, "
+        "       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, "
+        "       CAST(SUM(l_quantity) FILTER (WHERE l_tax = 0) AS DOUBLE) "
+        "         AS qty_untaxed, "
+        "       BOOL_AND(l_quantity <= 50) AS all_small, "
+        "       BOOL_OR(l_discount >= 0.09) AS any_deep_discount "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregates — FILTER-style counting and
+    every/any predicates, all in ONE hash aggregate pass (each is an
+    ordinary partial/final agg expression; no extra scan or shuffle per
+    condition, unlike a per-condition subquery formulation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.sum(F.when(F.col("l_tax") == 0, F.col("l_quantity")))
+        .cast("double")
+        .alias("qty_untaxed"),
+        F.bool_and(F.col("l_quantity") <= 50).alias("all_small"),
+        F.bool_or(F.col("l_discount") >= 0.09).alias("any_deep_discount"),
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle=(
+        "SELECT l_returnflag, metric, ROUND(value, 2) AS value FROM ("
+        "  SELECT l_returnflag, 'sum_qty' AS metric, "
+        "         CAST(SUM(l_quantity) AS DOUBLE) AS value "
+        "  FROM lineitem GROUP BY l_returnflag "
+        "  UNION ALL "
+        "  SELECT l_returnflag, 'sum_price', SUM(l_extendedprice) "
+        "  FROM lineitem GROUP BY l_returnflag "
+        "  UNION ALL "
+        "  SELECT l_returnflag, 'sum_disc', SUM(l_discount) "
+        "  FROM lineitem GROUP BY l_returnflag) t"
+    ),
+    tags=("agg",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of ``agg_pivot``): aggregate once,
+    then melt the metric columns into (metric, value) rows with the
+    native ``unpivot`` operator — an Expand node, zero extra shuffles.
+    The oracle states the same contract as a 3-branch UNION ALL (the
+    portable form); Spark executes ONE aggregate + Expand, not three
+    scans — the plan-shape win unpivot exists for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.sum("l_discount").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "metric",
+        "value",
+    ).withColumn("value", F.round("value", 2))

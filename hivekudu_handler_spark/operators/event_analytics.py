@@ -312,3 +312,47 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gap_fill",
+    oracle=(
+        "WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, "
+        "                       MAX(CAST(ts AS DATE)) AS hi FROM events), "
+        "spine AS (SELECT CAST(unnest(generate_series(lo, hi, "
+        "                 INTERVAL 1 DAY)) AS DATE) AS d FROM bounds), "
+        "types AS (SELECT DISTINCT event_type FROM events), "
+        "daily AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n "
+        "          FROM events GROUP BY 1, 2) "
+        "SELECT s.d, t.event_type, COALESCE(dy.n, 0) AS n_events "
+        "FROM spine s CROSS JOIN types t "
+        "LEFT JOIN daily dy ON dy.d = s.d AND dy.event_type = t.event_type"
+    ),
+    tags=("events",),
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event counts on a COMPLETE date spine — days with no
+    events of a type report an explicit 0 (the gap-filling every
+    time-series rollup needs before charting/forecasting; a plain GROUP BY
+    silently drops empty days).
+
+    Scale shape: the only data-sized work is the (day, type) hash
+    aggregate over the fact scan.  The spine is generated from the
+    min/max bounds with ``sequence()`` — |days| × |types| rows, trivially
+    broadcast — and the gap-fill is a broadcast left join of spine against
+    the already-aggregated daily counts: the raw events are never joined
+    or re-shuffled."""
+    ev = load_events(spark, sf_dir).select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["d", "event_type"], "left")
+        .select(
+            "d", "event_type", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+    )

@@ -498,3 +498,36 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sql_front_end_query",
+    oracle=(
+        "SELECT * FROM (VALUES ('a', CAST(2 AS BIGINT)), "
+        "('b', CAST(1 AS BIGINT))) AS t(name, cnt)"
+    ),
+    tags=("ddl", "sql"),
+)
+def sql_front_end_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo's full statement mix — CREATE, INSERT, then a
+    SELECT — through the ONE ``sql()`` entry point (``README.md:14-43``):
+    queries are dispatched to Spark SQL over registered store views, DDL
+    and DML to the keyed-table layer.  Returns the demo's GROUP BY result
+    (``README.md:205-209``: a→2, b→1)."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE test_drop (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id');",
+        )
+        run_sql(store, "INSERT INTO test_drop VALUES (1,'a'),(2,'b'),(3,'a')")
+        out = run_sql(
+            store,
+            "SELECT name, count(*) AS cnt FROM test_drop GROUP BY name",
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

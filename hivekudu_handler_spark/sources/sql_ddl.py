@@ -226,6 +226,28 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     )
 
 
+_QUERY_RE = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
+
+
+def sql(store: TableStore, text: str) -> DataFrame | None:
+    """One-stop SQL entry point over a :class:`TableStore` — the session
+    surface a reference user actually typed at (``README.md:14-43`` mixes
+    DDL, DML, and SELECTs in one script).
+
+    Queries (SELECT / WITH / VALUES) register every store table as a temp
+    view and run through Spark SQL — the same division of labor as the
+    reference, where the handler owned DDL hooks and Hive's engine ran
+    the queries; everything else routes to :func:`execute`.  View
+    registration is a metadata operation (``store.scan`` is lazy), so a
+    query statement costs nothing beyond its own plan.
+    """
+    stmt = _strip_stmt(text)
+    if _QUERY_RE.match(stmt):
+        store.register_views()
+        return store.spark.sql(stmt)
+    return execute(store, text)
+
+
 def _split_top(text: str) -> list[str]:
     """Split on commas at paren depth 0, outside single-quoted strings."""
     parts: list[str] = []

@@ -90,7 +90,7 @@ def test_simple_test_sql_verbatim_script(spark, store):
     ``test_Drop`` (Hive table identifiers are case-insensitive).
     Expected values are the reference's captured outputs
     (``README.md:150-218``)."""
-    from hivekudu_handler_spark.sources.sql_ddl import execute
+    from hivekudu_handler_spark.sources.sql_ddl import sql as sql_dispatch
 
     script = """
 CREATE TABLE if not exists test_drop (
@@ -121,13 +121,11 @@ drop table test_Drop;
         stmt = stmt.strip()
         if not stmt:
             continue
-        if stmt.split(None, 1)[0].upper() == "SELECT":
-            store.register_views()
-            results.append(spark.sql(stmt).collect())
-        else:
-            out = execute(store, stmt)
-            if out is not None:
-                results.append(out.collect())
+        # ONE dispatcher for the whole mixed script (queries -> Spark
+        # SQL over registered views, DDL/DML -> the store)
+        out = sql_dispatch(store, stmt)
+        if out is not None:
+            results.append(out.collect())
     desc, cnt, ids, grp = results
     # describe formatted (README.md:76-110): both columns, id is the key
     assert {r["col_name"]: r["is_key"] for r in desc} == {

@@ -531,3 +531,53 @@ def sql_front_end_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_analyze_stats",
+    oracle=(
+        "SELECT 'n_nationkey' AS col_name, "
+        "       COUNT(*) - COUNT(n_nationkey) AS n_nulls, "
+        "       COUNT(DISTINCT n_nationkey) AS ndv, "
+        "       CAST(MIN(n_nationkey) AS VARCHAR) AS min_val, "
+        "       CAST(MAX(n_nationkey) AS VARCHAR) AS max_val, "
+        "       COUNT(*) AS n_rows FROM nation "
+        "UNION ALL "
+        "SELECT 'n_name', COUNT(*) - COUNT(n_name), COUNT(DISTINCT n_name), "
+        "       MIN(n_name), MAX(n_name), COUNT(*) FROM nation "
+        "UNION ALL "
+        "SELECT 'n_regionkey', COUNT(*) - COUNT(n_regionkey), "
+        "       COUNT(DISTINCT n_regionkey), "
+        "       CAST(MIN(n_regionkey) AS VARCHAR), "
+        "       CAST(MAX(n_regionkey) AS VARCHAR), COUNT(*) FROM nation"
+    ),
+    tags=("ddl", "agg"),
+)
+def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS through the SQL front-end —
+    Hive's ``compute_stats`` over a managed keyed table: per-column null
+    count / NDV / min / max plus the row count, computed in ONE aggregate
+    pass and persisted to the table's stats sidecar.  The key lands the
+    fixture ``nation`` table into a scratch store via CTAS, analyzes it,
+    and returns the tidy profile; the oracle recomputes the same profile
+    directly (exact NDV — the SQL verb is the audit surface; the Python
+    API defaults to the HLL++ sketch for the 100 TB path)."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE nation_stats "
+            "TBLPROPERTIES ('kudu.key_columns'='n_nationkey') "
+            "AS SELECT n_nationkey, n_name, n_regionkey FROM nation_src",
+        )
+        out = run_sql(
+            store, "ANALYZE TABLE nation_stats COMPUTE STATISTICS"
+        )
+        return _materialize(spark, out)
+    finally:
+        spark.catalog.dropTempView("nation_src")
+        shutil.rmtree(d, ignore_errors=True)

@@ -26,6 +26,9 @@ test exercises (``README.md:14-218``) and routing them to the store:
   RENAME COLUMN a TO b | CHANGE a b type | RENAME TO t2`` — the Kudu
   AlterTableRequest verbs (metadata-only; CHANGE with a different type
   is rejected, as in Kudu)
+* ``ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS]`` — Hive's
+  ``compute_stats``: one-pass per-column profile (nulls/NDV/min/max +
+  row count) persisted to the table's stats sidecar
 * ``UPDATE name SET col = expr[, ...] [WHERE pred]`` and
   ``DELETE FROM name WHERE pred`` — the reference's *declared* DML goals
   (``doc/DesignDocument.md:9,46-48``; TODO at
@@ -220,6 +223,21 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         return _update(store, stmt)
     if verb == "ALTER":
         return _alter(store, stmt)
+    if verb == "ANALYZE":
+        # Hive's `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS]`:
+        # one aggregate pass, profile persisted to the stats sidecar and
+        # returned in tidy form.  EXACT ndv here (the statement is the
+        # audit surface); the approx default lives on the Python API.
+        m = re.match(
+            r"^ANALYZE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+"
+            r"COMPUTE\s+STATISTICS(\s+FOR\s+COLUMNS)?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDdlError(f"cannot parse ANALYZE statement: {sql!r}")
+        store.analyze(m.group("name"), approx=False)
+        return store.stats_df(m.group("name"))
     raise SqlDdlError(
         f"unsupported statement (this front-end owns DDL and DML only, "
         f"queries go through Spark SQL): {sql!r}"

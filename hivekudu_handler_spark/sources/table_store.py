@@ -367,6 +367,88 @@ class TableStore:
             rows, "col_name string, data_type string, is_key boolean"
         )
 
+    # ------------------------------------------------------------ STATS
+    def _stats_path(self, name: str) -> Path:
+        return self._dir(name) / "stats.json"
+
+    def analyze(self, name: str, approx: bool = True) -> dict:
+        """ANALYZE TABLE — Hive's ``compute_stats`` analogue over a
+        managed table: table row count plus per-column null count, NDV,
+        and min/max.  ONE aggregate pass over the scan (every statistic
+        is an ordinary partial/final agg expression — the full profile
+        costs the same single shuffle as a COUNT(*) however many columns
+        the table has).
+
+        ``approx=True`` (the 100 TB default) uses HyperLogLog++ for NDV —
+        fixed-size mergeable sketches, no per-column distinct expand;
+        ``approx=False`` is the exact, oracle-checkable variant for
+        audits.  min/max aggregate on the NATIVE type and cast to string
+        only afterwards (casting first would make "10" < "9").
+
+        The profile is persisted to a ``stats.json`` sidecar (schema
+        metadata stays in meta.json — stats are advisory, schemas are
+        contracts) and returned; ``stats_df`` renders the tidy form.
+        The single stats row collected driver-side is model state
+        (one row of ~4×|columns| scalars), not data.
+        """
+        meta = self.table_meta(name)
+        df = self.scan(name)
+        ndv = F.approx_count_distinct if approx else F.count_distinct
+        exprs = [F.count(F.lit(1)).alias("__n_rows")]
+        for f in meta.schema.fields:
+            c = f.name
+            exprs.append(F.count(c).alias(f"nn__{c}"))
+            exprs.append(ndv(c).alias(f"ndv__{c}"))
+            exprs.append(F.min(c).cast("string").alias(f"min__{c}"))
+            exprs.append(F.max(c).cast("string").alias(f"max__{c}"))
+        row = df.agg(*exprs).collect()[0]
+        stats = {
+            "n_rows": row["__n_rows"],
+            "approx": approx,
+            "columns": {
+                f.name: {
+                    "n_nulls": row["__n_rows"] - row[f"nn__{f.name}"],
+                    "ndv": row[f"ndv__{f.name}"],
+                    "min": row[f"min__{f.name}"],
+                    "max": row[f"max__{f.name}"],
+                }
+                for f in meta.schema.fields
+            },
+        }
+        self._stats_path(name).write_text(json.dumps(stats))
+        return stats
+
+    def stats_df(self, name: str) -> DataFrame:
+        """The persisted profile in tidy form: one row per column,
+        (col_name, n_nulls, ndv, min_val, max_val, n_rows).  Raises if
+        ``analyze`` has not been run (stats are explicit, as in Hive)."""
+        path = self._stats_path(name)
+        if not path.exists():
+            raise TableStoreError(
+                f"no statistics for table {name!r}; run analyze() first"
+            )
+        stats = json.loads(path.read_text())
+        meta = self.table_meta(name)
+        rows = [
+            (
+                c,
+                s["n_nulls"],
+                s["ndv"],
+                s["min"],
+                s["max"],
+                stats["n_rows"],
+            )
+            for c, s in stats["columns"].items()
+        ]
+        # schema order, not dict order, for a deterministic render
+        order = {f.name: i for i, f in enumerate(meta.schema.fields)}
+        rows.sort(key=lambda r: order.get(r[0], len(order)))
+        return self.spark.createDataFrame(
+            rows,
+            "col_name string, n_nulls bigint, ndv bigint, "
+            "min_val string, max_val string, n_rows bigint",
+        )
+
     # ------------------------------------------------------------ ALTER
     def _write_meta(self, meta: TableMeta) -> None:
         self._meta_path(meta.name).write_text(meta.to_json())

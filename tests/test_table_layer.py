@@ -1013,3 +1013,43 @@ def test_ctas_rejections_and_types(spark, store):
         assert not key_field.nullable
     finally:
         spark.catalog.dropTempView("ctas_src")
+
+
+# ---- ANALYZE statistics ---------------------------------------------------
+
+def test_analyze_stats_exact_and_persisted(spark, store):
+    store.create_table("t", "id int, name string, score double", ["id"])
+    store.insert_values(
+        "t", [(1, "a", 1.5), (2, "b", None), (3, "a", 2.5), (4, None, 0.5)]
+    )
+    stats = store.analyze("t", approx=False)
+    assert stats["n_rows"] == 4
+    assert stats["columns"]["name"] == {
+        "n_nulls": 1, "ndv": 2, "min": "a", "max": "b",
+    }
+    assert stats["columns"]["score"]["n_nulls"] == 1
+    # min/max aggregate on the native type, not lexicographically
+    assert stats["columns"]["id"]["max"] == "4"
+    # tidy render survives a fresh store handle (sidecar persistence)
+    from hivekudu_handler_spark.sources.table_store import TableStore
+
+    reread = TableStore(spark, str(store.root)).stats_df("t").collect()
+    assert {r["col_name"]: r["ndv"] for r in reread} == {
+        "id": 4, "name": 2, "score": 3,
+    }
+    assert all(r["n_rows"] == 4 for r in reread)
+
+
+def test_analyze_stats_approx_and_missing(spark, store):
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store.create_table("t", "id int, name string", ["id"])
+    with _pytest.raises(TableStoreError, match="no statistics"):
+        store.stats_df("t")
+    store.insert_values("t", [(i, f"n{i % 7}") for i in range(100)])
+    stats = store.analyze("t")  # HLL++ default
+    assert stats["approx"] is True
+    # 2% default sketch error is far tighter than this bound at ndv=7
+    assert abs(stats["columns"]["name"]["ndv"] - 7) <= 1
+    assert stats["columns"]["id"]["n_nulls"] == 0

@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         sorts,
         sql_surface,
         windows,
+        zorder,
     )
     from hivekudu_handler_spark.functions import scalar, udfs  # noqa: F401
     from hivekudu_handler_spark.pipeline import (  # noqa: F401

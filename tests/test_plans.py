@@ -292,3 +292,50 @@ def test_kmeans_assignment_is_scan_shaped(spark):
     df = _assign(e.withColumn("v", F.slice("v", 1, 8)), cents)
     assert checks.count_shuffles(df) == 0, checks.plan_string(df)
     assert "Join" not in checks.plan_string(df)
+
+
+def test_zorder_files_cover_small_rectangles(spark, tmp_path):
+    """Morton clustering must localize a 2-D box: the fraction of files
+    whose (user_id, value) bounding box overlaps the query box is far
+    smaller than under a single-column sort of the same rows (where the
+    un-sorted dimension spans every file and only the sorted one prunes).
+    Parquet min/max stats make overlap count ≈ files actually read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hivekudu_handler_spark.operators.zorder import zorder_write
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, SF).select("event_id", "user_id", "value")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(ev, "user_id", "value", zdir, n_files=16)
+    # control: same file count, clustered on user_id only
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def overlap_fraction(d: str, ulo, uhi, vlo, vhi) -> float:
+        files = glob.glob(f"{d}/part-*.parquet")
+        assert len(files) >= 8, files
+        hits = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            umin = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            umax = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            vmin = min(md.row_group(i).column(2).statistics.min for i in range(md.num_row_groups))
+            vmax = max(md.row_group(i).column(2).statistics.max for i in range(md.num_row_groups))
+            if umax >= ulo and umin <= uhi and vmax >= vlo and vmin <= vhi:
+                hits += 1
+        return hits / len(files)
+
+    # a box ~1/5 of each axis
+    z_frac = overlap_fraction(zdir, 10, 19, 5.0, 15.0)
+    s_frac = overlap_fraction(sdir, 10, 19, 5.0, 15.0)
+    # single-column sort prunes only the user axis: every surviving file
+    # still spans all values; z-order must strictly beat it
+    assert z_frac < s_frac, (z_frac, s_frac)
+    assert z_frac <= 0.5, z_frac

@@ -581,3 +581,64 @@ def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.catalog.dropTempView("nation_src")
         shutil.rmtree(d, ignore_errors=True)
+
+
+def stats_driven_join(spark: SparkSession, sf_dir: str, scratch: Path) -> DataFrame:
+    """(helper for the key + plan test) Land customer and nation into a
+    scratch store, ANALYZE both, and join through the stats-driven
+    planner — nation's 25-row profile earns the broadcast hint."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_table
+
+    store = TableStore(spark, str(scratch))
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).createOrReplaceTempView("cust_src")
+    load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).createOrReplaceTempView("nat_src")
+    run_sql(
+        store,
+        "CREATE TABLE cust TBLPROPERTIES ('kudu.key_columns'='c_custkey') "
+        "AS SELECT * FROM cust_src",
+    )
+    run_sql(
+        store,
+        "CREATE TABLE nat TBLPROPERTIES ('kudu.key_columns'='n_nationkey') "
+        "AS SELECT * FROM nat_src",
+    )
+    store.analyze("cust")
+    store.analyze("nat")
+    joined = store.join_with_stats(
+        "cust", "nat", F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_stats_driven",
+    oracle=(
+        "SELECT n_name, COUNT(*) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    tags=("join", "ddl", "scale"),
+)
+def join_stats_driven(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join over managed tables: ANALYZE profiles feed the
+    broadcast decision (``TableStore.join_with_stats``), the way Hive CBO
+    joins off metastore stats rather than file sizes.  The plan test
+    disables Spark's own size-estimate broadcast and asserts the hint
+    still produces a BroadcastHashJoin — i.e. the decision came from OUR
+    statistics, not the file-size guess."""
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix="cbo_", dir=_SCRATCH_ROOT))
+    try:
+        return _materialize(spark, stats_driven_join(spark, sf_dir, d))
+    finally:
+        spark.catalog.dropTempView("cust_src")
+        spark.catalog.dropTempView("nat_src")
+        shutil.rmtree(d, ignore_errors=True)

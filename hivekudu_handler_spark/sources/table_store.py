@@ -449,6 +449,48 @@ class TableStore:
             "min_val string, max_val string, n_rows bigint",
         )
 
+    def join_with_stats(
+        self,
+        left: str,
+        right: str,
+        on,
+        how: str = "inner",
+        broadcast_threshold_rows: int = 1_000_000,
+    ) -> DataFrame:
+        """Stats-driven join of two managed tables: the cost-based use of
+        the ``analyze`` profiles.  Spark's own broadcast decision reads
+        file-size estimates, which file-format compression distorts and
+        post-filter selectivity invalidates; the analyzed ROW COUNT is the
+        better signal a warehouse keeps (Hive CBO joins off exactly these
+        metastore stats).  The smaller side gets a broadcast hint when its
+        analyzed count is under the threshold; with no stats on either
+        side the join is left to Spark's estimates (hint-free).  The hint
+        is advisory — Catalyst still owns the physical plan — so a stale
+        sidecar can waste memory but never change results.
+        """
+
+        def n_rows(name: str) -> int | None:
+            path = self._stats_path(name)
+            if not path.exists():
+                return None
+            return json.loads(path.read_text())["n_rows"]
+
+        l, r = self.scan(left), self.scan(right)
+        ln, rn = n_rows(left), n_rows(right)
+        sides = [(ln, "l"), (rn, "r")]
+        known = [(n, s) for n, s in sides if n is not None]
+        if known:
+            n, side = min(known)
+            other = ln if side == "r" else rn
+            # broadcast the smaller KNOWN side only if it is small enough
+            # and not known to be the bigger one
+            if n <= broadcast_threshold_rows and (other is None or n <= other):
+                if side == "l":
+                    l = F.broadcast(l)
+                else:
+                    r = F.broadcast(r)
+        return l.join(r, on, how)
+
     # ------------------------------------------------------------ ALTER
     def _write_meta(self, meta: TableMeta) -> None:
         self._meta_path(meta.name).write_text(meta.to_json())

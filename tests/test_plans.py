@@ -339,3 +339,22 @@ def test_zorder_files_cover_small_rectangles(spark, tmp_path):
     # still spans all values; z-order must strictly beat it
     assert z_frac < s_frac, (z_frac, s_frac)
     assert z_frac <= 0.5, z_frac
+
+
+def test_stats_driven_join_broadcasts_without_size_estimates(spark, tmp_path):
+    """With Spark's own size-estimate broadcasting disabled, the
+    stats-driven join must STILL broadcast the 25-row nation side — the
+    decision provably comes from the ANALYZE profile, not file sizes."""
+    from hivekudu_handler_spark.operators.ddl import stats_driven_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = stats_driven_join(spark, SF, tmp_path / "cbo")
+        plan = checks.plan_string(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.catalog.dropTempView("cust_src")
+        spark.catalog.dropTempView("nat_src")

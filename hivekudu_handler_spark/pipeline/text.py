@@ -379,3 +379,54 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", F.col("rnk").cast("int"))
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) implement identically: ordered alternation of
+# contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, and whitespace — NO lookahead (RE2 has none), ascii
+# classes (deterministic across engines/locales).
+_BPE_PAT = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[a-zA-Z]+"
+    "| ?[0-9]+"
+    "| ?[^a-zA-Z0-9\\s]+"
+    "|\\s+"
+)
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''").replace("\\s", "\\s")
+
+
+@query(
+    "text_tokens_bpe",
+    oracle=(
+        "SELECT doc_id, "
+        f"       len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) "
+        "         AS n_bpe_tokens, "
+        f"       len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'), "
+        "            x -> NOT regexp_matches(x, '^\\s+$'))) AS n_non_ws, "
+        f"       len(list_filter({_TOKENS_SQL}, x -> x <> '')) AS n_words "
+        "FROM documents"
+    ),
+    tags=("text",),
+)
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting with a BPE PRE-tokenizer regex (the
+    GPT-2 split rule modulo lookahead): contraction suffixes, space-glued
+    word/number runs, punctuation runs.  Counts per document: all
+    fragments, non-whitespace fragments (≈ what a BPE vocab would then
+    merge — the budget number a training pipeline actually packs on), and
+    plain whitespace words for the tokens-per-word fertility ratio.
+    One scan, one regex pass, whole-stage codegen; the fragment array
+    never shuffles (counts only)."""
+    d = load_table(spark, sf_dir, "documents")
+    # group 0 = the whole match (Spark defaults to group 1; DuckDB to 0)
+    frags = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    t = d.select("doc_id", frags.alias("fr"), tokens().alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("fr").alias("n_bpe_tokens"),
+        F.size(
+            F.filter("fr", lambda x: ~x.rlike("^\\s+$"))
+        ).alias("n_non_ws"),
+        F.size(F.filter("toks", lambda x: x != "")).alias("n_words"),
+    )

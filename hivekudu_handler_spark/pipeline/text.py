@@ -331,14 +331,16 @@ _TFIDF_SQL = (
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms: tf/|doc| × ln(N/df).
 
-    The classic two-pass corpus statistic as three shuffles, each keyed
-    where the data already wants to live: (1) token counts shuffle on
-    (doc_id, token) — partial map-side combine absorbs the explode fanout;
-    (2) document frequencies shuffle on token (the vocabulary, ≪ corpus);
-    (3) the per-doc top-3 window shuffles on doc_id.  The df table joins
-    back token-keyed (AQE broadcasts it when the vocabulary is small;
-    hint-free because at 100 TB a web-scale vocab can exceed the broadcast
-    budget).  The corpus size N rides along as a 1-row cross join, not a
+    The classic two-pass corpus statistic, with every shuffle keyed where
+    the data already wants to live: token counts on (doc_id, token) —
+    partial map-side combine absorbs the explode fanout; document
+    frequencies on token (the vocabulary, ≪ corpus); the df join back
+    token-aligned; the per-doc top-3 window on doc_id.  Plan-time that is
+    five exchanges (both join sides align on token); at runtime AQE
+    broadcasts the vocabulary side when it is small, collapsing the join
+    alignment — hint-free because at 100 TB a web-scale vocab can exceed
+    the broadcast budget, where the token-keyed shuffle join IS the right
+    plan.  The corpus size N rides along as a 1-row cross join, not a
     driver-side collect, so the whole plan stays lazy.
 
     Ranking uses the ROUNDED score (6 dp) in BOTH engines so cross-engine

@@ -358,3 +358,30 @@ def test_stats_driven_join_broadcasts_without_size_estimates(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.catalog.dropTempView("cust_src")
         spark.catalog.dropTempView("nat_src")
+
+
+def test_morton_code_is_bijective(spark):
+    """Property: the 16-bit Morton interleave is a bijection of the two
+    8-bit inputs (decodable back), so range-partitioning on it can never
+    collide distinct cells into one code."""
+    from hypothesis import given, settings, strategies as st
+
+    from hivekudu_handler_spark.operators.zorder import _morton16
+
+    pairs = st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=64, unique=True,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(pairs)
+    def check(ps):
+        df = spark.createDataFrame(ps, "a long, b long")
+        rows = df.select("a", "b", _morton16(F.col("a"), F.col("b")).alias("z")).collect()
+        for r in rows:
+            assert 0 <= r["z"] < 1 << 16
+            a = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+            b = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+            assert (a, b) == (r["a"], r["b"])
+
+    check()

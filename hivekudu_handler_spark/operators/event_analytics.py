@@ -346,9 +346,11 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("d"), "event_type"
     )
     daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    # bounds and the type list derive from the AGGREGATE (|days|×|types|
+    # rows), not the raw events — one fact scan total, not three
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     return (
         spine.crossJoin(types)
         .join(daily, ["d", "event_type"], "left")

@@ -40,7 +40,7 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hivekudu_handler_spark.operators.ddl import _SCRATCH_ROOT
+from hivekudu_handler_spark.operators.ddl import _SCRATCH_ROOT, _materialize
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_events
 
@@ -125,7 +125,6 @@ def zorder_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.parquet(str(d / "ev_z")).filter(
             F.col("user_id").between(10, 19) & F.col("value").between(5.0, 15.0)
         )
-        rows = back.collect()
-        return spark.createDataFrame(rows, back.schema)
+        return _materialize(spark, back)
     finally:
         shutil.rmtree(d, ignore_errors=True)

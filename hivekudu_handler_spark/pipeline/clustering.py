@@ -111,10 +111,8 @@ def kmeans_fit(
         )
         inertia.append(sum(r["sqd0"] or 0.0 for r in stats if r["dim"] == 0))
         by_cent: dict[int, dict[int, float]] = {}
-        counts: dict[int, int] = {}
         for r in stats:
             by_cent.setdefault(r["cent_id"], {})[r["dim"]] = r["s"] / r["n"]
-            counts[r["cent_id"]] = r["n"]
         # empty clusters keep their previous centroid (standard Lloyd fix)
         cents = [
             (

@@ -395,7 +395,7 @@ _BPE_PAT = (
     "| ?[^a-zA-Z0-9\\s]+"
     "|\\s+"
 )
-_BPE_PAT_SQL = _BPE_PAT.replace("'", "''").replace("\\s", "\\s")
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")  # SQL-literal quote doubling
 
 
 @query(

@@ -388,6 +388,10 @@ class TableStore:
         The profile is persisted to a ``stats.json`` sidecar (schema
         metadata stays in meta.json — stats are advisory, schemas are
         contracts) and returned; ``stats_df`` renders the tidy form.
+        Lifecycle: any DATA mutation drops the sidecar (Hive's
+        stale-stats rule — see ``_commit_version``); metadata-only
+        ALTERs keep it consistent instead (renames remap, drops remove
+        the entry, added columns are unprofiled until the next analyze).
         The single stats row collected driver-side is model state
         (one row of ~4×|columns| scalars), not data.
         """
@@ -491,6 +495,28 @@ class TableStore:
                     r = F.broadcast(r)
         return l.join(r, on, how)
 
+    def _remap_stats(
+        self, name: str, rename: dict[str, str] | None = None,
+        drop: str | None = None,
+    ) -> None:
+        """Keep the ANALYZE sidecar consistent through metadata-only
+        ALTERs: renames remap the profile key (the data did not change),
+        drops remove the ghost entry; added columns simply have no
+        profile until the next ``analyze`` (``stats_df`` renders only
+        profiled columns).  ``n_rows`` stays valid throughout, so
+        ``join_with_stats`` keeps its signal across schema evolution."""
+        path = self._stats_path(name)
+        if not path.exists():
+            return
+        stats = json.loads(path.read_text())
+        cols = stats.get("columns", {})
+        for old, new in (rename or {}).items():
+            if old in cols:
+                cols[new] = cols.pop(old)
+        if drop is not None:
+            cols.pop(drop, None)
+        path.write_text(json.dumps(stats))
+
     # ------------------------------------------------------------ ALTER
     def _write_meta(self, meta: TableMeta) -> None:
         self._meta_path(meta.name).write_text(meta.to_json())
@@ -565,6 +591,7 @@ class TableStore:
                 k: v for k, v in meta.physical.items() if k != col_name
             }
         self._write_meta(meta)
+        self._remap_stats(name, drop=col_name)
         return meta
 
     def rename_column(self, name: str, old: str, new: str) -> TableMeta:
@@ -597,6 +624,7 @@ class TableStore:
         meta.used_physical = sorted(used | {phys})
         meta.key_columns = [new if k == old else k for k in meta.key_columns]
         self._write_meta(meta)
+        self._remap_stats(name, rename={old: new})
         return meta
 
     def rename_table(self, name: str, new_name: str) -> TableMeta:
@@ -662,6 +690,12 @@ class TableStore:
         O(files in table) driver-side listing, once per mutation batch —
         the same cost class as the bucket-id collection the write itself
         already does; never O(rows)."""
+        # any data mutation stale-marks the ANALYZE profile by dropping
+        # it (Hive's stale-stats rule; a stale n_rows would silently skew
+        # join_with_stats' broadcast choice).  Compaction rewrites files
+        # but not rows, so the profile survives it.
+        if op not in ("create", "compact"):
+            self._stats_path(meta.name).unlink(missing_ok=True)
         versions = self._version_numbers(meta.name)
         nxt = (versions[-1] + 1) if versions else 0
         manifest = {

@@ -1053,3 +1053,31 @@ def test_analyze_stats_approx_and_missing(spark, store):
     # 2% default sketch error is far tighter than this bound at ndv=7
     assert abs(stats["columns"]["name"]["ndv"] - 7) <= 1
     assert stats["columns"]["id"]["n_nulls"] == 0
+
+
+def test_analyze_stats_lifecycle_across_mutations(spark, store):
+    """Data mutations stale-drop the profile; metadata-only ALTERs keep
+    it consistent (rename remaps, drop removes, add leaves unprofiled)."""
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a"), (2, "b")])
+    store.analyze("t", approx=False)
+    # metadata-only ALTERs preserve (remapped) stats
+    store.rename_column("t", "name", "label")
+    store.add_column("t", "score", "double")
+    prof = {r["col_name"]: r["ndv"] for r in store.stats_df("t").collect()}
+    assert prof == {"id": 2, "label": 2}  # renamed key, new col unprofiled
+    store.drop_column("t", "score")
+    assert "score" not in {
+        r["col_name"] for r in store.stats_df("t").collect()
+    }
+    # a data mutation drops the sidecar entirely
+    store.insert_values("t", [(3, "c")])
+    with _pytest.raises(TableStoreError, match="no statistics"):
+        store.stats_df("t")
+    # compaction rewrites files, not rows: profile survives
+    store.analyze("t", approx=False)
+    store.compact("t")
+    assert {r["n_rows"] for r in store.stats_df("t").collect()} == {3}

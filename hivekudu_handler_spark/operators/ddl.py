@@ -642,3 +642,39 @@ def join_stats_driven(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("cust_src")
         spark.catalog.dropTempView("nat_src")
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_view_roundtrip",
+    oracle=(
+        "SELECT * FROM (VALUES ('a', CAST(2 AS BIGINT)), "
+        "('b', CAST(2 AS BIGINT))) AS t(name, cnt)"
+    ),
+    tags=("ddl", "sql"),
+)
+def ddl_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW through the SQL front-end: a persisted logical SELECT
+    that re-plans against the table's CURRENT data at every scan — the
+    second insert is visible through the already-created view without any
+    refresh step (text-only storage, zero materialization)."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE base (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        run_sql(store, "INSERT INTO base VALUES (1,'a'),(2,'b'),(3,'a')")
+        run_sql(
+            store,
+            "CREATE VIEW name_counts AS "
+            "SELECT name, count(*) AS cnt FROM base GROUP BY name",
+        )
+        # mutation AFTER view creation must show through the view
+        run_sql(store, "INSERT INTO base VALUES (4,'b')")
+        out = run_sql(store, "SELECT * FROM name_counts")
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

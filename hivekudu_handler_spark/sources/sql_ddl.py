@@ -26,6 +26,9 @@ test exercises (``README.md:14-218``) and routing them to the store:
   RENAME COLUMN a TO b | CHANGE a b type | RENAME TO t2`` — the Kudu
   AlterTableRequest verbs (metadata-only; CHANGE with a different type
   is rejected, as in Kudu)
+* ``CREATE VIEW name AS SELECT ...`` / ``DROP VIEW [IF EXISTS] name`` —
+  HiveQL logical views: SQL text persisted in the store, re-planned
+  against current data at every scan (base-table references only)
 * ``ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS]`` — Hive's
   ``compute_stats``: one-pass per-column profile (nulls/NDV/min/max +
   row count) persisted to the table's stats sidecar
@@ -196,8 +199,31 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     stmt = _strip_stmt(sql)
     verb = stmt.split(None, 1)[0].upper() if stmt else ""
     if verb == "CREATE":
+        # CREATE VIEW name AS SELECT ... — HiveQL's logical-view verb;
+        # stored as SQL text, re-planned at every scan (table_store.py)
+        m = re.match(
+            r"^CREATE\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<select>SELECT\b.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            store.create_view(m.group("name"), m.group("select"))
+            return None
         return _create(store, stmt)
     if verb == "DROP":
+        m = re.match(
+            r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            name = m.group("name")
+            if re.match(r"^DROP\s+VIEW\s+IF\s+EXISTS\b", stmt, re.IGNORECASE) and (
+                name not in store.list_views()
+            ):
+                return None
+            store.drop_view(name)
+            return None
         return _drop(store, stmt)
     if verb in ("DESCRIBE", "DESC"):
         m = _DESCRIBE_RE.match(stmt)

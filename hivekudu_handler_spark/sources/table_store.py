@@ -71,6 +71,7 @@ and current-state scans don't consult the version log at all.
 from __future__ import annotations
 
 import json
+import re
 import shutil
 from dataclasses import dataclass
 from pathlib import Path
@@ -230,8 +231,8 @@ class TableStore:
             raise TableStoreError("LOCATION may not be specified for a managed table")
         if isinstance(schema, str):
             schema = self._parse_ddl_schema(schema)
-        if self._meta_path(name).exists():
-            raise TableExistsError(f"table {name!r} already exists")
+        if self._meta_path(name).exists() or self._view_path(name).exists():
+            raise TableExistsError(f"table or view {name!r} already exists")
         normalized = typesys.validate_schema(
             schema, key_columns, allow_extended=extended
         )
@@ -289,8 +290,8 @@ class TableStore:
         External semantics: read-only through this layer (mutations are
         rejected), and DROP removes only the catalog entry, never the
         storage."""
-        if self._meta_path(name).exists():
-            raise TableExistsError(f"table {name!r} already exists")
+        if self._meta_path(name).exists() or self._view_path(name).exists():
+            raise TableExistsError(f"table or view {name!r} already exists")
         try:
             discovered = self.spark.read.parquet(path).schema
         except Exception as exc:  # no files / unreadable path
@@ -1235,8 +1236,73 @@ class TableStore:
         table's file listing at registration (Spark's parquet source
         indexes files when the plan is built); re-register after mutations
         to see their effect."""
+        self._register_base(*names)
+        if not names:
+            # views register after every base table exists; they may
+            # reference any table but not other views (create_view rule),
+            # so one pass in any order resolves
+            for vname in self.list_views():
+                self.spark.sql(self._view_sql(vname)).createOrReplaceTempView(
+                    vname
+                )
+
+    def _register_base(self, *names: str) -> None:
         for name in names or self.list_tables():
             self.scan(name).createOrReplaceTempView(name)
+
+    # ------------------------------------------------------------ VIEWS
+    def _view_path(self, name: str) -> Path:
+        return self._dir(name) / "view.json"
+
+    def create_view(self, name: str, select_sql: str) -> None:
+        """CREATE VIEW — a named, persisted SELECT over the store's
+        tables (HiveQL's logical-view verb; the reference's tables were
+        routinely consumed through Hive views).  Storage is the SQL TEXT
+        only: the view re-plans against the tables' current data at every
+        scan, so it is always fresh and costs nothing at rest.  Views may
+        reference base tables only (no view-on-view; keeps resolution a
+        single pass and makes cycles unrepresentable)."""
+        name = self._norm_name(name)
+        if self._meta_path(name).exists() or self._view_path(name).exists():
+            raise TableExistsError(f"table or view {name!r} already exists")
+        referenced_views = [
+            v for v in self.list_views()
+            if re.search(rf"\b{re.escape(v)}\b", select_sql, re.IGNORECASE)
+        ]
+        if referenced_views:
+            raise TableStoreError(
+                f"views may reference base tables only; found view "
+                f"reference(s): {referenced_views}"
+            )
+        self._dir(name).mkdir(parents=True, exist_ok=True)
+        self._view_path(name).write_text(
+            json.dumps({"name": name, "view_sql": select_sql})
+        )
+
+    def list_views(self) -> list[str]:
+        return sorted(
+            p.name for p in self.root.iterdir() if (p / "view.json").exists()
+        )
+
+    def _view_sql(self, name: str) -> str:
+        path = self._view_path(self._norm_name(name))
+        if not path.exists():
+            raise NoSuchTableError(f"no such view: {name!r}")
+        return json.loads(path.read_text())["view_sql"]
+
+    def view_df(self, name: str) -> DataFrame:
+        """The view's DataFrame: base tables register, the stored SELECT
+        plans against them.  Lazy — Catalyst sees the full expanded plan,
+        so filters over the view push into the underlying scans."""
+        sql_text = self._view_sql(name)
+        self._register_base()
+        return self.spark.sql(sql_text)
+
+    def drop_view(self, name: str) -> None:
+        name = self._norm_name(name)
+        if not self._view_path(name).exists():
+            raise NoSuchTableError(f"no such view: {name!r}")
+        shutil.rmtree(self._dir(name))
 
     def lookup(self, name: str, key: dict[str, object]) -> DataFrame:
         """Keyed point-lookup that prunes to ONE bucket directory.

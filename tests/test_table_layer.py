@@ -1081,3 +1081,36 @@ def test_analyze_stats_lifecycle_across_mutations(spark, store):
     store.analyze("t", approx=False)
     store.compact("t")
     assert {r["n_rows"] for r in store.stats_df("t").collect()} == {3}
+
+
+# ---- views ----------------------------------------------------------------
+
+def test_view_rules_and_lifecycle(spark, store):
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import (
+        NoSuchTableError, TableExistsError, TableStoreError,
+    )
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a"), (2, "b")])
+    store.create_view("v", "SELECT id FROM t WHERE name = 'a'")
+    assert store.list_views() == ["v"]
+    assert [r["id"] for r in store.view_df("v").collect()] == [1]
+    # name collisions across tables and views are rejected both ways
+    with _pytest.raises(TableExistsError):
+        store.create_view("t", "SELECT 1")
+    with _pytest.raises(TableExistsError):
+        store.create_table("v", "id int", ["id"])
+    # no view-on-view
+    with _pytest.raises(TableStoreError, match="base tables only"):
+        store.create_view("v2", "SELECT * FROM v")
+    # the sql() dispatcher sees views in plain SELECTs
+    out = run_sql(store, "SELECT count(*) AS n FROM v")
+    assert out.collect()[0]["n"] == 1
+    # DROP VIEW via front-end; IF EXISTS tolerates absence
+    run_sql(store, "DROP VIEW v")
+    assert store.list_views() == []
+    run_sql(store, "DROP VIEW IF EXISTS v")
+    with _pytest.raises(NoSuchTableError):
+        store.view_df("v")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
@@ -222,5 +223,67 @@ def incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type")
         )
         return _materialize(spark, merged)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "mview_incremental",
+    oracle=(
+        "WITH state AS ("
+        "  SELECT event_id, event_type, "
+        "         CASE WHEN event_id % 3 IN (0, 1) AND event_id % 5 = 0 "
+        "              THEN CAST(floor(value * 100) AS BIGINT) * 2 "
+        "              ELSE CAST(floor(value * 100) AS BIGINT) END AS cents "
+        "  FROM events) "
+        "SELECT event_type, COUNT(*) AS n_rows, "
+        "       CAST(SUM(cents) AS BIGINT) AS sum_cents "
+        "FROM state WHERE event_type <> 'error' "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    tags=("table", "snapshot", "slow"),
+)
+def mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MATERIALIZED VIEW lifecycle through the SQL front-end:
+    CREATE MATERIALIZED VIEW over a partially-loaded base, mutate the
+    base (late-arriving inserts, doubled-cents updates, a class delete),
+    then ``ALTER MATERIALIZED VIEW ... REBUILD`` — which runs the
+    INCREMENTAL merge off the version-manifest diff
+    (``TableStore.refresh_materialized_view``), never rescanning the
+    base.  Returned rows are the STORED view contents; the oracle
+    recomputes the final state from scratch — equality proves the
+    incremental maintenance (retract old / assert new / drop emptied
+    groups) is exact.  Integer cents keep the sums float-free, so the
+    incremental path is bit-identical to the recompute."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE ev (event_id bigint, event_type string, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='event_id')",
+        )
+        store.insert("ev", ev.filter(F.col("event_id") % 3 < 2))
+        run_sql(
+            store,
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT event_type, COUNT(*) AS n_rows, SUM(cents) AS sum_cents "
+            "FROM ev GROUP BY event_type",
+        )
+        late = ev.filter(F.col("event_id") % 3 == 2)
+        upd = ev.filter(
+            (F.col("event_id") % 3 < 2) & (F.col("event_id") % 5 == 0)
+        ).withColumn("cents", F.col("cents") * 2)
+        store.upsert("ev", late.unionByName(upd))
+        store.delete_where("ev", "event_type = 'error'")
+        run_sql(store, "ALTER MATERIALIZED VIEW mv REBUILD")
+        return _materialize(spark, store.scan("mv").orderBy("event_type"))
     finally:
         shutil.rmtree(d, ignore_errors=True)

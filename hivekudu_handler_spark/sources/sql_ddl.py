@@ -29,6 +29,12 @@ test exercises (``README.md:14-218``) and routing them to the store:
 * ``CREATE VIEW name AS SELECT ...`` / ``DROP VIEW [IF EXISTS] name`` —
   HiveQL logical views: SQL text persisted in the store, re-planned
   against current data at every scan (base-table references only)
+* ``CREATE MATERIALIZED VIEW name AS SELECT g…, COUNT(*) AS n_rows,
+  SUM(c) AS sum_c FROM base GROUP BY g…`` and ``ALTER MATERIALIZED VIEW
+  name REBUILD`` — Hive's materialized-view verbs; REBUILD runs the
+  INCREMENTAL manifest-diff merge, never a base rescan (the accepted
+  shape is the self-maintainable SUM/COUNT class — MIN/MAX rejected
+  with the reason)
 * ``ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS]`` — Hive's
   ``compute_stats``: one-pass per-column profile (nulls/NDV/min/max +
   row count) persisted to the table's stats sidecar
@@ -199,6 +205,9 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     stmt = _strip_stmt(sql)
     verb = stmt.split(None, 1)[0].upper() if stmt else ""
     if verb == "CREATE":
+        m = _MVIEW_CREATE_RE.match(stmt)
+        if m:
+            return _create_mview(store, m)
         # CREATE VIEW name AS SELECT ... — HiveQL's logical-view verb;
         # stored as SQL text, re-planned at every scan (table_store.py)
         m = re.match(
@@ -248,6 +257,17 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     if verb == "UPDATE":
         return _update(store, stmt)
     if verb == "ALTER":
+        # ALTER MATERIALIZED VIEW mv REBUILD — Hive's refresh verb,
+        # implemented as the INCREMENTAL merge (manifest-diff deltas),
+        # not the rebuild the name suggests
+        m = re.match(
+            r"^ALTER\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+REBUILD$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            store.refresh_materialized_view(m.group("name"))
+            return None
         return _alter(store, stmt)
     if verb == "ANALYZE":
         # Hive's `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS]`:
@@ -271,6 +291,51 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
 
 
 _QUERY_RE = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
+
+# CREATE MATERIALIZED VIEW mv AS
+#   SELECT g[, ...], COUNT(*) AS n_rows[, SUM(c) AS sum_c ...]
+#   FROM base GROUP BY g[, ...]
+# — the self-maintainable SUM/COUNT-groupby IVM shape; anything else is
+# rejected with the reason (MIN/MAX need base rescans on retraction).
+_MVIEW_CREATE_RE = re.compile(
+    r"^CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+(?P<base>[A-Za-z_]\w*)\s+"
+    r"GROUP\s+BY\s+(?P<group>[A-Za-z_][\w\s,]*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _create_mview(store: TableStore, m: re.Match) -> None:
+    group_cols = [c.strip() for c in m.group("group").split(",")]
+    sum_cols: list[str] = []
+    seen_groups: list[str] = []
+    for item in _split_top(m.group("select")):
+        item = item.strip()
+        cnt = re.match(r"^COUNT\(\s*\*\s*\)\s+AS\s+n_rows$", item, re.IGNORECASE)
+        agg = re.match(
+            r"^SUM\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+sum_\1$", item, re.IGNORECASE
+        )
+        if cnt:
+            continue
+        if agg:
+            sum_cols.append(agg.group(1))
+        elif re.match(r"^[A-Za-z_]\w*$", item):
+            seen_groups.append(item)
+        else:
+            raise SqlDdlError(
+                f"materialized views support the COUNT(*)/SUM group-by "
+                f"shape only (self-maintainable from deltas); cannot "
+                f"accept select item: {item!r}"
+            )
+    if seen_groups != group_cols:
+        raise SqlDdlError(
+            f"materialized view SELECT columns {seen_groups} must match "
+            f"GROUP BY {group_cols}"
+        )
+    store.create_materialized_view(
+        m.group("name"), m.group("base"), group_cols, sum_cols
+    )
+    return None
 
 
 def sql(store: TableStore, text: str) -> DataFrame | None:

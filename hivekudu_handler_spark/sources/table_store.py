@@ -1304,6 +1304,163 @@ class TableStore:
             raise NoSuchTableError(f"no such view: {name!r}")
         shutil.rmtree(self._dir(name))
 
+    # ------------------------------------------- MATERIALIZED VIEWS
+    def _mview_path(self, name: str) -> Path:
+        return self._dir(name) / "mview.json"
+
+    @staticmethod
+    def _sum_type(dtype: T.DataType) -> str:
+        return (
+            "bigint"
+            if isinstance(
+                dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+            )
+            else "double"
+        )
+
+    def create_materialized_view(
+        self,
+        name: str,
+        base: str,
+        group_cols: list[str],
+        sum_cols: list[str] | None = None,
+    ) -> None:
+        """CREATE MATERIALIZED VIEW (Hive's verb; the reference's design
+        goal is precisely "analytical queries on fast changing data",
+        ``doc/DesignDocument.md:4-8``): a STORED per-group aggregate —
+        COUNT(*) plus SUM of each ``sum_cols`` — over a base table, kept
+        current by *incremental* refresh off the version-manifest diff
+        (see :meth:`refresh_materialized_view`).
+
+        The materialization is itself a managed keyed table (key = the
+        group columns — which must therefore be non-null in the base, the
+        same constraint Kudu puts on any primary key) and so inherits
+        scans, snapshots, and stats.  Integral sums maintain exactly;
+        double sums are subject to float addition order like any
+        distributed SUM.  The supported shape is the classic
+        SUM/COUNT-groupby IVM class — self-maintainable from deltas
+        alone; MIN/MAX are deliberately out (a deleted max needs a base
+        rescan to re-derive, breaking the only-changed-tablets cost
+        model)."""
+        name = self._norm_name(name)
+        sum_cols = list(sum_cols or [])
+        if self._meta_path(name).exists() or self._view_path(name).exists():
+            raise TableExistsError(f"table or view {name!r} already exists")
+        bmeta = self.table_meta(base)
+        types = {f.name: f.dataType for f in bmeta.schema.fields}
+        for c in group_cols + sum_cols:
+            if c not in types:
+                raise TableStoreError(f"no such column in {base!r}: {c!r}")
+        ddl = ", ".join(
+            [f"{c} {types[c].simpleString()}" for c in group_cols]
+            + ["n_rows bigint"]
+            + [f"sum_{c} {self._sum_type(types[c])}" for c in sum_cols]
+        )
+        self.create_table(name, ddl, key_columns=list(group_cols))
+        version = self.current_version(base)
+        full = (
+            self.scan_snapshot(base, version)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                *[
+                    F.sum(c).cast(self._sum_type(types[c])).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        self.insert(name, full)
+        self._mview_path(name).write_text(
+            json.dumps(
+                {
+                    "name": name,
+                    "base": base,
+                    "group_cols": list(group_cols),
+                    "sum_cols": sum_cols,
+                    "last_version": version,
+                }
+            )
+        )
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """Incremental refresh: merge the SIGNED DELTAS of the base's
+        changes since the last refresh into the stored aggregate.
+
+        Cost model at 100 TB: the diff reads only tablets changed since
+        ``last_version`` (manifest symmetric difference — see
+        :meth:`diff`), the delta aggregate shuffles only changed rows,
+        and the merge touches only changed GROUPS (an upsert into the
+        groups' buckets plus a bounded delete of emptied groups).  A
+        billion-row base with a thousand changed rows refreshes in
+        thousand-row time; the base is never rescanned.  Retractions
+        (update/delete) subtract the old row's contribution via the
+        diff's ``old_*`` columns; groups whose count reaches zero are
+        deleted so the view never reports phantom empty groups."""
+        name = self._norm_name(name)
+        path = self._mview_path(name)
+        if not path.exists():
+            raise NoSuchTableError(f"no such materialized view: {name!r}")
+        mv = json.loads(path.read_text())
+        base, gcols, scols = mv["base"], mv["group_cols"], mv["sum_cols"]
+        cur = self.current_version(base)
+        if cur == mv["last_version"]:
+            return {"refreshed": False, "from": cur, "to": cur}
+        types = {
+            f.name: f.dataType for f in self.table_meta(base).schema.fields
+        }
+        d = self.diff(base, mv["last_version"], cur, include_old=True)
+        retract = d.filter(F.col("change_type") != "insert").select(
+            *[F.col(f"old_{c}" if c not in self.table_meta(base).key_columns else c).alias(c) for c in gcols],
+            F.lit(-1).cast("long").alias("dn"),
+            *[(-F.col(f"old_{c}")).alias(f"d_{c}") for c in scols],
+        )
+        assert_ = d.filter(F.col("change_type") != "delete").select(
+            *gcols,
+            F.lit(1).cast("long").alias("dn"),
+            *[F.col(c).alias(f"d_{c}") for c in scols],
+        )
+        delta = (
+            retract.unionByName(assert_)
+            .groupBy(*gcols)
+            .agg(
+                F.sum("dn").alias("dn"),
+                *[F.sum(f"d_{c}").alias(f"d_{c}") for c in scols],
+            )
+        )
+        merged = delta.join(self.scan(name), on=gcols, how="left").select(
+            *gcols,
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("dn")).alias(
+                "n_rows"
+            ),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"d_{c}"), F.lit(0))
+                )
+                .cast(self._sum_type(types[c]))
+                .alias(f"sum_{c}")
+                for c in scols
+            ],
+        )
+        live = merged.filter(F.col("n_rows") > 0)
+        dead = merged.filter(F.col("n_rows") <= 0).select(*gcols).collect()
+        self.upsert(name, live)
+        if dead:
+            # bounded by |emptied groups| ≤ |changed groups| — driver-side
+            # key list is delta-sized, never table-sized
+            pred = None
+            for row in dead:
+                term = None
+                for c in gcols:
+                    eq = F.col(c) == F.lit(row[c])
+                    term = eq if term is None else (term & eq)
+                pred = term if pred is None else (pred | term)
+            self.delete_where(name, pred)
+        prev = mv["last_version"]
+        mv["last_version"] = cur
+        path.write_text(json.dumps(mv))
+        return {"refreshed": True, "from": prev, "to": cur}
+
     def lookup(self, name: str, key: dict[str, object]) -> DataFrame:
         """Keyed point-lookup that prunes to ONE bucket directory.
 

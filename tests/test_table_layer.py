@@ -1114,3 +1114,38 @@ def test_view_rules_and_lifecycle(spark, store):
     run_sql(store, "DROP VIEW IF EXISTS v")
     with _pytest.raises(NoSuchTableError):
         store.view_df("v")
+
+
+# ---- materialized views ---------------------------------------------------
+
+def test_mview_incremental_maintenance_edges(spark, store):
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, sql as run_sql
+
+    store.create_table("b", "id int, grp string, x int", ["id"])
+    store.insert_values("b", [(1, "a", 10), (2, "a", 20), (3, "b", 5)])
+    store.create_materialized_view("mv", "b", ["grp"], ["x"])
+
+    def snap():
+        return {
+            r["grp"]: (r["n_rows"], r["sum_x"])
+            for r in store.scan("mv").collect()
+        }
+
+    assert snap() == {"a": (2, 30), "b": (1, 5)}
+    # no-op refresh is cheap and honest
+    assert store.refresh_materialized_view("mv")["refreshed"] is False
+    # group MIGRATION: row 2 moves a -> b (retract from a, assert into b)
+    store.upsert("b", spark.createDataFrame([(2, "b", 20)], "id int, grp string, x int"))
+    # and group 'a' loses row 1 too -> a becomes empty and must vanish
+    store.delete_where("b", "id = 1")
+    out = store.refresh_materialized_view("mv")
+    assert out["refreshed"] is True
+    assert snap() == {"b": (2, 25)}
+    # non-IVM select shapes are rejected with the reason
+    with _pytest.raises(SqlDdlError, match="self-maintainable"):
+        run_sql(
+            store,
+            "CREATE MATERIALIZED VIEW m2 AS "
+            "SELECT grp, MIN(x) AS min_x FROM b GROUP BY grp",
+        )

@@ -497,3 +497,105 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("user_state").orderBy("user_id"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def run_mview_maintain(
+    spark: SparkSession,
+    events: DataFrame,
+    store,
+    n_files: int = 4,
+    stage_dir: str = "",
+    checkpoint_dir: str = "",
+) -> int:
+    """Continuous incremental view maintenance: each micro-batch appends
+    into the keyed base table (one version commit), then merges ONLY that
+    batch's delta into the materialized aggregate via the manifest-diff
+    refresh — the streaming compose of ``TableStore.
+    refresh_materialized_view``.  Per batch the work is the batch insert
+    plus a delta-sized merge; the base is never rescanned, so the cost of
+    keeping the aggregate current is proportional to the ingest rate, not
+    the table size — the property that makes a continuously-fresh 100 TB
+    rollup affordable.  Returns the number of micro-batches."""
+    from pyspark.sql import Window
+
+    ranged = events.withColumn(
+        "_f", F.ntile(n_files).over(Window.orderBy("event_id"))
+    )
+    for i in range(1, n_files + 1):
+        (
+            ranged.filter(F.col("_f") == i)
+            .drop("_f")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage_dir}/f{i:02d}")
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{stage_dir}/f*")
+    )
+    n_batches = {"n": 0}
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        store.insert("ev_base", batch)
+        store.refresh_materialized_view("ev_mv")
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return n_batches["n"]
+
+
+@query(
+    "stream_mview_maintain",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_rows, "
+        "       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+        "         AS sum_cents "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    tags=("streaming", "table", "snapshot", "slow"),
+)
+def stream_mview_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed ingest with a continuously-maintained materialized
+    aggregate: four micro-batches append into the keyed base, each batch
+    incrementally refreshing the per-type COUNT/SUM materialized view
+    from the version diff.  The returned STORED view must equal the
+    one-shot aggregate of all events (the oracle) — proving per-batch
+    incremental maintenance converges to the batch recompute."""
+    import shutil
+
+    from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "ev_base",
+            "event_id bigint, event_type string, cents bigint",
+            ["event_id"],
+        )
+        store.create_materialized_view(
+            "ev_mv", "ev_base", ["event_type"], ["cents"]
+        )
+        run_mview_maintain(
+            spark, ev, store,
+            stage_dir=str(d / "stage"), checkpoint_dir=str(d / "ckpt"),
+        )
+        out = store.scan("ev_mv").select(
+            "event_type", "n_rows", F.col("sum_cents").alias("sum_cents")
+        )
+        return _materialize(spark, out.orderBy("event_type"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

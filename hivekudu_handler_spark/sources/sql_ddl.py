@@ -226,12 +226,20 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
             re.IGNORECASE,
         )
         if m:
-            name = m.group("name")
-            if re.match(r"^DROP\s+VIEW\s+IF\s+EXISTS\b", stmt, re.IGNORECASE) and (
-                name not in store.list_views()
-            ):
-                return None
-            store.drop_view(name)
+            from hivekudu_handler_spark.sources.table_store import (
+                NoSuchTableError,
+            )
+
+            try:
+                store.drop_view(m.group("name"))
+            except NoSuchTableError:
+                # IF EXISTS tolerates absence; the try/except (rather
+                # than a membership pre-check) keeps the case-folding
+                # rule in ONE place — the store's _norm_name
+                if not re.match(
+                    r"^DROP\s+VIEW\s+IF\s+EXISTS\b", stmt, re.IGNORECASE
+                ):
+                    raise
             return None
         return _drop(store, stmt)
     if verb in ("DESCRIBE", "DESC"):

@@ -345,9 +345,19 @@ class TableStore:
         (``KuduStorageHandler.java:292-310``); for external tables only
         the catalog entry is removed — the storage is not ours."""
         self.table_meta(name)  # raises NoSuchTableError if absent
+        dependents = self._views_referencing(name) + self._mviews_on(name)
+        if dependents:
+            # a dangling view would poison every later register_views()
+            # (Hive likewise refuses without CASCADE)
+            raise TableStoreError(
+                f"cannot drop {name!r}: referenced by view(s) {dependents}"
+            )
         # the table dir holds only meta.json for external tables, so this
         # removes the catalog entry for both kinds and data only for managed
         shutil.rmtree(self._dir(name))
+        # a stale session temp view would keep serving the dropped table's
+        # last file listing
+        self.spark.catalog.dropTempView(self._norm_name(name))
 
     def table_meta(self, name: str) -> TableMeta:
         if not self._meta_path(name).exists():
@@ -633,12 +643,21 @@ class TableStore:
         golden script itself renames via case-insensitive identifiers,
         ``README.md:39-43``): a directory rename, history included."""
         meta = self._alterable_meta(name)
-        if self._meta_path(new_name).exists():
-            raise TableExistsError(f"table {new_name!r} already exists")
+        if (
+            self._meta_path(new_name).exists()
+            or self._view_path(new_name).exists()
+        ):
+            raise TableExistsError(f"table or view {new_name!r} already exists")
+        dependents = self._views_referencing(name) + self._mviews_on(name)
+        if dependents:
+            raise TableStoreError(
+                f"cannot rename {name!r}: referenced by view(s) {dependents}"
+            )
         new_norm = self._norm_name(new_name)
         self._dir(name).rename(self.root / new_norm)
         meta.name = new_norm
         self._write_meta(meta)
+        self.spark.catalog.dropTempView(self._norm_name(name))
         return meta
 
     @staticmethod
@@ -1254,6 +1273,26 @@ class TableStore:
     def _view_path(self, name: str) -> Path:
         return self._dir(name) / "view.json"
 
+    @staticmethod
+    def _sql_table_refs(select_sql: str) -> set[str]:
+        """Identifiers in FROM/JOIN position (lowercased).  Positional,
+        not word-boundary, so column names/aliases/literals that happen
+        to collide with a table name are never mistaken for references."""
+        return {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", select_sql, re.IGNORECASE
+            )
+        }
+
+    def _views_referencing(self, table: str) -> list[str]:
+        table = self._norm_name(table)
+        return [
+            v
+            for v in self.list_views()
+            if table in self._sql_table_refs(self._view_sql(v))
+        ]
+
     def create_view(self, name: str, select_sql: str) -> None:
         """CREATE VIEW — a named, persisted SELECT over the store's
         tables (HiveQL's logical-view verb; the reference's tables were
@@ -1265,10 +1304,9 @@ class TableStore:
         name = self._norm_name(name)
         if self._meta_path(name).exists() or self._view_path(name).exists():
             raise TableExistsError(f"table or view {name!r} already exists")
-        referenced_views = [
-            v for v in self.list_views()
-            if re.search(rf"\b{re.escape(v)}\b", select_sql, re.IGNORECASE)
-        ]
+        referenced_views = sorted(
+            self._sql_table_refs(select_sql) & set(self.list_views())
+        )
         if referenced_views:
             raise TableStoreError(
                 f"views may reference base tables only; found view "
@@ -1303,10 +1341,22 @@ class TableStore:
         if not self._view_path(name).exists():
             raise NoSuchTableError(f"no such view: {name!r}")
         shutil.rmtree(self._dir(name))
+        # unregister so a dropped view cannot keep serving stale rows
+        self.spark.catalog.dropTempView(name)
 
     # ------------------------------------------- MATERIALIZED VIEWS
     def _mview_path(self, name: str) -> Path:
         return self._dir(name) / "mview.json"
+
+    def _mviews_on(self, base: str) -> list[str]:
+        """Materialized views whose base is ``base``."""
+        base = self._norm_name(base)
+        out = []
+        for p in self.root.iterdir():
+            mp = p / "mview.json"
+            if mp.exists() and json.loads(mp.read_text())["base"] == base:
+                out.append(p.name)
+        return sorted(out)
 
     @staticmethod
     def _sum_type(dtype: T.DataType) -> str:
@@ -1357,19 +1407,27 @@ class TableStore:
             + [f"sum_{c} {self._sum_type(types[c])}" for c in sum_cols]
         )
         self.create_table(name, ddl, key_columns=list(group_cols))
-        version = self.current_version(base)
-        full = (
-            self.scan_snapshot(base, version)
-            .groupBy(*group_cols)
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                *[
-                    F.sum(c).cast(self._sum_type(types[c])).alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
+        try:
+            version = self.current_version(base)
+            full = (
+                self.scan_snapshot(base, version)
+                .groupBy(*group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    *[
+                        F.sum(c)
+                        .cast(self._sum_type(types[c]))
+                        .alias(f"sum_{c}")
+                        for c in sum_cols
+                    ],
+                )
             )
-        )
-        self.insert(name, full)
+            self._reject_null_groups(full, group_cols, name)
+            self.insert(name, full)
+        except Exception:
+            # no half-created materialization left behind
+            shutil.rmtree(self._dir(name), ignore_errors=True)
+            raise
         self._mview_path(name).write_text(
             json.dumps(
                 {
@@ -1381,6 +1439,25 @@ class TableStore:
                 }
             )
         )
+
+    @staticmethod
+    def _reject_null_groups(
+        agg_df: DataFrame, group_cols: list[str], name: str
+    ) -> None:
+        """Keyed storage cannot hold a NULL group key, and silently
+        dropping it would make the view disagree with its declaring
+        GROUP BY — so a NULL group value is an explicit error.  The check
+        runs on the AGGREGATED frame (group-space-sized, never the
+        base)."""
+        null_pred = None
+        for c in group_cols:
+            p = F.col(c).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        if agg_df.filter(null_pred).limit(1).count() > 0:
+            raise TableStoreError(
+                f"materialized view {name!r}: NULL value in group "
+                f"column(s) {group_cols}; group keys must be non-null"
+            )
 
     def refresh_materialized_view(self, name: str) -> dict:
         """Incremental refresh: merge the SIGNED DELTAS of the base's
@@ -1395,24 +1472,48 @@ class TableStore:
         thousand-row time; the base is never rescanned.  Retractions
         (update/delete) subtract the old row's contribution via the
         diff's ``old_*`` columns; groups whose count reaches zero are
-        deleted so the view never reports phantom empty groups."""
+        deleted so the view never reports phantom empty groups.
+
+        Crash safety: the merge is guarded by a two-phase marker in
+        mview.json.  ``pending`` records the view-table version BEFORE
+        the merge; it is cleared only after both the upsert and the
+        emptied-group delete land and ``last_version`` advances.  A
+        refresh that finds a leftover marker first ROLLS THE VIEW BACK
+        to the recorded pre-merge snapshot (the view is itself a
+        versioned managed table) and then re-applies — so a crash
+        between the merge writes and the bookkeeping can never
+        double-count deltas."""
         name = self._norm_name(name)
         path = self._mview_path(name)
         if not path.exists():
             raise NoSuchTableError(f"no such materialized view: {name!r}")
         mv = json.loads(path.read_text())
         base, gcols, scols = mv["base"], mv["group_cols"], mv["sum_cols"]
+        if mv.get("pending"):
+            # crashed mid-merge: restore the pre-merge view contents
+            self.insert_overwrite(
+                name, self.scan_snapshot(name, mv["pending"]["view_pre"])
+            )
+            mv.pop("pending")
+            path.write_text(json.dumps(mv))
         cur = self.current_version(base)
         if cur == mv["last_version"]:
             return {"refreshed": False, "from": cur, "to": cur}
-        types = {
-            f.name: f.dataType for f in self.table_meta(base).schema.fields
-        }
+        bmeta = self.table_meta(base)
+        types = {f.name: f.dataType for f in bmeta.schema.fields}
+        base_keys = set(bmeta.key_columns)
+
+        # key columns never change within a row, so the diff carries them
+        # un-prefixed (coalesced across the snapshot join); every other
+        # retracted value reads its old_* column
+        def old(c: str):
+            return F.col(c if c in base_keys else f"old_{c}")
+
         d = self.diff(base, mv["last_version"], cur, include_old=True)
         retract = d.filter(F.col("change_type") != "insert").select(
-            *[F.col(f"old_{c}" if c not in self.table_meta(base).key_columns else c).alias(c) for c in gcols],
+            *[old(c).alias(c) for c in gcols],
             F.lit(-1).cast("long").alias("dn"),
-            *[(-F.col(f"old_{c}")).alias(f"d_{c}") for c in scols],
+            *[(-old(c)).alias(f"d_{c}") for c in scols],
         )
         assert_ = d.filter(F.col("change_type") != "delete").select(
             *gcols,
@@ -1442,8 +1543,13 @@ class TableStore:
                 for c in scols
             ],
         )
+        self._reject_null_groups(merged, gcols, name)
         live = merged.filter(F.col("n_rows") > 0)
         dead = merged.filter(F.col("n_rows") <= 0).select(*gcols).collect()
+        # phase 1: mark the merge in flight, remembering the view version
+        # a recovery would roll back to
+        mv["pending"] = {"to": cur, "view_pre": self.current_version(name)}
+        path.write_text(json.dumps(mv))
         self.upsert(name, live)
         if dead:
             # bounded by |emptied groups| ≤ |changed groups| — driver-side
@@ -1456,8 +1562,11 @@ class TableStore:
                     term = eq if term is None else (term & eq)
                 pred = term if pred is None else (pred | term)
             self.delete_where(name, pred)
+        # phase 2: merge landed — advance and clear the marker atomically
+        # (one small-file write)
         prev = mv["last_version"]
         mv["last_version"] = cur
+        mv.pop("pending")
         path.write_text(json.dumps(mv))
         return {"refreshed": True, "from": prev, "to": cur}
 

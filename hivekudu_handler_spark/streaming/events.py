@@ -279,7 +279,12 @@ def run_stream_over_fixture(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # timeout: stop before the caller tears down stage/checkpoint
+        # dirs under the still-running query, and fail loudly instead
+        # of returning a half-processed result
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 120 s")
     return spark.table(name)
 
 
@@ -347,7 +352,12 @@ def run_stateful_over_fixture(spark, sf_dir: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        # timeout: stop before the caller tears down stage/checkpoint
+        # dirs under the still-running query, and fail loudly instead
+        # of returning a half-processed result
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 120 s")
     return spark.table(sink)
 
 
@@ -454,7 +464,12 @@ def run_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timeout: stop before the caller tears down stage/checkpoint
+        # dirs under the still-running query, and fail loudly instead
+        # of returning a half-processed result
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300 s")
     return n_batches["n"]
 
 
@@ -548,7 +563,12 @@ def run_mview_maintain(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timeout: stop before the caller tears down stage/checkpoint
+        # dirs under the still-running query, and fail loudly instead
+        # of returning a half-processed result
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300 s")
     return n_batches["n"]
 
 

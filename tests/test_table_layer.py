@@ -1149,3 +1149,74 @@ def test_mview_incremental_maintenance_edges(spark, store):
             "CREATE MATERIALIZED VIEW m2 AS "
             "SELECT grp, MIN(x) AS min_x FROM b GROUP BY grp",
         )
+
+
+def test_view_dependency_guards_and_case_folding(spark, store):
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store.create_table("t", "id int, total int", ["id"])
+    store.insert_values("t", [(1, 5)])
+    store.create_view("v", "SELECT id FROM t")
+    # a column/alias colliding with a view name is NOT a view reference
+    store.create_view("total", "SELECT id AS anything FROM t")
+    store.create_view("v_alias", "SELECT total AS total FROM t")
+    # dropping/renaming a base under a dependent view is refused
+    with _pytest.raises(TableStoreError, match="referenced by view"):
+        store.drop_table("t")
+    with _pytest.raises(TableStoreError, match="referenced by view"):
+        store.rename_table("t", "t2")
+    # mixed-case DROP VIEW IF EXISTS actually drops (store is case-folding)
+    run_sql(store, "DROP VIEW IF EXISTS V_Alias")
+    assert "v_alias" not in store.list_views()
+    # a dropped view is NOT queryable afterwards through sql()
+    run_sql(store, "SELECT * FROM v")  # registers temp view
+    store.drop_view("v")
+    from pyspark.sql.utils import AnalysisException
+
+    with _pytest.raises(AnalysisException):
+        run_sql(store, "SELECT * FROM v")
+
+
+def test_mview_null_group_and_key_sum_and_crash_recovery(spark, store):
+    import json as _json
+
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    # NULL group value is an explicit error, not a silent drop
+    store.create_table("b", "id int, grp string, x int", ["id"])
+    store.insert_values("b", [(1, None, 10), (2, "a", 20)])
+    with _pytest.raises(TableStoreError, match="NULL value in group"):
+        store.create_materialized_view("mv", "b", ["grp"], ["x"])
+    assert store._mviews_on("b") == []  # no half-created table left
+    store.delete_where("b", "grp IS NULL")
+
+    # SUM over the base's KEY column maintains through refresh (old_ fix)
+    store.create_materialized_view("mv", "b", ["grp"], ["id", "x"])
+    store.insert_values("b", [(3, "a", 5)])
+    store.delete_where("b", "id = 2")
+    store.refresh_materialized_view("mv")
+    row = store.scan("mv").collect()[0]
+    assert (row["grp"], row["n_rows"], row["sum_id"], row["sum_x"]) == (
+        "a", 1, 3, 5,
+    )
+
+    # crash between merge and bookkeeping: recovery must not double-count
+    store.insert_values("b", [(4, "c", 7)])
+    real_delete = store.delete_where
+    store.delete_where = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash after upsert")
+    )
+    # make a group empty so the delete phase actually runs
+    real_delete("b", "grp = 'a'")
+    with _pytest.raises(RuntimeError, match="injected"):
+        store.refresh_materialized_view("mv")
+    store.delete_where = real_delete
+    mv_meta = _json.loads(store._mview_path("mv").read_text())
+    assert "pending" in mv_meta  # marker survives the crash
+    store.refresh_materialized_view("mv")  # rolls back, re-applies
+    assert {
+        (r["grp"], r["n_rows"], r["sum_x"]) for r in store.scan("mv").collect()
+    } == {("c", 1, 7)}

@@ -1220,3 +1220,48 @@ def test_mview_null_group_and_key_sum_and_crash_recovery(spark, store):
     assert {
         (r["grp"], r["n_rows"], r["sum_x"]) for r in store.scan("mv").collect()
     } == {("c", 1, 7)}
+
+
+def test_mview_randomized_mutation_equivalence(spark, store):
+    """QuickCheck-style IVM check: random insert/upsert/delete batches
+    against the base, incremental refresh after each, and the stored
+    aggregate must equal a from-scratch recompute at every step."""
+    import random
+
+    store.create_table("b", "id int, grp string, x int", ["id"])
+    store.create_materialized_view("mv", "b", ["grp"], ["x"])
+    rng = random.Random(20260814)
+    groups = ["g0", "g1", "g2", "g3"]
+    live: dict[int, tuple[str, int]] = {}
+    next_id = 0
+    for step in range(6):
+        op = rng.choice(["insert", "upsert", "delete"])
+        if op == "insert" or not live:
+            rows = []
+            for _ in range(rng.randint(1, 5)):
+                rows.append((next_id, rng.choice(groups), rng.randint(-9, 9)))
+                live[next_id] = (rows[-1][1], rows[-1][2])
+                next_id += 1
+            store.insert_values("b", rows)
+        elif op == "upsert":
+            ids = rng.sample(sorted(live), min(3, len(live)))
+            rows = [
+                (i, rng.choice(groups), rng.randint(-9, 9)) for i in ids
+            ]
+            for i, g, x in rows:
+                live[i] = (g, x)
+            store.upsert("b", spark.createDataFrame(rows, "id int, grp string, x int"))
+        else:
+            victim_grp = rng.choice(groups)
+            store.delete_where("b", f"grp = '{victim_grp}'")
+            live = {i: gx for i, gx in live.items() if gx[0] != victim_grp}
+        store.refresh_materialized_view("mv")
+        got = {
+            r["grp"]: (r["n_rows"], r["sum_x"])
+            for r in store.scan("mv").collect()
+        }
+        want: dict[str, tuple[int, int]] = {}
+        for g, x in live.values():
+            n, s = want.get(g, (0, 0))
+            want[g] = (n + 1, s + x)
+        assert got == want, (step, op, got, want)

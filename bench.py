@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_span_ngram",     # positioned-gram inverted index + span merge
     "scan_snapshot",        # MVCC as-of read across data/ + archive/
     "stream_upsert_sink",   # multi-batch foreachBatch LWW merge into keyed table
+    "mview_incremental",    # materialized view kept current by manifest-diff merge
     "sink_partitioned_prune",  # hive-partitioned write + directory-pruned agg
     "text_tfidf",           # explode + 3 keyed shuffles (tf, df, top-3 window)
     "emb_kmeans_lloyd",     # 3 Lloyd passes, broadcast-literal assignment

@@ -121,3 +121,33 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         ).filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "sort_nulls_order",
+    oracle=(
+        "SELECT o_orderkey, pri, "
+        "       CAST(ROW_NUMBER() OVER (ORDER BY pri ASC NULLS FIRST, "
+        "                               o_orderkey) AS INT) AS pos "
+        "FROM (SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri "
+        "      FROM orders) t"
+    ),
+    tags=("sort",),
+)
+def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ORDER BY (NULLS FIRST against Spark's
+    ASC default of nulls-first and DuckDB's default of NULLS LAST — the
+    cross-engine trap this key pins down by SAYING the placement).  The
+    fixture has no NULLs by construction, so the sort key synthesizes
+    them with NULLIF in both engines; position is materialized so the
+    order itself is value-hashed."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pri"),
+    )
+    w = Window.orderBy(F.col("pri").asc_nulls_first(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "pri",
+        F.row_number().over(w).cast("int").alias("pos"),
+    )

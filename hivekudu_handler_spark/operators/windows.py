@@ -140,3 +140,38 @@ def win_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(wo.rowsBetween(-3, 0)), 4).alias("moving_avg"),
         F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("user_events"),
     )
+
+
+@query(
+    "win_range_frame",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "       COUNT(*) OVER w AS n_in_band, "
+        "       ROUND(SUM(o_totalprice) OVER w, 2) AS sum_band "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice "
+        "             RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)"
+    ),
+    tags=("window",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame — the VALUE-distance window, distinct from
+    ``win_agg_frame``'s ROWS frames in two ways both engines must agree
+    on: the band is defined by the ORDER expression's value (here
+    "orders within $5000 below mine"), and ALL PEERS of the current row
+    (exact price ties) join the frame regardless of physical position.
+    Same execution shape as any window: one shuffle on the partition
+    key, one sorted pass per partition with a sliding value-bounded
+    accumulator."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).alias("n_in_band"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_band"),
+    )

@@ -491,3 +491,41 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined.localCheckpoint(eager=True)
     finally:
         cleanup()
+
+
+@query(
+    "join_null_safe",
+    oracle=(
+        "WITH l AS (SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri "
+        "           FROM orders WHERE o_orderkey <= 200), "
+        "r AS (SELECT NULLIF(priority, '3-MEDIUM') AS pri, rank FROM ("
+        "      VALUES ('1-URGENT', 1), ('3-MEDIUM', 3), ('5-LOW', 5)) "
+        "      AS t(priority, rank)) "
+        "SELECT l.o_orderkey, l.pri, r.rank "
+        "FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri"
+    ),
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics a
+    dimension join needs when "unknown" is itself a category.  Spark
+    plans ``eqNullSafe`` as an ordinary hash-join key (NULLs hash like
+    any value under null-safe equality), so the shape stays a one-shuffle
+    equi-join — no fallback to a nested-loop theta join.  NULLs are
+    synthesized with NULLIF identically in both engines (the fixtures
+    are NULL-free by construction)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pri"),
+        )
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("3-MEDIUM", 3), ("5-LOW", 5)], "priority string, rank int"
+    ).select(F.nullif("priority", F.lit("3-MEDIUM")).alias("pri"), "rank")
+    return o.join(dim, o["pri"].eqNullSafe(dim["pri"])).select(
+        "o_orderkey", o["pri"].alias("pri"), "rank"
+    )

@@ -175,3 +175,42 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_band"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_band"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle=(
+        "SELECT o_orderkey, pri, "
+        "       FIRST_VALUE(pri IGNORE NULLS) OVER w AS first_known, "
+        "       LAST_VALUE(pri IGNORE NULLS) OVER w AS latest_known "
+        "FROM (SELECT o_orderkey, o_orderstatus, "
+        "             NULLIF(o_orderpriority, '3-MEDIUM') AS pri "
+        "      FROM orders) t "
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey "
+        "             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    ),
+    tags=("window",),
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE with IGNORE NULLS — the gap-carrying
+    window (last observation carried forward / first known value), the
+    idiom every sparse time-series fill uses.  NULLs synthesized via
+    NULLIF in both engines; the running frame makes ``latest_known`` the
+    classic LOCF column.  Plan shape: one shuffle on the partition key,
+    one sorted pass."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "pri",
+        F.first("pri", ignorenulls=True).over(w).alias("first_known"),
+        F.last("pri", ignorenulls=True).over(w).alias("latest_known"),
+    )

@@ -385,3 +385,24 @@ def test_morton_code_is_bijective(spark):
             assert (a, b) == (r["a"], r["b"])
 
     check()
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark):
+    """eqNullSafe must plan as a hash/equi join (NULLs hash like values
+    under null-safe equality) — never BroadcastNestedLoopJoin, which is
+    what a naive OR-of-isnull rewrite degenerates to."""
+    df = load_all()["join_null_safe"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "NestedLoop" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_range_frame_single_window_pass(spark):
+    """The RANGE frame plans exactly one exchange (the partition-key
+    shuffle); both band aggregates share one Window node."""
+    df = load_all()["win_range_frame"].fn(spark, SF)
+    assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+    plan = checks.plan_string(df, mode="simple")
+    assert plan.count("Window") == 1, plan

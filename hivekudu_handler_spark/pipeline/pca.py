@@ -97,10 +97,11 @@ def fit_pca(df: DataFrame, dim: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     return comps, mu
 
 
-@query("emb_pca_project", tags=("embedding",))
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto its corpus's top-8 principal
-    components (centered).  Rows-only: invariants pytest-pinned."""
+    components (centered), returning the raw ``proj`` array column.
+    Internal/test surface — the registered query wraps this with a
+    digest projection the driver verifier can hash."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     comps, mu = fit_pca(emb, dim, N_COMPONENTS)
@@ -132,4 +133,32 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "label", "embedding")
         .mapInPandas(project, out_schema)
         .orderBy("vec_id")
+    )
+
+
+@query("emb_pca_project", tags=("embedding",))
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto its corpus's top-8 principal
+    components (centered).  Rows-only: eigendecomposition is not
+    SQL-expressible; the pytest suite pins the math (see module doc).
+
+    The projection array leaves as ``md5`` of its rounded comma-joined
+    form plus a numeric checksum — the driver verifier cannot hash
+    list cells (same lesson as ``emb_quantize_int8``; r6's one red row
+    was this key emitting a raw ``array<double>``).  Rounding to 6
+    decimals absorbs the float-summation jitter that partition-order
+    differences could otherwise introduce into the digest."""
+    from pyspark.sql import functions as F
+
+    proj = pca_project_vectors(spark, sf_dir)
+    rounded = F.transform(
+        "proj", lambda x: F.format_string("%.6f", x)
+    )
+    return proj.select(
+        "vec_id",
+        "label",
+        F.md5(F.array_join(rounded, ",")).alias("proj_md5"),
+        F.round(
+            F.aggregate("proj", F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
+        ).alias("proj_abs_sum"),
     )

@@ -59,13 +59,43 @@ def test_tier_order():
 
 
 def test_no_oracle_rows_only_is_not_an_error():
-    specs = {n: _spec(n) for n in ("x", "y")}
+    specs = {"x": _spec("x", oracle=None), "y": _spec("y")}
     records = [(1, {"x": NO_ORACLE, "y": OK})]
     sidecar = {"x": {"1": "h"}, "y": {"1": "h"}}
     current = {"x": "h", "y": "h"}
     # x's no_oracle marker is a clean rows-only record, not a crash: both
     # keys are verified-current, registration order preserved
     assert order_keys(specs, records, sidecar=sidecar, current=current) == ["x", "y"]
+
+
+def test_oracle_added_after_rows_only_record_promotes():
+    """A key recorded as no_oracle whose spec NOW has an oracle is
+    oracle-backed-but-never-oracle-recorded: it must enter the window
+    ahead of stale and current keys regardless of source-hash state
+    (r6 verdict: doc_pack_sequences/mm_audio_windows/mm_resize)."""
+    specs = {
+        "ok_current": _spec("ok_current"),
+        "promoted_fresh_hash": _spec("promoted_fresh_hash"),
+        "promoted_stale_hash": _spec("promoted_stale_hash"),
+        "still_rows_only": _spec("still_rows_only", oracle=None),
+    }
+    records = [
+        (4, {k: NO_ORACLE for k in specs if k != "ok_current"} | {"ok_current": OK})
+    ]
+    sidecar = {k: {"4": "h"} for k in specs}
+    current = {
+        "ok_current": "h",
+        "promoted_fresh_hash": "h",      # hash unchanged — promoted anyway
+        "promoted_stale_hash": "h2",     # hash changed — promoted, not tier-2
+        "still_rows_only": "h",
+    }
+    got = order_keys(specs, records, sidecar=sidecar, current=current)
+    assert got == [
+        "promoted_fresh_hash",
+        "promoted_stale_hash",
+        "ok_current",
+        "still_rows_only",
+    ]
 
 
 def test_missing_sidecar_degrades_to_unknown_stale():

@@ -8,6 +8,7 @@ from hivekudu_handler_spark.pipeline.pca import (
     N_COMPONENTS,
     emb_pca_project,
     fit_pca,
+    pca_project_vectors,
 )
 from hivekudu_handler_spark.tables import load_table
 
@@ -38,7 +39,7 @@ def test_components_orthonormal_and_subspace_matches_numpy(spark, sf_dir):
 
 def test_projection_variance_descends_and_rows_preserved(spark, sf_dir):
     emb, x = _corpus(spark, sf_dir)
-    out = emb_pca_project(spark, sf_dir).collect()
+    out = pca_project_vectors(spark, sf_dir).collect()
     assert len(out) == len(x)
     proj = np.array([r["proj"] for r in sorted(out, key=lambda r: r["vec_id"])])
     assert proj.shape == (len(x), N_COMPONENTS)
@@ -51,3 +52,28 @@ def test_projection_variance_descends_and_rows_preserved(spark, sf_dir):
     # projection really is the centered matmul against the fitted basis
     comps, mu = fit_pca(emb, x.shape[1], N_COMPONENTS)
     np.testing.assert_allclose(proj, (x - mu) @ comps.T, atol=1e-8)
+
+
+def test_registered_query_emits_hashable_digest(spark, sf_dir):
+    # the driver verifier cannot canonicalize array cells (r6's one red
+    # row) — the registered query must emit only scalar columns
+    out = emb_pca_project(spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id",
+        "label",
+        "proj_md5",
+        "proj_abs_sum",
+    ]
+    assert all(
+        f.dataType.typeName() in {"long", "integer", "string", "double"}
+        for f in out.schema.fields
+    )
+    rows = out.limit(5).collect()
+    assert rows and all(len(r["proj_md5"]) == 32 for r in rows)
+    # digest agrees with the raw projection it summarizes
+    raw = {r["vec_id"]: r["proj"] for r in pca_project_vectors(spark, sf_dir).limit(5).collect()}
+    for r in rows:
+        if r["vec_id"] in raw:
+            assert abs(
+                sum(abs(v) for v in raw[r["vec_id"]]) - r["proj_abs_sum"]
+            ) < 1e-3

@@ -25,6 +25,12 @@ as explicit input*:
    re-certifying one must not crowd out a first oracle-checked record
    of a never-recorded key (r6: 39 stale keys would have pushed the
    r5 verdict's nine-key priority out of the window);
+1b. keys whose LATEST record is the ``no_oracle`` rows-only marker but
+   whose registry spec NOW carries an oracle — oracle-backed yet never
+   oracle-recorded.  Classification keys off the CURRENT registry
+   status, not the recorded one (r6 verdict: three keys promoted from
+   rows-only to oracle-backed sat just outside the window because the
+   stale-tier logic filed them by hash staleness instead);
 3. keys recorded in a round with no stored hash — staleness unknowable,
    so presumed stale.  Stale-but-recorded outranks never-recorded (r4
    verdict: rewritten keys above *new* keys) because an obsolete green row
@@ -115,6 +121,7 @@ def order_keys(
 
     errored_new: list[str] = []
     errored_repeat: list[str] = []
+    promoted: list[str] = []
     changed: list[tuple[int, str]] = []  # (record round, key)
     fresh: list[str] = []
     unknown: list[str] = []
@@ -129,6 +136,14 @@ def order_keys(
         if _is_error(last_row):
             repeat = len(rows) >= 2 and _is_error(rows[-2][1])
             (errored_repeat if repeat else errored_new).append(key)
+            continue
+        if last_row.get("err") == "no_oracle" and specs[key].oracle is not None:
+            # oracle added AFTER the latest record: the key is
+            # oracle-backed but has never had an oracle-checked row —
+            # classification must follow the CURRENT registry status,
+            # not the recorded one (r6 verdict: doc_pack_sequences /
+            # mm_audio_windows / mm_resize stuck at positions 55-58)
+            promoted.append(key)
             continue
         stamped = sidecar.get(key, {}).get(str(last_round))
         cur = current.get(key)
@@ -151,6 +166,7 @@ def order_keys(
     return [
         *errored_new,
         *fresh,
+        *promoted,
         *changed_oracle,
         *unknown,
         *changed_rows_only,

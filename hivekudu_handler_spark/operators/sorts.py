@@ -12,11 +12,68 @@ differential check (and any user) would see arbitrary rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
+
+
+def with_global_position(
+    df: DataFrame, sort_cols: list[Column], pos_col: str = "pos"
+) -> DataFrame:
+    """Materialize each row's 1-based rank under a total order WITHOUT an
+    unpartitioned WindowExec.
+
+    ``row_number().over(Window.orderBy(...))`` funnels the entire table
+    through one task — the classic 100 TB single-executor OOM (r6
+    verdict's two flagged scale-killers).  Here the range-partitioned
+    sort Spark already does for ORDER BY carries the heavy lifting:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` — partition i
+       holds a contiguous, sorted slice of the total order (the exact
+       machinery behind a plain ``orderBy``), persisted so both passes
+       see one materialization;
+    2. per-partition row counts — a ≤``shuffle.partitions``-row
+       aggregate — become cumulative offsets, closure-shipped (KBs);
+    3. an Arrow-batched ``mapInPandas`` adds ``offset + local cumcount``
+       per partition, order-preserving and embarrassingly parallel.
+
+    Total cost: the one range shuffle ORDER BY needs anyway + a tiny
+    count job.  Every partition stays executor-sized at any scale."""
+    s = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    s = s.persist()
+    counts = s.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["count"]
+
+    out_schema = T.StructType(
+        list(s.schema.fields) + [T.StructField(pos_col, T.LongType())]
+    )
+
+    def add_pos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[pos_col] = np.arange(
+                base + seen + 1, base + seen + 1 + len(pdf), dtype=np.int64
+            )
+            seen += len(pdf)
+            yield pdf
+
+    return s.mapInPandas(add_pos, out_schema)
 
 
 @query(
@@ -32,13 +89,14 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY.  The order itself is made hash-checkable by
     materializing the rank of each row under the total order (a value
     hash is order-insensitive, so the position column carries the
-    ordering information)."""
+    ordering information).  Rank comes from ``with_global_position`` —
+    range-partitioned, never a single-partition window."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
+    ranked = with_global_position(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
     )
+    return ranked.select("o_orderkey", "o_totalprice", "pos")
 
 
 @query(
@@ -140,14 +198,14 @@ def sort_nulls_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine trap this key pins down by SAYING the placement).  The
     fixture has no NULLs by construction, so the sort key synthesizes
     them with NULLIF in both engines; position is materialized so the
-    order itself is value-hashed."""
+    order itself is value-hashed (via ``with_global_position`` — the
+    range partitioner honors NULLS FIRST, no single-partition
+    window)."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.nullif("o_orderpriority", F.lit("3-MEDIUM")).alias("pri"),
     )
-    w = Window.orderBy(F.col("pri").asc_nulls_first(), "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "pri",
-        F.row_number().over(w).cast("int").alias("pos"),
+    ranked = with_global_position(
+        o, [F.col("pri").asc_nulls_first(), F.col("o_orderkey")]
     )
+    return ranked.select("o_orderkey", "pri", F.col("pos").cast("int").alias("pos"))

@@ -406,3 +406,19 @@ def test_range_frame_single_window_pass(spark):
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
     plan = checks.plan_string(df, mode="simple")
     assert plan.count("Window") == 1, plan
+
+
+def test_global_sort_position_has_no_window(spark):
+    """sort_global / sort_nulls_order materialize the global rank via
+    range-partitioned sort + broadcast offsets + partition-local
+    cumcount (operators/sorts.py with_global_position) — the plan must
+    contain NO WindowExec at all (an unpartitioned row_number window
+    funnels the whole table through one task; r6 verdict's two flagged
+    scale-killers) and the sort must be the parallel range-partitioned
+    one."""
+    for key in ("sort_global", "sort_nulls_order"):
+        df = load_all()[key].fn(spark, SF)
+        plan = checks.plan_string(df, mode="simple")
+        assert "Window" not in plan, (key, plan)
+        assert "rangepartitioning" in plan.lower(), (key, plan)
+        assert "SinglePartition" not in plan, (key, plan)

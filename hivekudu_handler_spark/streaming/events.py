@@ -18,7 +18,7 @@ state is bounded by the watermark; session windows use Spark's native
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
@@ -374,6 +374,28 @@ def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- streaming upsert sink (Kudu ingest path) -----------------------------
 
+def _range_bucket(df: DataFrame, col: str, n: int):
+    """1..n value-range bucket for ``col`` — the deterministic staging
+    split the test/bench scaffolding uses to cut a fixture into n files.
+
+    Previously an ``ntile`` over an unpartitioned window: harmless for
+    scaffolding-sized data but it emitted the single-partition
+    WindowExec warning into every bench tail, polluting the only
+    warning channel the bench has (r6 verdict item 7).  A min/max agg
+    (2-scalar collect) + a scan-shaped bucket expression keeps the
+    split deterministic with zero windows."""
+    row = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    span = (hi - lo) if hi is not None and hi > lo else 1.0
+    bucket = (
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * n) + 1
+    )
+    return F.least(F.lit(n), bucket).cast("int")
+
+
 def run_upsert_sink(
     spark: SparkSession,
     events: DataFrame,
@@ -409,13 +431,9 @@ def run_upsert_sink(
     ``reverse_order`` stages the files newest-first so tests can prove
     batch-order independence.
     """
-    from pyspark.sql import Window
-
     # stage the stream as n ts-range files so maxFilesPerTrigger=1 yields
     # a deterministic multi-batch run
-    ranged = events.withColumn(
-        "_f", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
-    )
+    ranged = events.withColumn("_f", _range_bucket(events, "ts", n_files))
     order = range(n_files, 0, -1) if reverse_order else range(1, n_files + 1)
     for seq, i in enumerate(order):
         (
@@ -531,11 +549,7 @@ def run_mview_maintain(
     keeping the aggregate current is proportional to the ingest rate, not
     the table size — the property that makes a continuously-fresh 100 TB
     rollup affordable.  Returns the number of micro-batches."""
-    from pyspark.sql import Window
-
-    ranged = events.withColumn(
-        "_f", F.ntile(n_files).over(Window.orderBy("event_id"))
-    )
+    ranged = events.withColumn("_f", _range_bucket(events, "event_id", n_files))
     for i in range(1, n_files + 1):
         (
             ranged.filter(F.col("_f") == i)

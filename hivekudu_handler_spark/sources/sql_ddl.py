@@ -317,6 +317,7 @@ def _create_mview(store: TableStore, m: re.Match) -> None:
     group_cols = [c.strip() for c in m.group("group").split(",")]
     sum_cols: list[str] = []
     seen_groups: list[str] = []
+    has_count = False
     for item in _split_top(m.group("select")):
         item = item.strip()
         cnt = re.match(r"^COUNT\(\s*\*\s*\)\s+AS\s+n_rows$", item, re.IGNORECASE)
@@ -324,6 +325,7 @@ def _create_mview(store: TableStore, m: re.Match) -> None:
             r"^SUM\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+sum_\1$", item, re.IGNORECASE
         )
         if cnt:
+            has_count = True
             continue
         if agg:
             sum_cols.append(agg.group(1))
@@ -339,6 +341,14 @@ def _create_mview(store: TableStore, m: re.Match) -> None:
         raise SqlDdlError(
             f"materialized view SELECT columns {seen_groups} must match "
             f"GROUP BY {group_cols}"
+        )
+    if not has_count:
+        # the materialization ALWAYS carries n_rows (the refresh's
+        # liveness counter), so a SELECT without it would silently gain
+        # a column the user never declared — refuse instead (r6 advice)
+        raise SqlDdlError(
+            "materialized view SELECT must include 'COUNT(*) AS n_rows' "
+            "(the maintained aggregate stores it to track group liveness)"
         )
     store.create_materialized_view(
         m.group("name"), m.group("base"), group_cols, sum_cols

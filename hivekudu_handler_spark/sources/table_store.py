@@ -363,7 +363,10 @@ class TableStore:
         (``KuduStorageHandler.java:292-310``); for external tables only
         the catalog entry is removed — the storage is not ours."""
         self.table_meta(name)  # raises NoSuchTableError if absent
-        dependents = self._views_referencing(name) + self._mviews_on(name)
+        dependents = sorted(
+            set(self._views_referencing(name))
+            | set(self._views_broken_without(name))
+        ) + self._mviews_on(name)
         if dependents:
             # a dangling view would poison every later register_views()
             # (Hive likewise refuses without CASCADE)
@@ -666,7 +669,10 @@ class TableStore:
             or self._view_path(new_name).exists()
         ):
             raise TableExistsError(f"table or view {new_name!r} already exists")
-        dependents = self._views_referencing(name) + self._mviews_on(name)
+        dependents = sorted(
+            set(self._views_referencing(name))
+            | set(self._views_broken_without(name))
+        ) + self._mviews_on(name)
         if dependents:
             raise TableStoreError(
                 f"cannot rename {name!r}: referenced by view(s) {dependents}"
@@ -730,9 +736,9 @@ class TableStore:
         already does; never O(rows)."""
         # any data mutation stale-marks the ANALYZE profile by dropping
         # it (Hive's stale-stats rule; a stale n_rows would silently skew
-        # join_with_stats' broadcast choice).  Compaction rewrites files
-        # but not rows, so the profile survives it.
-        if op not in ("create", "compact"):
+        # join_with_stats' broadcast choice).  Compaction and rebucketing
+        # rewrite files but not rows, so the profile survives both.
+        if op not in ("create", "compact", "rebucket"):
             self._stats_path(meta.name).unlink(missing_ok=True)
         versions = self._version_numbers(meta.name)
         nxt = (versions[-1] + 1) if versions else 0
@@ -818,14 +824,21 @@ class TableStore:
         manifest = self._read_manifest(meta.name, version)
         data = self._data_dir(meta.name)
         arch = self._archive_dir(meta.name)
-        by_root: dict[Path, list[str]] = {data: [], arch: []}
+        # data.displaced is the in-flight staging dir of _replace_buckets:
+        # a crash between displacing and archiving leaves files there —
+        # still valid snapshot bytes, resolved third so crash recovery
+        # (mview rollback) can read the pre-merge snapshot (r6 advice)
+        disp = self._dir(meta.name) / "data.displaced"
+        by_root: dict[Path, list[str]] = {data: [], arch: [], disp: []}
         wanted = manifest["files"] if rels is None else rels
         for rel in wanted:
-            live, archived = data / rel, arch / rel
+            live, archived, displaced = data / rel, arch / rel, disp / rel
             if live.exists():
                 by_root[data].append(str(live))
             elif archived.exists():
                 by_root[arch].append(str(archived))
+            elif displaced.exists():
+                by_root[disp].append(str(displaced))
             else:
                 raise TableStoreError(
                     f"file {rel} of {meta.name!r}@v{version} is gone "
@@ -1291,17 +1304,29 @@ class TableStore:
     def _view_path(self, name: str) -> Path:
         return self._dir(name) / "view.json"
 
+    _SQL_IDENT = r"`[^`]+`|[A-Za-z_]\w*"
+
     @staticmethod
     def _sql_table_refs(select_sql: str) -> set[str]:
-        """Identifiers in FROM/JOIN position (lowercased).  Positional,
-        not word-boundary, so column names/aliases/literals that happen
-        to collide with a table name are never mistaken for references."""
-        return {
-            m.group(1).lower()
-            for m in re.finditer(
-                r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", select_sql, re.IGNORECASE
-            )
-        }
+        """Identifiers in FROM/JOIN position (lowercased), including
+        backticked names and comma-style join lists (``FROM a, b``).
+        Positional, not word-boundary, so column names/literals that
+        happen to collide with a table name are never mistaken for
+        references.  This scan is a fast first pass only — alias-bearing
+        comma joins (``FROM a x, b y``) still hide ``b`` from it, so the
+        drop/rename guard ALSO re-plans every view without the target
+        (``_views_broken_without``); the pair can over-refuse but never
+        under-protect."""
+        ident = TableStore._SQL_IDENT
+        refs: set[str] = set()
+        for m in re.finditer(
+            rf"\b(?:FROM|JOIN)\s+({ident})((?:\s*,\s*(?:{ident}))*)",
+            select_sql,
+            re.IGNORECASE,
+        ):
+            refs.add(m.group(1))
+            refs.update(re.findall(ident, m.group(2)))
+        return {r.strip("`").lower() for r in refs}
 
     def _views_referencing(self, table: str) -> list[str]:
         table = self._norm_name(table)
@@ -1310,6 +1335,36 @@ class TableStore:
             for v in self.list_views()
             if table in self._sql_table_refs(self._view_sql(v))
         ]
+
+    def _views_broken_without(self, table: str) -> list[str]:
+        """Views whose SQL stops RESOLVING if ``table`` disappears — the
+        authoritative dependency check behind the textual scan: register
+        every base table, record which views already fail (never blamed
+        on this drop), unregister the target, and re-plan each remaining
+        view.  Analysis only — nothing executes."""
+        table = self._norm_name(table)
+        views = self.list_views()
+        if not views:
+            return []
+
+        def failing() -> set[str]:
+            bad = set()
+            for v in views:
+                try:
+                    self.spark.sql(self._view_sql(v))
+                except Exception:  # noqa: BLE001 — any resolution failure
+                    bad.add(v)
+            return bad
+
+        self._register_base()
+        pre_existing = failing()
+        self.spark.catalog.dropTempView(table)
+        try:
+            return sorted(failing() - pre_existing)
+        finally:
+            # the table still exists (the guard refused or the caller is
+            # about to remove it); leave the session catalog consistent
+            self._register_base(table)
 
     def create_view(self, name: str, select_sql: str) -> None:
         """CREATE VIEW — a named, persisted SELECT over the store's
@@ -1330,6 +1385,18 @@ class TableStore:
                 f"views may reference base tables only; found view "
                 f"reference(s): {referenced_views}"
             )
+        # validate NOW, not at first use: register_views() eagerly plans
+        # every stored view on each sql() call, so persisting a statement
+        # that doesn't parse or resolve would break every later query for
+        # unrelated views (r6 advice).  Analysis only — nothing executes.
+        self._register_base()
+        try:
+            self.spark.sql(select_sql)
+        except Exception as exc:
+            raise TableStoreError(
+                f"CREATE VIEW {name!r}: SELECT does not parse/resolve "
+                f"against the store's tables: {exc}"
+            ) from exc
         self._dir(name).mkdir(parents=True, exist_ok=True)
         self._view_path(name).write_text(
             json.dumps({"name": name, "view_sql": select_sql})
@@ -1789,7 +1856,13 @@ class TableStore:
         data = self._data_dir(meta.name)
         pcs = self._part_cols(meta)
         arch_stage = self._dir(meta.name) / "data.displaced"
-        shutil.rmtree(arch_stage, ignore_errors=True)
+        if arch_stage.exists():
+            # a previous run crashed between displacing and archiving:
+            # these files are the ONLY copy of their snapshot's bytes
+            # (already renamed out of data/, not yet in archive/) — an
+            # rmtree here would destroy them; finish the archival instead
+            # (r6 advice: recovery found 'file ... is gone')
+            self._archive_displaced(meta, arch_stage)
         for tup in bucket_ids:
             sub = Path(*[f"{c}={v}" for c, v in zip(pcs, tup)])
             old = data / sub

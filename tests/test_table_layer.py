@@ -1181,6 +1181,124 @@ def test_view_dependency_guards_and_case_folding(spark, store):
         run_sql(store, "SELECT * FROM v")
 
 
+def test_comma_join_and_backtick_views_block_drop(spark, store):
+    """r6 advice (medium): the textual ref scan missed comma-style joins
+    with aliases; the drop/rename guard now also re-plans every view
+    without the target, so 'FROM a x, b y' protects b too."""
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store.create_table("a", "id int, x int", ["id"])
+    store.create_table("b", "id int, y int", ["id"])
+    store.insert_values("a", [(1, 10)])
+    store.insert_values("b", [(1, 20)])
+    store.create_view(
+        "v", "SELECT a2.x, b2.y FROM a a2, b b2 WHERE a2.id = b2.id"
+    )
+    with _pytest.raises(TableStoreError, match="referenced by view"):
+        store.drop_table("b")
+    with _pytest.raises(TableStoreError, match="referenced by view"):
+        store.rename_table("b", "b2")
+    # the guard refused without corrupting anything: view still serves
+    assert store.view_df("v").collect()[0]["y"] == 20
+    store.drop_view("v")
+    store.drop_table("b")  # no dependents left
+    assert "b" not in store.list_tables()
+
+
+def test_create_view_validates_sql_at_create_time(spark, store):
+    """r6 advice (medium): a persisted view that doesn't parse/resolve
+    would poison register_views() for every later query — refuse at
+    CREATE instead, and leave no catalog entry behind."""
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store.create_table("t", "id int, name string", ["id"])
+    store.insert_values("t", [(1, "a")])
+    with _pytest.raises(TableStoreError, match="parse/resolve"):
+        store.create_view("bad_parse", "SELEKT broken FROM FROM")
+    with _pytest.raises(TableStoreError, match="parse/resolve"):
+        store.create_view("bad_col", "SELECT no_such_col FROM t")
+    assert store.list_views() == []
+    # unrelated queries keep working after the refused creates
+    store.create_view("good", "SELECT id FROM t")
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    assert run_sql(store, "SELECT count(*) AS n FROM good").collect()[0]["n"] == 1
+
+
+def test_displaced_staging_survives_crash_and_recovers(spark, store):
+    """r6 advice (low): a crash inside _replace_buckets between
+    displacing and archiving leaves files in data.displaced/ — prior
+    snapshots must still read them, and the next rewrite must ARCHIVE
+    the leftovers (an rmtree would destroy the only copy)."""
+    store.create_table("t", "id int, x int", ["id"])
+    store.insert_values("t", [(i, i * 10) for i in range(1, 9)])
+    v0 = store.current_version("t")
+    before = {(r["id"], r["x"]) for r in store.scan_snapshot("t", v0).collect()}
+
+    # simulate the crash window: displace one bucket dir by hand
+    data = store._data_dir("t")
+    bucket = sorted(p for p in data.glob("kb=*") if any(p.rglob("*.parquet")))[0]
+    stage = store._dir("t") / "data.displaced" / bucket.name
+    stage.parent.mkdir(parents=True, exist_ok=True)
+    bucket.rename(stage)
+
+    # snapshot reads resolve the stranded files (third root)
+    assert {
+        (r["id"], r["x"]) for r in store.scan_snapshot("t", v0).collect()
+    } == before
+
+    # the next bucket rewrite finishes the stranded archival first
+    store.upsert("t", spark.createDataFrame([(1, 999)], "id int, x int"))
+    assert not (store._dir("t") / "data.displaced").exists()
+    arch = store._archive_dir("t")
+    assert any(arch.rglob("*.parquet")), "stranded files must reach archive/"
+    # and the old snapshot STILL reads (files archived, not deleted)
+    assert {
+        (r["id"], r["x"]) for r in store.scan_snapshot("t", v0).collect()
+    } == before
+
+
+def test_rebucket_preserves_analyze_stats(spark, store):
+    """r6 advice (low): rebucket rewrites files, not rows — the ANALYZE
+    profile stays valid and must survive, like compact's exemption."""
+    store.create_table("t", "id int, x int", ["id"])
+    store.insert_values("t", [(i, i) for i in range(1, 11)])
+    store.analyze("t")
+    assert store._stats_path("t").exists()
+    store.rebucket("t", 8)
+    assert store._stats_path("t").exists(), "rebucket must keep the profile"
+    # a real data mutation still stale-drops it
+    store.insert_values("t", [(99, 99)])
+    assert not store._stats_path("t").exists()
+
+
+def test_mview_requires_count_star(spark, store):
+    """r6 advice (low): the materialization always stores n_rows, so a
+    SELECT without COUNT(*) AS n_rows would silently gain an undeclared
+    column — refuse with the reason instead."""
+    import pytest as _pytest
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, sql as run_sql
+
+    store.create_table("b", "id int, grp string, x int", ["id"])
+    store.insert_values("b", [(1, "a", 10)])
+    with _pytest.raises(SqlDdlError, match="COUNT\\(\\*\\) AS n_rows"):
+        run_sql(
+            store,
+            "CREATE MATERIALIZED VIEW m AS "
+            "SELECT grp, SUM(x) AS sum_x FROM b GROUP BY grp",
+        )
+    # the declared shape still works
+    run_sql(
+        store,
+        "CREATE MATERIALIZED VIEW m AS "
+        "SELECT grp, COUNT(*) AS n_rows, SUM(x) AS sum_x FROM b GROUP BY grp",
+    )
+    row = store.scan("m").collect()[0]
+    assert (row["grp"], row["n_rows"], row["sum_x"]) == ("a", 1, 10)
+
+
 def test_mview_null_group_and_key_sum_and_crash_recovery(spark, store):
     import json as _json
 
@@ -1314,7 +1432,8 @@ def test_sql_table_refs_positions_only():
         # (a DROP guard), never under-protect
         "t",
     }
-    assert refs("SELECT x FROM a, b") == {"a"}  # comma-joins not supported
+    assert refs("SELECT x FROM a, b") == {"a", "b"}
+    assert refs("SELECT x FROM `a-1` JOIN b") == {"a-1", "b"}
 
 
 # ---- partition evolution --------------------------------------------------

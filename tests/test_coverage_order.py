@@ -190,3 +190,50 @@ def test_rest_tier_orders_oldest_record_first():
     current = {"ok_old": "h1", "ok_new": "h4"}
     got = order_keys(specs, records, sidecar=sidecar, current=current)
     assert got == ["ok_old", "ok_new"]
+
+
+def test_source_hash_includes_dependency_closure():
+    """r7: a key's verified behavior is the code it RUNS — rewriting
+    sources/table_store.py must change operators/ddl.py keys' hashes
+    (the r6 round edited table_store materially without staling a single
+    ddl key).  The registration hub (registry.py) must NOT propagate its
+    load-everything imports, or every edit would stale every key."""
+    from tools.source_hashes import _combined_hash, _fs_reader
+
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    read = _fs_reader(root)
+
+    def closure_of(entry):
+        seen = {entry}
+        # reuse the real hash fn via a tracing reader
+        traced = set()
+
+        def tread(rel):
+            data = read(rel)
+            if data is not None:
+                traced.add(rel)
+            return data
+
+        _combined_hash(entry, tread)
+        return traced
+
+    ddl = closure_of("hivekudu_handler_spark/operators/ddl.py")
+    assert "hivekudu_handler_spark/sources/table_store.py" in ddl
+    # registry's imports don't propagate: windows.py stays narrow
+    win = closure_of("hivekudu_handler_spark/operators/windows.py")
+    assert "hivekudu_handler_spark/operators/windows.py" in win
+    assert "hivekudu_handler_spark/sources/table_store.py" not in win
+    assert len(win) < 8, win
+
+    # and the hash really moves with a dependency edit
+    base = _combined_hash("hivekudu_handler_spark/operators/ddl.py", read)
+
+    def patched(rel):
+        data = read(rel)
+        if rel == "hivekudu_handler_spark/sources/table_store.py":
+            return data + b"\n# changed"
+        return data
+
+    assert _combined_hash("hivekudu_handler_spark/operators/ddl.py", patched) != base

@@ -8,10 +8,15 @@ green row silently goes stale — nothing re-queues the key for official
 re-verification.  This module makes staleness structural instead of
 luck-of-the-window:
 
-- ``current_hashes(specs)`` — sha256 of the *defining module's source
-  file* for each registry key (module-level on purpose: helpers like
+- ``current_hashes(specs)`` — sha256 over the *defining module's source
+  file PLUS the transitive closure of its package-internal imports*
+  for each registry key (module-level on purpose: helpers like
   ``_frame_sample`` live next to the registered fn, and an edit anywhere
-  in the module is grounds for re-recording every key it defines).
+  in the module is grounds for re-recording every key it defines;
+  closure-level since r7: rewriting ``sources/table_store.py`` changes
+  every ``operators/ddl.py`` key's behavior without touching ddl.py —
+  a key's verified behavior is the code it runs, not the file it is
+  defined in).
 - ``tools/source_hashes.json`` stores, per key, ``{round: hash}`` —
   the hash of the key's source at the end of each builder round N, i.e.
   the exact code state the driver verifies when it writes
@@ -49,20 +54,104 @@ from typing import Mapping
 SIDECAR = "tools/source_hashes.json"
 
 
-def _module_hash_cache() -> dict[str, str]:
-    return {}
+_PKG = "hivekudu_handler_spark"
+
+
+def _pkg_imports(data: bytes) -> set[str]:
+    """Dotted package-internal module names referenced by import
+    statements in ``data`` (module- or function-level).  ``from X import
+    a, b`` also yields ``X.a``/``X.b`` so submodule-from-package imports
+    (``from pkg import typesys``) resolve; non-module names simply fail
+    to resolve to a file and drop out."""
+    import re
+
+    text = data.decode("utf-8", "replace")
+    deps: set[str] = set()
+    for m in re.finditer(
+        rf"from\s+({_PKG}(?:\.\w+)*)\s+import\s+(\(([^)]*)\)|[^\n]+)",
+        text,
+    ):
+        mod = m.group(1)
+        names = m.group(3) if m.group(3) is not None else m.group(2)
+        deps.add(mod)
+        for tok in re.split(r"[,\s]+", names):
+            if tok.isidentifier() and tok != "as":
+                deps.add(f"{mod}.{tok}")
+    for m in re.finditer(rf"^\s*import\s+({_PKG}(?:\.\w+)*)", text, re.M):
+        deps.add(m.group(1))
+    return deps
+
+
+def _combined_hash(entry_rel: str, read_bytes) -> str | None:
+    """sha256 over the entry module PLUS the transitive closure of its
+    package-internal imports (sorted (path, content-hash) pairs).
+
+    Rationale (r7): hashing only the defining module left a dependency
+    blind spot — rewriting ``sources/table_store.py`` changed the
+    behavior of every ``operators/ddl.py`` key without staling a single
+    one of their green records.  A key's verified behavior is the code
+    it RUNS, not the file it is DEFINED in.  ``read_bytes(rel_path)``
+    abstracts the tree (filesystem for current state, git blobs for
+    backfill) so both sides of the staleness comparison use the same
+    algorithm."""
+    # the registration hub's load_all() imports EVERY query module, so
+    # expanding its imports would collapse the closure to "the whole
+    # package" and one global hash (every edit stales every key).  Its
+    # own bytes still count; its imports don't propagate.
+    no_expand = {f"{_PKG}/registry.py"}
+    entry = read_bytes(entry_rel)
+    if entry is None:
+        return None
+    seen: dict[str, bytes] = {entry_rel: entry}
+    stack = [] if entry_rel in no_expand else [entry]
+    while stack:
+        blob = stack.pop()
+        for dotted in _pkg_imports(blob):
+            rel = dotted.replace(".", "/")
+            for cand in (rel + ".py", rel + "/__init__.py"):
+                if cand in seen:
+                    break
+                data = read_bytes(cand)
+                if data is not None:
+                    seen[cand] = data
+                    if cand not in no_expand:
+                        stack.append(data)
+                    break
+    agg = hashlib.sha256()
+    for path in sorted(seen):
+        agg.update(path.encode())
+        agg.update(hashlib.sha256(seen[path]).digest())
+    return agg.hexdigest()
+
+
+def _fs_reader(root: str):
+    cache: dict[str, bytes | None] = {}
+
+    def read(rel: str) -> bytes | None:
+        if rel not in cache:
+            try:
+                with open(os.path.join(root, rel), "rb") as f:
+                    cache[rel] = f.read()
+            except OSError:
+                cache[rel] = None
+        return cache[rel]
+
+    return read
 
 
 def current_hashes(specs: Mapping[str, object]) -> dict[str, str]:
-    """sha256 of each key's defining-module source file."""
+    """Dependency-closure hash (see ``_combined_hash``) of each key's
+    defining module, from the live filesystem."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    read = _fs_reader(root)
     cache: dict[str, str] = {}
     out: dict[str, str] = {}
     for name, spec in specs.items():
         mod = spec.fn.__module__
         if mod not in cache:
             src = inspect.getsourcefile(sys.modules[mod])
-            with open(src, "rb") as f:
-                cache[mod] = hashlib.sha256(f.read()).hexdigest()
+            rel = os.path.relpath(os.path.abspath(src), root)
+            cache[mod] = _combined_hash(rel, read)
         out[name] = cache[mod]
     return out
 
@@ -144,18 +233,29 @@ def backfill(root: str) -> int:
     paths = _module_paths(root, specs)
     commits = _verified_commits(root)
     hashes = load_sidecar(root)
-    blob_cache: dict[tuple[str, str], str | None] = {}
+    blob_cache: dict[tuple[str, str], bytes | None] = {}
+    combined_cache: dict[tuple[str, str], str | None] = {}
 
-    def blob_hash(commit: str, path: str) -> str | None:
-        if (commit, path) not in blob_cache:
-            proc = subprocess.run(
-                ["git", "show", f"{commit}:{path}"],
-                cwd=root, capture_output=True,
+    def reader(commit: str):
+        def read(rel: str) -> bytes | None:
+            if (commit, rel) not in blob_cache:
+                proc = subprocess.run(
+                    ["git", "show", f"{commit}:{rel}"],
+                    cwd=root, capture_output=True,
+                )
+                blob_cache[(commit, rel)] = (
+                    proc.stdout if proc.returncode == 0 else None
+                )
+            return blob_cache[(commit, rel)]
+
+        return read
+
+    def combined(commit: str, path: str) -> str | None:
+        if (commit, path) not in combined_cache:
+            combined_cache[(commit, path)] = _combined_hash(
+                path, reader(commit)
             )
-            blob_cache[(commit, path)] = (
-                hashlib.sha256(proc.stdout).hexdigest() if proc.returncode == 0 else None
-            )
-        return blob_cache[(commit, path)]
+        return combined_cache[(commit, path)]
 
     n = 0
     for rnd, rec in load_correctness_records(root):
@@ -166,7 +266,7 @@ def backfill(root: str) -> int:
             path = paths.get(key)
             if path is None:
                 continue  # key no longer in the registry
-            h = blob_hash(commit, path)
+            h = combined(commit, path)
             if h is None:
                 continue  # module path didn't exist then (key moved modules)
             hashes.setdefault(key, {})[str(rnd)] = h

@@ -344,21 +344,10 @@ def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@query("sim_ivf", tags=("similarity", "vector", "approx"))
-def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN top-10.
-
-    Centroids = the first ``_IVF_CENTROIDS`` corpus vectors (deterministic
-    seed, standing in for a k-means fit which would itself be a Spark
-    job).  Corpus vectors are assigned to their nearest centroid
-    (broadcast argmin); each query probes its ``_IVF_NPROBE`` nearest
-    centroid cells and exact-scores only those.  Rows-only driver check;
-    recall measured in tests.
-    """
-    e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
+def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """The IVF search given a (cent_id, cv) centroid table: assign the
+    corpus to cells (broadcast argmin scan), probe each query's
+    ``nprobe`` nearest cells, exact-score candidates only."""
     assigned = _ivf_assign(e, cents)
     # queries probe their nprobe nearest cells
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -370,7 +359,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cents))
         .withColumn("cent_sim", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
         .withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= _IVF_NPROBE)
+        .filter(F.col("r") <= nprobe)
         .select("query_id", "qv", "cent_id")
     )
     scored = (
@@ -385,3 +374,42 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probed cells are a corpus fraction (nprobe/centroids); run the
     # local-fold phase too so no single-query reducer ever sees them all
     return _rank_topk(_local_topk(scored, _TOP_K), _TOP_K)
+
+
+@query("sim_ivf", tags=("similarity", "vector", "approx"))
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN top-10.
+
+    Centroids = the first ``_IVF_CENTROIDS`` corpus vectors (deterministic
+    seed; ``sim_ivf_kmeans`` is the same search over a real Lloyd fit).
+    Corpus vectors are assigned to their nearest centroid (broadcast
+    argmin); each query probes its ``_IVF_NPROBE`` nearest centroid
+    cells and exact-scores only those.  Rows-only driver check; recall
+    ≥ 0.8 vs the exact operator pinned in tests.
+    """
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    return _ivf_topk(e, cents)
+
+
+@query("sim_ivf_kmeans", tags=("similarity", "vector", "approx", "slow"))
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over REAL k-means cells: ``kmeans_fit`` (3 Lloyd
+    iterations, deterministic lowest-vec_id init — pipeline/clustering)
+    fits the coarse quantizer, then the identical probe/score path as
+    ``sim_ivf`` runs over it.  This is the production IVF shape — FAISS
+    trains its quantizer the same way — and the composition is pure:
+    the fit touches k×d model state driver-side, the search never
+    shuffles the corpus.  Rows-only driver check; recall ≥ 0.8 vs the
+    exact operator pinned in tests (Lloyd cells are better-balanced than
+    the raw-vector seed, so recall should never be worse)."""
+    from hivekudu_handler_spark.pipeline.clustering import kmeans_fit
+
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    fitted, _ = kmeans_fit(e, k=_IVF_CENTROIDS)
+    cents = e.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in fitted], "cent_id int, cv array<double>"
+    )
+    return _ivf_topk(e, cents)

@@ -127,6 +127,18 @@ def test_ivf_recall_vs_bruteforce(spark, specs):
     assert recall >= 0.8, f"IVF recall {recall} over {len(e)} truth pairs"
 
 
+def test_ivf_kmeans_recall_vs_bruteforce(spark, specs):
+    """The Lloyd-fitted quantizer (sim_ivf_kmeans) must hold the same
+    ≥ 0.8 recall bar as the raw-seed IVF at the identical probe
+    budget."""
+    exact = specs["sim_topk_cosine"].fn(spark, SF)
+    ivf = specs["sim_ivf_kmeans"].fn(spark, SF)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, f"IVF-kmeans recall {recall} over {len(e)} truth pairs"
+
+
 def test_ann_lsh_recall_vs_bits(spark, specs):
     """The (bits, tables) knobs are real: widening the signature to 32
     bits while keeping 4-bit bands (8 tables) must not lose recall vs the

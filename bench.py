@@ -82,6 +82,7 @@ HEADLINE = [
     "text_tfidf",           # explode + 3 keyed shuffles (tf, df, top-3 window)
     "emb_kmeans_lloyd",     # 3 Lloyd passes, broadcast-literal assignment
     "events_gap_fill",      # date-spine zero-fill over broadcast joins
+    "sim_ivf_kmeans",       # Lloyd-fitted IVF: fit + cell probe + exact verify
 ]
 
 

@@ -352,6 +352,82 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 7 * 86_400_000_000  # 7 days
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=(
+        "SELECT * FROM ("
+        "  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
+        "         date_diff('microsecond', v.ts, p.ts) AS gap_us "
+        "  FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "  ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+        "    ON p.user_id = v.user_id AND v.ts <= p.ts) t "
+        f"WHERE gap_us <= {_ASOF_TOL_US}"
+    ),
+    tags=("join", "custom"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance window: the most recent prior view,
+    kept only when it happened within 7 days of the purchase — the
+    standard guard against stale matches in feature joins
+    (``pandas.merge_asof(tolerance=...)`` semantics: nearest first,
+    THEN the cutoff, so a purchase whose nearest view is older than the
+    tolerance matches nothing rather than a farther-back view).  Pure
+    post-filter over the windowed as-of — same one-shuffle plan."""
+    return join_asof(spark, sf_dir).filter(F.col("gap_us") <= _ASOF_TOL_US)
+
+
+@query(
+    "join_asof_forward",
+    oracle=(
+        "SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
+        "       date_diff('microsecond', p.ts, v.ts) AS gap_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+        "  ON p.user_id = v.user_id AND v.ts >= p.ts"
+    ),
+    tags=("join", "custom"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each purchase, the user's EARLIEST view
+    at-or-after it (the "next touchpoint" direction — attribution and
+    follow-up analyses need it as much as the backward form).  Exactly
+    the ``join_asof`` machinery mirrored: per-user descending-ts scan
+    carrying the next view backward with an incremental frame; views
+    order before purchases at equal ``ts`` so a same-instant view
+    qualifies (``v.ts >= p.ts``).  One shuffle + one local sort, all
+    JVM."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "user_id", "ts", "event_type")
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), is_purchase, F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    return (
+        ev.withColumn("next_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("next_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("next_view_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("next_view_id").alias("view_id"),
+            (
+                F.unix_micros("next_view_ts") - F.unix_micros("ts")
+            ).alias("gap_us"),
+        )
+    )
+
+
 def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``applyInPandas`` + ``pandas.merge_asof`` formulation of
     ``join_asof`` — kept as the template for as-of logic Spark

@@ -984,6 +984,15 @@ class TableStore:
         if not versions:
             return {"dropped_versions": [], "deleted_files": 0}
         keep = set(versions[-(keep_last + 1):])
+        # a materialization with an in-flight refresh marker needs its
+        # pre-merge snapshot for crash recovery — vacuuming it away would
+        # leave the mview permanently unrecoverable (rollback reads
+        # scan_snapshot(view_pre)).  Extend retention over the marker.
+        mv_path = self._mview_path(meta.name)
+        if mv_path.exists():
+            pending = json.loads(mv_path.read_text()).get("pending")
+            if pending:
+                keep.update(v for v in versions if v >= pending["view_pre"])
         dropped = [v for v in versions if v not in keep]
         referenced: set[str] = set()
         for v in keep:

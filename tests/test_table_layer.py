@@ -1342,6 +1342,44 @@ def test_mview_null_group_and_key_sum_and_crash_recovery(spark, store):
     } == {("c", 1, 7)}
 
 
+def test_vacuum_retains_pending_mview_rollback_snapshot(spark, store):
+    """r7: vacuuming a materialization while a refresh marker is pending
+    must keep the pre-merge snapshot alive, or crash recovery can never
+    roll back (the mview would be stuck forever)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    store.create_table("b", "id int, grp string, x int", ["id"])
+    store.insert_values("b", [(1, "a", 10), (2, "b", 20)])
+    store.create_materialized_view("mv", "b", ["grp"], ["x"])
+    # advance the view table a few versions so vacuum has something to drop
+    store.insert_values("b", [(3, "a", 5)])
+    store.refresh_materialized_view("mv")
+    store.insert_values("b", [(4, "b", 2)])
+    store.refresh_materialized_view("mv")
+    # crash mid-refresh: marker set, upsert landed, bookkeeping didn't
+    store.insert_values("b", [(5, "a", 1)])
+    real_upsert = store.upsert
+    store.upsert = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash during merge")
+    )
+    with _pytest.raises(RuntimeError, match="injected"):
+        store.refresh_materialized_view("mv")
+    store.upsert = real_upsert
+    mv_meta = _json.loads(store._mview_path("mv").read_text())
+    assert "pending" in mv_meta
+    view_pre = mv_meta["pending"]["view_pre"]
+    # aggressive vacuum of the materialization keeps the marker's snapshot
+    out = store.vacuum("mv", keep_last=0)
+    assert view_pre not in out["dropped_versions"]
+    # recovery still rolls back and re-applies to the correct state
+    store.refresh_materialized_view("mv")
+    assert {
+        (r["grp"], r["n_rows"], r["sum_x"]) for r in store.scan("mv").collect()
+    } == {("a", 3, 16), ("b", 2, 22)}
+
+
 def test_mview_randomized_mutation_equivalence(spark, store):
     """QuickCheck-style IVM check: random insert/upsert/delete batches
     against the base, incremental refresh after each, and the stored

@@ -233,6 +233,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(spark, sf_dir, threshold=0.5)
 
 
+_BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")
+_BATCH_SQL = "source IN ('src15','src16','src17','src18','src19')"
+
+
+@query(
+    "dedup_incremental",
+    oracle=(
+        f"WITH {_SHINGLE_CTES_SQL}, "
+        f"flags AS (SELECT doc_id, {_BATCH_SQL} AS is_batch FROM documents), "
+        "common AS ("
+        "  SELECT a.doc_id AS batch_doc, b.doc_id AS other_doc, COUNT(*) AS c "
+        "  FROM ex a "
+        "  JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_batch "
+        "  JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id "
+        "  JOIN flags fb ON fb.doc_id = b.doc_id "
+        "  WHERE (NOT fb.is_batch) OR a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, len(s) AS n FROM sh) "
+        "SELECT batch_doc, other_doc, "
+        "       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard, "
+        "       fb.is_batch AS other_in_batch "
+        "FROM common "
+        "JOIN sizes sa ON sa.doc_id = batch_doc "
+        "JOIN sizes sb ON sb.doc_id = other_doc "
+        "JOIN flags fb ON fb.doc_id = other_doc "
+        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5"
+    ),
+    tags=("dedup",),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the continuous-crawl pattern.  A newly
+    ingested batch (here: the ``src15``–``src19`` source slice standing
+    in for "this week's crawl") is checked for 3-gram Jaccard ≥ 0.5
+    near-dups against the EXISTING corpus and within itself — the
+    corpus×corpus pairing never happens, because those pairs were
+    already emitted when their own batches arrived.
+
+    This is what makes dedup affordable as a steady state at 100 TB:
+    per ingest the inverted-index join is batch-shingles × per-shingle
+    posting lists (work ∝ |batch| × avg df, with the hot-shingle cap
+    bounding the worst posting), not corpus².  Batch-internal pairs are
+    ordered ``a < b`` once; batch-vs-corpus pairs keep the batch doc on
+    the left so downstream keeper logic can always drop the newcomer.
+    ``other_in_batch`` marks which regime produced each pair."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
+    )
+    sh = doc_shingles(spark, sf_dir).join(d, "doc_id").persist()
+    sh.count()  # materialize before the consumer branches race
+    ex = (
+        sh.select("doc_id", "is_batch", F.explode("shingles").alias("shingle"))
+        .select("doc_id", "is_batch", F.xxhash64("shingle").alias("shingle"))
+    )
+    ex = _cap_hot_shingles(ex, _SHINGLE_DF_CAP)
+    a = ex.filter("is_batch").alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~F.col("b.is_batch") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("batch_doc"),
+            F.col("b.doc_id").alias("other_doc"),
+            F.col("b.is_batch").alias("other_in_batch"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    jac = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "batch_doc").withColumnRenamed("n", "na"),
+            "batch_doc",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "other_doc").withColumnRenamed("n", "nb"),
+            "other_doc",
+        )
+        .withColumn("jac_raw", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+    )
+    return jac.filter(F.col("jac_raw") >= 0.5).select(
+        "batch_doc",
+        "other_doc",
+        F.round("jac_raw", 6).alias("jaccard"),
+        "other_in_batch",
+    )
+
+
 # MinHash parameters: 64 permutations in 32 bands × 2 rows.
 _MH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 _MH_K = 64

@@ -83,6 +83,8 @@ HEADLINE = [
     "emb_kmeans_lloyd",     # 3 Lloyd passes, broadcast-literal assignment
     "events_gap_fill",      # date-spine zero-fill over broadcast joins
     "sim_ivf_kmeans",       # Lloyd-fitted IVF: fit + cell probe + exact verify
+    "dedup_incremental",    # batch-vs-corpus inverted-index pairing (delta-sized)
+    "join_asof_forward",    # next-touchpoint as-of direction
 ]
 
 

@@ -422,3 +422,15 @@ def test_global_sort_position_has_no_window(spark):
         assert "Window" not in plan, (key, plan)
         assert "rangepartitioning" in plan.lower(), (key, plan)
         assert "SinglePartition" not in plan, (key, plan)
+
+
+def test_incremental_dedup_is_inverted_index_shaped(spark):
+    """dedup_incremental must pair through the shingle equi-join (hash
+    or sort-merge on the shingle key) — never a cartesian/nested-loop
+    over docs — and the batch filter must sit below the join so the
+    left side is delta-sized."""
+    df = load_all()["dedup_incremental"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "is_batch" in plan, plan  # the batch gate exists in-plan

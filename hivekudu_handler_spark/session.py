@@ -29,6 +29,12 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning: a selective dimension filter
+    # injects a bloom filter into the fact-side scan, skipping rows
+    # before the shuffle — one of the biggest fact⋈dim wins at 100 TB
+    # (off by default upstream; harmless when the filter isn't selective
+    # because the planner thresholds on estimated sizes).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Deterministic timestamp semantics (see module docstring).
     "spark.sql.session.timeZone": "UTC",
     # Arrow for every Python<->JVM exchange (pandas UDFs, toPandas).

@@ -31,9 +31,11 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Runtime bloom-filter join pruning: a selective dimension filter
     # injects a bloom filter into the fact-side scan, skipping rows
-    # before the shuffle — one of the biggest fact⋈dim wins at 100 TB
-    # (off by default upstream; harmless when the filter isn't selective
-    # because the planner thresholds on estimated sizes).
+    # before the shuffle — one of the biggest fact⋈dim wins at 100 TB.
+    # Off by default upstream; inert at fixture scale by design (the
+    # planner requires a ≥10 GB application side /
+    # applicationSideScanSizeThreshold before injecting), so local plans
+    # are byte-identical while cluster plans gain the filter.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Deterministic timestamp semantics (see module docstring).
     "spark.sql.session.timeZone": "UTC",

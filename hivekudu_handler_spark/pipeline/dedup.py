@@ -330,6 +330,42 @@ _MH_BANDS = 32
 _MH_ROWS = 2
 
 
+def _minhash_band_table(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band table: shingle → crc32 →
+    ``_MH_K`` affine permutations min-folded per doc → ``_MH_BANDS``
+    band hashes.  The hot-shingle cap on the signature path drops
+    shingles in > cap documents before min-hashing (they perturb
+    signatures toward universal collision while carrying no pair
+    signal); inert on the fixture.  The signature table is persisted and
+    materialized once — it feeds both sides of band joins."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
+        "h", F.crc32("shingle")
+    )
+    ex = _cap_hot_shingles(ex.select("doc_id", "h"), _SHINGLE_DF_CAP, key="h")
+    sigs = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * (2 * i + 1) + 7919 * i + 12345) % _MH_P).alias(
+                f"s{i}"
+            )
+            for i in range(_MH_K)
+        ]
+    ).persist()
+    sigs.count()  # materialize once; feeds both sides of the band join
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        *[F.col(f"s{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 @query("dedup_minhash", tags=("dedup", "approx"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard ≥ 0.5.
@@ -343,37 +379,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0).persist()
     sh.count()  # materialize before the consumer branches race
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
-        "h", F.crc32("shingle")
-    )
-    # hot-shingle cap on the signature path: shingles in > cap documents
-    # are dropped before min-hashing (they perturb signatures toward
-    # universal collision while carrying no pair signal).  Inert on the
-    # fixture (cap ≫ max observed DF); the exact verify below still uses
-    # full shingle sets, so emitted Jaccard values are unaffected.
-    ex = _cap_hot_shingles(ex.select("doc_id", "h"), _SHINGLE_DF_CAP, key="h")
-    sigs = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h") * (2 * i + 1) + 7919 * i + 12345) % _MH_P).alias(
-                f"s{i}"
-            )
-            for i in range(_MH_K)
-        ]
-    ).persist()
-    sigs.count()  # materialize once; feeds both sides of the band self-join
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        *[F.col(f"s{b * _MH_ROWS + r}") for r in range(_MH_ROWS)]
-                    )
-                    for b in range(_MH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = _minhash_band_table(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -411,6 +417,78 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         withs.withColumn("jac_raw", inter / union)
         .filter(F.col("jac_raw") >= 0.5)
         .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard"))
+    )
+
+
+@query("dedup_incremental_minhash", tags=("dedup", "approx"))
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH form of ``dedup_incremental`` — the shape the incremental
+    pairing takes when even batch × posting-list exact pairing is too
+    hot (very large batches, or corpora where near-dup rates make the
+    exact inverted index itself quadratic-ish).
+
+    Band table over ALL docs (in production the corpus side is the
+    PERSISTED signature store, maintained incrementally as batches
+    land — only the batch's signatures are computed per ingest); the
+    band join is batch-bands × all-bands, so candidate work is
+    ∝ |batch| × bucket occupancy, never corpus².  Candidates
+    exact-verify against true shingle sets (precision 1.0).  Same
+    output contract as ``dedup_incremental`` (batch doc on the left,
+    ``other_in_batch`` flags the regime).  Rows-only driver check;
+    pytest pins subset-of-exact + recall vs the exact incremental
+    operator."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
+    )
+    sh = (
+        doc_shingles(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .join(d, "doc_id")
+        .persist()
+    )
+    sh.count()  # materialize before the consumer branches race
+    bands = _minhash_band_table(sh.select("doc_id", "shingles")).join(d, "doc_id")
+    a = bands.filter("is_batch").alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~F.col("b.is_batch") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_doc"),
+            F.col("b.doc_id").alias("other_doc"),
+            F.col("b.is_batch").alias("other_in_batch"),
+        )
+        .distinct()
+    )
+    withs = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("batch_doc"), F.col("shingles").alias("sh_a")
+            ),
+            "batch_doc",
+        ).join(
+            sh.select(
+                F.col("doc_id").alias("other_doc"), F.col("shingles").alias("sh_b")
+            ),
+            "other_doc",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        withs.withColumn("jac_raw", inter / union)
+        .filter(F.col("jac_raw") >= 0.5)
+        .select(
+            "batch_doc",
+            "other_doc",
+            F.round("jac_raw", 6).alias("jaccard"),
+            "other_in_batch",
+        )
     )
 
 

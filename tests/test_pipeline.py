@@ -183,6 +183,24 @@ def test_incremental_dedup_equals_batch_restricted_full_pairing(spark, specs):
             assert r["batch_doc"] < r["other_doc"]
 
 
+def test_incremental_minhash_recall_and_precision(spark, specs):
+    """dedup_incremental_minhash: precision 1.0 by construction (exact
+    verify) — every emitted pair must appear in the exact incremental
+    operator with the identical jaccard — and recall ≥ 0.9 at J ≥ 0.5
+    (32 bands × 2 rows ⇒ theoretical ≈ 0.9999)."""
+    exact = {
+        (r["batch_doc"], r["other_doc"]): (r["jaccard"], r["other_in_batch"])
+        for r in specs["dedup_incremental"].fn(spark, SF).collect()
+    }
+    mh = specs["dedup_incremental_minhash"].fn(spark, SF).collect()
+    got = {(r["batch_doc"], r["other_doc"]): (r["jaccard"], r["other_in_batch"]) for r in mh}
+    assert set(got) <= set(exact), "LSH emitted a pair the exact operator lacks"
+    for k, v in got.items():
+        assert v == exact[k]
+    assert exact, "fixture must contain batch-touching near-dup pairs"
+    assert len(got) / len(exact) >= 0.9, f"recall {len(got)}/{len(exact)}"
+
+
 def test_shingle_df_cap_inert_on_fixture(spark):
     """The default hot-shingle cap is far above any fixture DF, so capped
     and effectively-uncapped runs must emit identical pairs (VERDICT r1

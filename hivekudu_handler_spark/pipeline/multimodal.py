@@ -452,33 +452,38 @@ def _resize_thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["doc_id", "src_side", "thumb_hex"])
 
 
+# The decode→block-average derivation re-done in SQL, shared by the
+# mm_resize and mm_image_phash_dedup oracles: the source grid is the
+# blob's first side² bytes (ASCII corpus, so ascii() == byte), padded to
+# 8 when smaller; each target cell floor-averages its (i*8)//side_eff
+# block.  Exact across engines: integer sums are exact in doubles, and
+# both sides perform the identical double division before floor.
+_THUMB_CTES_SQL = (
+    "b AS (SELECT doc_id, text, "
+    "           CAST(floor(sqrt(length(text))) AS INT) AS side "
+    "           FROM documents), "
+    "g AS (SELECT doc_id, text, side, greatest(side, 8) AS se "
+    "      FROM b WHERE side > 0), "
+    "rows_i AS (SELECT doc_id, text, side, se, "
+    "           unnest(range(0, se)) AS i FROM g), "
+    "cells AS (SELECT doc_id, side, i, unnest(range(0, se)) AS j, "
+    "          se, text FROM rows_i), "
+    "vals AS (SELECT doc_id, side, (i * 8) // se AS r, "
+    "         (j * 8) // se AS c, "
+    "         CASE WHEN i < side AND j < side THEN "
+    "           ascii(substring(text, CAST(i * side + j + 1 AS INT), 1)) "
+    "         ELSE 0 END AS val FROM cells), "
+    "agg AS (SELECT doc_id, side, r, c, "
+    "        CAST(floor(SUM(CAST(val AS DOUBLE)) / COUNT(*)) AS INT) "
+    "          AS tv "
+    "        FROM vals GROUP BY doc_id, side, r, c)"
+)
+
+
 @query(
     "mm_resize",
     oracle=(
-        # The full decode→block-average→hex path re-derived in SQL: the
-        # source grid is the blob's first side² bytes (ASCII corpus, so
-        # ascii() == byte), padded to 8 when smaller; each target cell
-        # floor-averages its (i*8)//side_eff block.  Exact across
-        # engines: integer sums are exact in doubles, and both sides
-        # perform the identical double division before floor.
-        "WITH b AS (SELECT doc_id, text, "
-        "           CAST(floor(sqrt(length(text))) AS INT) AS side "
-        "           FROM documents), "
-        "g AS (SELECT doc_id, text, side, greatest(side, 8) AS se "
-        "      FROM b WHERE side > 0), "
-        "rows_i AS (SELECT doc_id, text, side, se, "
-        "           unnest(range(0, se)) AS i FROM g), "
-        "cells AS (SELECT doc_id, side, i, unnest(range(0, se)) AS j, "
-        "          se, text FROM rows_i), "
-        "vals AS (SELECT doc_id, side, (i * 8) // se AS r, "
-        "         (j * 8) // se AS c, "
-        "         CASE WHEN i < side AND j < side THEN "
-        "           ascii(substring(text, CAST(i * side + j + 1 AS INT), 1)) "
-        "         ELSE 0 END AS val FROM cells), "
-        "agg AS (SELECT doc_id, side, r, c, "
-        "        CAST(floor(SUM(CAST(val AS DOUBLE)) / COUNT(*)) AS INT) "
-        "          AS tv "
-        "        FROM vals GROUP BY doc_id, side, r, c) "
+        f"WITH {_THUMB_CTES_SQL} "
         "SELECT doc_id, CAST(side AS INT) AS src_side, "
         "       string_agg(printf('%02X', tv), '' ORDER BY r, c) "
         "         AS thumb_hex "
@@ -506,3 +511,105 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     ppms = blobs.mapInPandas(_encode_ppm_batch, schema="doc_id bigint, ppm binary")
     return ppms.mapInPandas(_resize_thumbs, schema=_THUMB_SCHEMA)
+
+
+_PHASH_HAM_MAX = 3
+
+# aHash from the 8x8 thumbnail, all JVM: byte j (row-major) from the hex
+# pair at position 2j, mean over the 64 bytes (exact: integer sum in a
+# double, /64 is a power-of-two division), bit j set iff byte > mean.
+_PX_MEAN_SQL = (
+    "aggregate(transform(sequence(0, 63), j -> "
+    "  CAST(conv(substring(thumb_hex, j * 2 + 1, 2), 16, 10) AS DOUBLE)), "
+    "  CAST(0 AS DOUBLE), (acc, x) -> acc + x) / 64.0"
+)
+_PHASH_SQL = (
+    "aggregate(transform(sequence(0, 63), j -> "
+    "  IF(CAST(conv(substring(thumb_hex, j * 2 + 1, 2), 16, 10) AS DOUBLE) "
+    "       > px_mean, "
+    "     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+    "  CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+
+@query(
+    "mm_image_phash_dedup",
+    oracle=(
+        f"WITH {_THUMB_CTES_SQL}, "
+        "means AS (SELECT doc_id, "
+        "          SUM(CAST(tv AS DOUBLE)) / 64.0 AS m "
+        "          FROM agg GROUP BY doc_id), "
+        "bits AS (SELECT a.doc_id, a.r * 8 + a.c AS j, "
+        "         CASE WHEN a.tv > means.m THEN 1 ELSE 0 END AS bit "
+        "         FROM agg a JOIN means ON a.doc_id = means.doc_id), "
+        "pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "          CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) "
+        "               AS INT) AS hamming "
+        "          FROM bits x JOIN bits y "
+        "            ON x.j = y.j AND x.doc_id < y.doc_id "
+        "          GROUP BY 1, 2) "
+        f"SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {_PHASH_HAM_MAX}"
+    ),
+    tags=("multimodal", "dedup"),
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup pairs via perceptual average-hash (aHash) over
+    the REAL decode→thumbnail path: each image's 8×8 block-average
+    thumbnail (``mm_resize``, P6 PPM containers parsed by the pure-numpy
+    codec) reduces to a 64-bit hash — bit j set iff pixel j is brighter
+    than the image mean — and pairs within Hamming distance ≤ 3 are the
+    visual near-dups.  This is the image-side twin of the text dedup
+    stack: re-encodes, crops with unchanged luminance structure, and
+    byte-identical copies all land within the threshold.
+
+    Scale shape: candidates come from the 4×16-bit pigeonhole banding
+    (a hash equi-join on chunk buckets — by pigeonhole, any pair with
+    ≤ 3 differing bits shares at least one intact 16-bit chunk, so
+    CANDIDATE RECALL IS EXACTLY 1 and the key is fully oracle-backed,
+    unlike probabilistic LSH); verification is one ``bit_count(xor)``
+    per candidate.  The hash computation itself is scan-shaped JVM
+    expression work over ``mm_resize``'s output — no Python in the
+    pairing path.  The oracle re-derives thumbnail, hash bits, and
+    all-pairs Hamming in SQL (all-pairs is oracle-side only; the engine
+    side never materializes it)."""
+    thumbs = mm_resize(spark, sf_dir).filter(F.col("src_side") > 0)
+    sigs = (
+        thumbs.withColumn("px_mean", F.expr(_PX_MEAN_SQL))
+        .withColumn("sig", F.expr(_PHASH_SQL))
+        .select("doc_id", "sig")
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -455,6 +455,45 @@ def test_resize_thumbnail_golden(spark, specs):
         assert bytes.fromhex(got["thumb_hex"]) == thumb.tobytes()
 
 
+def test_image_phash_dedup_invariants(spark, specs):
+    """mm_image_phash_dedup: byte-identical texts must pair at hamming 0
+    (the image twin of exact dedup); every emitted pair's hamming must
+    equal a direct numpy recomputation from the thumbnails; pairs are
+    ordered doc_a < doc_b."""
+    import numpy as np
+
+    thumbs = {
+        r["doc_id"]: bytes.fromhex(r["thumb_hex"])
+        for r in specs["mm_resize"].fn(spark, SF).collect()
+    }
+
+    def phash(tb):
+        px = np.frombuffer(tb, dtype=np.uint8).astype(float)
+        return tuple(px > px.sum() / 64.0)
+
+    pairs = specs["mm_image_phash_dedup"].fn(spark, SF).collect()
+    assert pairs, "fixture must contain visual near-dups"
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        expect = sum(
+            x != y for x, y in zip(phash(thumbs[r["doc_a"]]), phash(thumbs[r["doc_b"]]))
+        )
+        assert r["hamming"] == expect <= 3
+    # COMPLETENESS: the pigeonhole banding guarantees recall 1 at
+    # hamming <= 3, so the emitted set must equal the brute-force
+    # all-pairs answer over the same hashes
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    hashes = {doc: phash(tb) for doc, tb in thumbs.items()}
+    ids = sorted(hashes)
+    expect_pairs = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sum(x != y for x, y in zip(hashes[a], hashes[b])) <= 3
+    }
+    assert got == expect_pairs
+
+
 def test_split_assignment_invariants(spark, specs):
     """Hash-bucket split: total coverage, disjointness, stability under
     re-evaluation, and growth-stability (membership is a pure function

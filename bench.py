@@ -85,6 +85,7 @@ HEADLINE = [
     "sim_ivf_kmeans",       # Lloyd-fitted IVF: fit + cell probe + exact verify
     "dedup_incremental",    # batch-vs-corpus inverted-index pairing (delta-sized)
     "join_asof_forward",    # next-touchpoint as-of direction
+    "mm_image_phash_dedup", # decode -> aHash -> pigeonhole-banded visual dedup
 ]
 
 

@@ -434,3 +434,14 @@ def test_incremental_dedup_is_inverted_index_shaped(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "is_batch" in plan, plan  # the batch gate exists in-plan
+
+
+def test_banded_pairing_keys_have_no_cartesian(spark):
+    """dedup_incremental_minhash and mm_image_phash_dedup must pair
+    through band/chunk equi-joins — never a cartesian or nested-loop
+    over documents."""
+    for key in ("dedup_incremental_minhash", "mm_image_phash_dedup"):
+        df = load_all()[key].fn(spark, SF)
+        plan = checks.plan_string(df)
+        assert "CartesianProduct" not in plan, (key, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (key, plan)

@@ -24,3 +24,26 @@ def test_every_query_builds_and_emits_scalar_only_columns(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((key, f.name, f.dataType.simpleString()))
     assert bad == [], f"non-scalar driver-facing columns: {bad}"
+
+
+def test_every_oracle_plans_in_duckdb():
+    """The other half of the contract: each oracle string must at least
+    PLAN against the fixture views in DuckDB (catches SQL typos /
+    dialect slips at test time instead of burning a driver round).
+    Execution equivalence is tools/parity.py's job."""
+    import duckdb
+
+    from hivekudu_handler_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    broken = []
+    for key, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.sql("EXPLAIN " + spec.oracle)
+        except Exception as e:  # noqa: BLE001
+            broken.append((key, str(e).splitlines()[0][:100]))
+    assert broken == [], broken

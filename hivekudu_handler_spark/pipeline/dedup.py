@@ -330,27 +330,29 @@ _MH_BANDS = 32
 _MH_ROWS = 2
 
 
-def _minhash_band_table(sh: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_hash) LSH band table: shingle → crc32 →
-    ``_MH_K`` affine permutations min-folded per doc → ``_MH_BANDS``
-    band hashes.  The hot-shingle cap on the signature path drops
-    shingles in > cap documents before min-hashing (they perturb
-    signatures toward universal collision while carrying no pair
-    signal); inert on the fixture.  The signature table is persisted and
-    materialized once — it feeds both sides of band joins."""
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, s0..s63) MinHash signatures: shingle → crc32 → ``_MH_K``
+    affine permutations min-folded per doc.  The hot-shingle cap on the
+    signature path drops shingles in > cap documents before min-hashing
+    (they perturb signatures toward universal collision while carrying
+    no pair signal); inert on the fixture."""
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle")).withColumn(
         "h", F.crc32("shingle")
     )
     ex = _cap_hot_shingles(ex.select("doc_id", "h"), _SHINGLE_DF_CAP, key="h")
-    sigs = ex.groupBy("doc_id").agg(
+    return ex.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * (2 * i + 1) + 7919 * i + 12345) % _MH_P).alias(
                 f"s{i}"
             )
             for i in range(_MH_K)
         ]
-    ).persist()
-    sigs.count()  # materialize once; feeds both sides of the band join
+    )
+
+
+def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a signature table — whether
+    freshly computed or scanned back from a persisted signature store."""
     return sigs.select(
         "doc_id",
         F.posexplode(
@@ -364,6 +366,14 @@ def _minhash_band_table(sh: DataFrame) -> DataFrame:
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def _minhash_band_table(sh: DataFrame) -> DataFrame:
+    """Bands straight from shingles; the signature table is persisted
+    and materialized once — it feeds both sides of band joins."""
+    sigs = _minhash_sigs(sh).persist()
+    sigs.count()  # materialize once; feeds both sides of the band join
+    return _bands_from_sigs(sigs)
 
 
 @query("dedup_minhash", tags=("dedup", "approx"))
@@ -490,6 +500,113 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_in_batch",
         )
     )
+
+
+@query("dedup_signature_store", tags=("dedup", "approx", "slow"))
+def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-signature-store steady state behind
+    ``dedup_incremental_minhash`` made CONCRETE through the table layer:
+
+    1. the standing corpus's MinHash signatures live in a managed keyed
+       table (doc_id PK, 64 signature columns) — written once, here at
+       scenario setup;
+    2. a new batch arrives: ONLY the batch's signatures are computed
+       (the corpus side is **scanned back from storage**, never
+       re-min-hashed — the property that makes per-ingest cost
+       batch-sized);
+    3. band probe = batch bands × (stored corpus bands ∪ batch bands),
+       exact Jaccard verify on candidates;
+    4. the batch's signatures upsert into the store, so the next batch
+       sees them — the store stays complete as ingest proceeds.
+
+    Returns the same pair contract as ``dedup_incremental_minhash``;
+    pytest pins pair-set equality with it and the store's final
+    completeness.  Rows-only driver check (scenario + LSH)."""
+    from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+    import shutil
+
+    store, d = _scratch_store(spark)
+    try:
+        flags = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
+        )
+        sh = (
+            doc_shingles(spark, sf_dir)
+            .filter(F.size("shingles") > 0)
+            .join(flags, "doc_id")
+            .persist()
+        )
+        sh.count()
+        sig_cols = ", ".join(f"s{i} bigint" for i in range(_MH_K))
+        store.create_table("sig_store", f"doc_id bigint, {sig_cols}", ["doc_id"])
+        corpus_sigs = _minhash_sigs(
+            sh.filter(~F.col("is_batch")).select("doc_id", "shingles")
+        )
+        store.insert("sig_store", corpus_sigs)
+        # batch ingest: batch-only signature compute + probe of the STORE
+        batch_sigs = _minhash_sigs(
+            sh.filter("is_batch").select("doc_id", "shingles")
+        ).persist()
+        batch_sigs.count()
+        stored = store.scan("sig_store")  # corpus side reads storage
+        a = _bands_from_sigs(batch_sigs).alias("a")
+        corpus_b = _bands_from_sigs(stored).withColumn("is_batch", F.lit(False))
+        batch_b = _bands_from_sigs(batch_sigs).withColumn("is_batch", F.lit(True))
+        b = corpus_b.unionByName(batch_b).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") != F.col("b.doc_id"))
+                & (~F.col("b.is_batch") | (F.col("a.doc_id") < F.col("b.doc_id"))),
+            )
+            .select(
+                F.col("a.doc_id").alias("batch_doc"),
+                F.col("b.doc_id").alias("other_doc"),
+                F.col("b.is_batch").alias("other_in_batch"),
+            )
+            .distinct()
+        )
+        withs = (
+            cand.join(
+                sh.select(
+                    F.col("doc_id").alias("batch_doc"),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                "batch_doc",
+            ).join(
+                sh.select(
+                    F.col("doc_id").alias("other_doc"),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                "other_doc",
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        pairs = (
+            withs.withColumn("jac_raw", inter / union)
+            .filter(F.col("jac_raw") >= 0.5)
+            .select(
+                "batch_doc",
+                "other_doc",
+                F.round("jac_raw", 6).alias("jaccard"),
+                "other_in_batch",
+            )
+        )
+        # materialize BEFORE the upsert: the pair plan reads the store's
+        # pre-upsert file listing, which the upsert's bucket rewrite
+        # archives out from under a lazy plan
+        result = _materialize(spark, pairs)
+        # the store stays complete: next batch sees this one's signatures
+        store.upsert("sig_store", batch_sigs)
+        n_stored = store.scan("sig_store").count()
+        n_docs = sh.count()
+        assert n_stored == n_docs, (n_stored, n_docs)
+        return result
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @query("dedup_simhash", tags=("dedup", "approx"))

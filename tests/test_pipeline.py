@@ -201,6 +201,23 @@ def test_incremental_minhash_recall_and_precision(spark, specs):
     assert len(got) / len(exact) >= 0.9, f"recall {len(got)}/{len(exact)}"
 
 
+def test_signature_store_scenario_matches_incremental_minhash(spark, specs):
+    """dedup_signature_store (corpus signatures scanned back from the
+    managed store, batch-only signature compute, post-probe upsert) must
+    emit exactly dedup_incremental_minhash's pairs — storage round-trip
+    and bucket layout must not change a single signature."""
+    direct = {
+        (r["batch_doc"], r["other_doc"]): (r["jaccard"], r["other_in_batch"])
+        for r in specs["dedup_incremental_minhash"].fn(spark, SF).collect()
+    }
+    via_store = {
+        (r["batch_doc"], r["other_doc"]): (r["jaccard"], r["other_in_batch"])
+        for r in specs["dedup_signature_store"].fn(spark, SF).collect()
+    }
+    assert via_store == direct
+    assert direct, "fixture must contain batch-touching near-dup pairs"
+
+
 def test_shingle_df_cap_inert_on_fixture(spark):
     """The default hot-shingle cap is far above any fixture DF, so capped
     and effectively-uncapped runs must emit identical pairs (VERDICT r1

@@ -528,3 +528,54 @@ def pipeline_curate_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_N_EXPORT_SHARDS = 16
+
+
+@query(
+    "curate_export_shards",
+    oracle=(
+        "WITH ordered AS ("
+        "  SELECT doc_id, "
+        "         ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), "
+        "                            doc_id) AS pos, "
+        "         COUNT(*) OVER () AS n "
+        "  FROM documents) "
+        "SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"       CAST(((pos - 1) * {_N_EXPORT_SHARDS}) // n AS INT) AS shard "
+        "FROM ordered"
+    ),
+    tags=("sampling",),
+)
+def curate_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export last mile: every document gets its explicit
+    global position under the deterministic shuffle order
+    (``md5(doc_id)``, the same key as ``sample_global_shuffle``) and a
+    balanced CONTIGUOUS shard assignment — shard k holds positions
+    (k·n/16, (k+1)·n/16], sizes within ±1 of each other by
+    construction, so a trainer streams shard files in order and sees
+    the exact global permutation.
+
+    Positions come from ``with_global_position`` (range sort +
+    broadcast offsets + partition-local cumcount — never a
+    single-partition window; operators/sorts.py), making this the
+    composition the r6-flagged scale-killer fix exists for.  The only
+    additional cost over the shuffle itself is one count job for the
+    shard arithmetic."""
+    from hivekudu_handler_spark.operators.sorts import with_global_position
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shuffle_key(F.col("doc_id")).alias("shuffle_key")
+    )
+    total = d.count()
+    ranked = with_global_position(
+        d, [F.col("shuffle_key"), F.col("doc_id")]
+    )
+    return ranked.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"CAST(((pos - 1) * {_N_EXPORT_SHARDS}) DIV {total} AS INT)"
+        ).alias("shard"),
+    )

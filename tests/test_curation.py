@@ -253,3 +253,28 @@ def test_decontaminate_filters_before_shingling(spark, specs):
     assert len(rel_idx) == 2, opt
     for i in rel_idx:
         assert "Filter" in lines[i - 1] and "% 97" in lines[i - 1], opt
+
+
+def test_export_shards_balanced_and_contiguous(spark):
+    """curate_export_shards: shard sizes within +-1, shards contiguous in
+    the global order, every position distinct 1..n."""
+    from hivekudu_handler_spark.registry import load_all
+
+    out = load_all()["curate_export_shards"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = len(out)
+    assert sorted(r["pos"] for r in out) == list(range(1, n + 1))
+    sizes = {}
+    bounds = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+        lo, hi = bounds.get(r["shard"], (r["pos"], r["pos"]))
+        bounds[r["shard"]] = (min(lo, r["pos"]), max(hi, r["pos"]))
+    assert max(sizes.values()) - min(sizes.values()) <= 1, sizes
+    # contiguity: each shard's position range is exactly its size
+    for s, (lo, hi) in bounds.items():
+        assert hi - lo + 1 == sizes[s], (s, lo, hi, sizes[s])
+    # shards ordered: shard k's max < shard k+1's min
+    for s in sorted(bounds)[:-1]:
+        assert bounds[s][1] < bounds[s + 1][0]

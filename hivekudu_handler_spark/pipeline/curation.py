@@ -579,3 +579,68 @@ def curate_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(((pos - 1) * {_N_EXPORT_SHARDS}) DIV {total} AS INT)"
         ).alias("shard"),
     )
+
+
+# Target language mixture for curate_mixture_sample: the configured
+# pretraining mix.  Budget = half the corpus; per-language keep rate is
+# derived from MEASURED counts so the output hits the target shares (up
+# to clamping when a language is scarcer than its target).
+_MIXTURE_SHARES = {"en": 0.30, "zh": 0.20, "de": 0.20, "es": 0.15, "fr": 0.15}
+_MIXTURE_BUDGET = 0.5
+
+_MIX_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_SHARES.items())
+    + " ELSE 0.0 END"
+)
+
+
+@query(
+    "curate_mixture_sample",
+    oracle=(
+        "WITH counts AS (SELECT lang, COUNT(*) AS n_lang, "
+        "                SUM(COUNT(*)) OVER () AS n "
+        "                FROM documents GROUP BY lang), "
+        "rates AS (SELECT lang, "
+        f"         least(1.0, {_MIXTURE_BUDGET} * n * {_MIX_CASE_SQL} / n_lang) "
+        "            AS rate FROM counts), "
+        "thr AS (SELECT lang, rate, "
+        "        printf('%04x', CAST(floor(rate * 65536) AS INT)) AS t "
+        "        FROM rates) "
+        "SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang "
+        "WHERE thr.rate >= 1.0 "
+        "   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t"
+    ),
+    tags=("sampling",),
+)
+def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: hit a configured per-language share
+    vector within a total budget, with keep rates DERIVED from measured
+    counts — the step that turns "we want 30 % en / 20 % zh / …" into a
+    concrete deterministic filter.  ``rate_l = min(1, B·n·share_l /
+    n_l)`` (clamped when a language is scarcer than its target);
+    membership is the md5-prefix of the key compared against the rate's
+    16-bit hex threshold, so selection is a pure row-local predicate —
+    re-runs, repartitioning, and engine changes keep the identical
+    sample, and the scan never shuffles.  The per-language counts are
+    the only driver state (k rows — model state, not data).  The
+    identical arithmetic runs in the DuckDB oracle, so thresholds match
+    bit-for-bit."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["count"] for r in d.groupBy("lang").count().collect()}
+    n = sum(counts.values())
+    keep = None
+    for lang, n_lang in sorted(counts.items()):
+        share = _MIXTURE_SHARES.get(lang, 0.0)
+        rate = min(1.0, _MIXTURE_BUDGET * n * share / n_lang)
+        if rate >= 1.0:
+            term = F.col("lang") == lang
+        else:
+            t = "%04x" % math.floor(rate * 65536)
+            term = (F.col("lang") == lang) & (
+                F.substring(_shuffle_key(F.col("doc_id")), 1, 4) < F.lit(t)
+            )
+        keep = term if keep is None else (keep | term)
+    return d.filter(keep).select("doc_id", "lang")

@@ -278,3 +278,31 @@ def test_export_shards_balanced_and_contiguous(spark):
     # shards ordered: shard k's max < shard k+1's min
     for s in sorted(bounds)[:-1]:
         assert bounds[s][1] < bounds[s + 1][0]
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """curate_mixture_sample: the derived rates must land the output
+    near the configured mixture (binomial noise only), membership must
+    be deterministic, and no unconfigured language may leak through."""
+    from hivekudu_handler_spark.pipeline.curation import (
+        _MIXTURE_BUDGET,
+        _MIXTURE_SHARES,
+    )
+    from hivekudu_handler_spark.registry import load_all
+
+    SFD = "/root/testdata/sf0.001"
+    fn = load_all()["curate_mixture_sample"].fn
+    out = fn(spark, SFD).collect()
+    again = fn(spark, SFD).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in again}
+    assert {r["lang"] for r in out} <= set(_MIXTURE_SHARES)
+    n_corpus = spark.read.parquet(f"{SFD}/documents.parquet").count()
+    budget = _MIXTURE_BUDGET * n_corpus
+    got = {}
+    for r in out:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    for lang, share in _MIXTURE_SHARES.items():
+        target = budget * share
+        # 4 sigma of binomial noise at these counts
+        tol = 4 * (target ** 0.5) + 1
+        assert abs(got.get(lang, 0) - target) <= tol, (lang, got.get(lang), target)

@@ -358,3 +358,68 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d", "event_type", F.coalesce("n", F.lit(0)).alias("n_events")
         )
     )
+
+
+@query(
+    "events_attribution",
+    oracle=(
+        "WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value "
+        "           FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT event_id AS vid, user_id, ts AS vts "
+        "      FROM events WHERE event_type = 'view'), "
+        "j AS (SELECT p.pid, p.value, v.vid FROM p JOIN v "
+        "      ON p.user_id = v.user_id AND v.vts <= p.pts "
+        "         AND v.vts > p.pts - INTERVAL 7 DAY), "
+        "per AS (SELECT pid, vid, "
+        "        CAST(floor(value / (COUNT(*) OVER (PARTITION BY pid)) "
+        "                   * 1000000 + 0.5) AS BIGINT) AS credit_u FROM j) "
+        "SELECT vid AS view_id, CAST(COUNT(*) AS BIGINT) AS n_conversions, "
+        "       CAST(SUM(credit_u) AS DOUBLE) / 1000000 AS attributed_value "
+        "FROM per GROUP BY vid"
+    ),
+    tags=("events",),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's views in the prior 7 days; per view, the
+    number of conversions it gets credit for and the attributed value.
+
+    Scale shape: the purchase→view pairing is the equi+band join
+    (user_id key keeps it hash/SMJ — never a nested loop; the 7-day
+    band is a post-join filter), the per-purchase touch count is a
+    window on the purchase key (well-distributed — one row per
+    qualifying touch), and the final rollup is one hash aggregate on
+    the view key.  Credits quantize to an integer micro grid BEFORE the
+    sum (``floor(x·1e6 + 0.5)`` — pure IEEE, bit-identical in both
+    engines) so cross-engine float summation order cannot flip the
+    result; the exact integer total divides once at presentation."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    j = p.join(
+        v,
+        (p["user_id"] == v["user_id"])
+        & (v["vts"] <= p["pts"])
+        & (v["vts"] > p["pts"] - F.expr("INTERVAL 7 DAYS")),
+    ).select("pid", "value", "vid")
+    per = j.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("pid"))
+    ).withColumn(
+        "credit_u",
+        F.floor(F.col("value") / F.col("n") * 1_000_000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return per.groupBy(F.col("vid").alias("view_id")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (F.sum("credit_u").cast("double") / F.lit(1_000_000)).alias(
+            "attributed_value"
+        ),
+    )

@@ -93,3 +93,35 @@ def test_top_paths_counts_match_sessionize(spark, sf_dir):
     known = {"signup", "click", "purchase", "error", "view"}
     for r in top:
         assert set(r["path"].split(">")) <= known
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    """Linear attribution must conserve value: the total attributed
+    across views equals the total value of purchases that had >= 1
+    qualifying view (up to the micro-grid quantization, n*0.5e-6 per
+    purchase)."""
+    import pyspark.sql.functions as F
+
+    from hivekudu_handler_spark.registry import load_all
+    from hivekudu_handler_spark.tables import load_events
+
+    out = load_all()["events_attribution"].fn(spark, sf_dir)
+    attributed = out.agg(F.sum("attributed_value")).first()[0]
+    ev = load_events(spark, sf_dir)
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts"), "value"
+    )
+    v = ev.filter("event_type = 'view'").select("user_id", F.col("ts").alias("vts"))
+    credited = (
+        p.join(
+            v,
+            (p["user_id"] == v["user_id"])
+            & (v["vts"] <= p["pts"])
+            & (v["vts"] > p["pts"] - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .first()[0]
+    )
+    n_credits = out.agg(F.sum("n_conversions")).first()[0]
+    assert abs(attributed - credited) <= n_credits * 5e-7 + 1e-9

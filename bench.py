@@ -86,6 +86,8 @@ HEADLINE = [
     "dedup_incremental",    # batch-vs-corpus inverted-index pairing (delta-sized)
     "join_asof_forward",    # next-touchpoint as-of direction
     "mm_image_phash_dedup", # decode -> aHash -> pigeonhole-banded visual dedup
+    "text_lm_score",        # corpus bigram LM: count shuffles + vocab join-back
+    "join_interval_overlap",  # hour-bucket-blocked interval self-join
 ]
 
 

@@ -423,3 +423,157 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+_SESSIONS_SQL = (
+    "WITH marked AS ("
+    "  SELECT user_id, ts, event_id, "
+    "         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE "
+    "              THEN 0 ELSE 1 END AS is_new "
+    "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "numbered AS ("
+    "  SELECT user_id, ts, "
+    "         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "                           ROWS UNBOUNDED PRECEDING) AS session_seq "
+    "  FROM marked), "
+    "sessions AS ("
+    "  SELECT user_id, CAST(session_seq AS INT) AS session_seq, "
+    "         MIN(ts) AS st, MAX(ts) AS en "
+    "  FROM numbered GROUP BY user_id, session_seq)"
+)
+
+
+@query(
+    "join_interval_overlap",
+    oracle=(
+        _SESSIONS_SQL + " "
+        "SELECT a.user_id, a.session_seq, "
+        "       COUNT(b.user_id) AS n_concurrent "
+        "FROM sessions a "
+        "LEFT JOIN sessions b "
+        "  ON b.user_id <> a.user_id AND b.st <= a.en AND a.st <= b.en "
+        "GROUP BY a.user_id, a.session_seq"
+    ),
+    tags=("events", "join"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, the time-series workhorse Spark has no
+    native operator for (Databricks range-join / TimescaleDB overlap
+    semantics): for every user session, how many OTHER users had a
+    session overlapping it in time?
+
+    The oracle is the naive theta self-join (DuckDB's IEJoin eats it).  A
+    theta join on Spark is a nested-loop cartesian — the classic 100 TB
+    bomb — so the implementation blocks by time: each interval explodes
+    to the hour buckets it spans (``sequence`` — overlapping intervals
+    share at least one bucket, because both contain some instant t and
+    hence t's bucket), candidates meet in a bucket equi-join (hash
+    shuffle, AQE-balanced), the exact overlap predicate then filters and
+    a DISTINCT collapses the multi-bucket double-counts.  Long intervals
+    fan out to more buckets — cost scales with total spanned hours, not
+    pairs².  LEFT-join back to the session table restores zero-overlap
+    sessions.
+    """
+    sess = (
+        with_sessions(load_events(spark, sf_dir))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    hour = 3600
+    bucketed = sess.select(
+        "user_id",
+        "session_seq",
+        "st",
+        "en",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("st") / hour).cast("bigint"),
+                F.floor(F.unix_timestamp("en") / hour).cast("bigint"),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("a_user"),
+        F.col("session_seq").alias("a_seq"),
+        F.col("st").alias("a_st"),
+        F.col("en").alias("a_en"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_seq").alias("b_seq"),
+        F.col("st").alias("b_st"),
+        F.col("en").alias("b_en"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("a_user") != F.col("b_user"))
+            & (F.col("b_st") <= F.col("a_en"))
+            & (F.col("a_st") <= F.col("b_en"))
+        )
+        .select("a_user", "a_seq", "b_user", "b_seq")
+        .distinct()
+    )
+    counts = pairs.groupBy(
+        F.col("a_user").alias("user_id"), F.col("a_seq").alias("session_seq")
+    ).agg(F.count(F.lit(1)).alias("n_concurrent"))
+    return (
+        sess.select("user_id", "session_seq")
+        .join(counts, ["user_id", "session_seq"], "left")
+        .select(
+            "user_id",
+            "session_seq",
+            F.coalesce("n_concurrent", F.lit(0).cast("bigint")).alias(
+                "n_concurrent"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_session_window",
+    oracle=(
+        _SESSIONS_SQL + " "
+        "SELECT user_id, st AS session_start, en AS session_end, "
+        "       (SELECT COUNT(*) FROM numbered n "
+        "        WHERE n.user_id = s.user_id "
+        "          AND n.session_seq = s.session_seq) AS n_events "
+        "FROM sessions s"
+    ),
+    tags=("events", "agg"),
+)
+def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregation in batch mode — the
+    engine-level dynamic-gap operator (``SessionWindowing`` +
+    ``UpdatingSessionsExec`` merge adjacent events whose gap < 30 min
+    inside the aggregate itself, no window-function pass).  The oracle
+    re-derives sessions with the gaps-and-islands SQL every other events
+    key uses, so this differential check certifies that Spark's built-in
+    session semantics and the classic manual construction agree
+    boundary-for-boundary.  The one semantic seam: at a gap of EXACTLY
+    the threshold, the manual ``<=`` rule merges while ``session_window``
+    (half-open [start, last+gap)) splits — distinguishable only by a
+    microsecond-exact 1800.000000 s gap, of which the fixture has zero
+    at every SF (verified against sf0.1; timestamps carry µs noise), so
+    the differential check pins the common semantics, not the seam.
+
+    ``session_window(ts, gap)`` emits a half-open [start, end) struct
+    where end = last_ts + gap; the true closed session bounds are the
+    MIN/MAX of the member timestamps, aggregated alongside.  One shuffle
+    on user_id; per-group state is one open session — streaming-grade
+    memory at any scale (this same operator is the batch twin of
+    ``stream_session``)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

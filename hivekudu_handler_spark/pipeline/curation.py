@@ -644,3 +644,97 @@ def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         keep = term if keep is None else (keep | term)
     return d.filter(keep).select("doc_id", "lang")
+
+
+@query(
+    "curate_quality_report",
+    oracle=(
+        "WITH toks AS ("
+        "  SELECT doc_id, lang, text, "
+        "         len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "           AS n_tokens "
+        "  FROM documents), "
+        "quality AS ("
+        "  SELECT * FROM toks "
+        "  WHERE length(text) >= 100 AND n_tokens >= 20), "
+        "langkept AS ("
+        "  SELECT * FROM quality "
+        "  WHERE lang IN ('en', 'de', 'fr', 'es')), "
+        "uniq AS ("
+        "  SELECT * FROM ("
+        "    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) "
+        "                                 ORDER BY doc_id) AS rn "
+        "    FROM langkept) WHERE rn = 1) "
+        "SELECT * FROM (VALUES "
+        "  (1, 'raw', (SELECT COUNT(*) FROM toks), "
+        "      (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM toks)), "
+        "  (2, 'quality', (SELECT COUNT(*) FROM quality), "
+        "      (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM quality)), "
+        "  (3, 'lang', (SELECT COUNT(*) FROM langkept), "
+        "      (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM langkept)), "
+        "  (4, 'dedup', (SELECT COUNT(*) FROM uniq), "
+        "      (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM uniq))) "
+        "AS t(step, stage, n_docs, n_tokens)"
+    ),
+    tags=("pipeline",),
+)
+def curate_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: document and token survival after
+    each gate of the standard crawl-curation pipeline (raw → quality
+    length/token gate → language allowlist → exact dedup).  This is the
+    report every corpus run ships next to its output — where did the
+    tokens go?
+
+    Execution is ONE pass, not four: each gate becomes a boolean column,
+    a single aggregate computes every stage's (docs, tokens) pair with
+    conditional sums, and the four report rows are unpivoted from that
+    1-row frame (stack is driver-free).  The corpus is scanned once and
+    only aggregate cells move — at 100 TB the report costs one scan;
+    four CTE re-scans (the oracle's shape, fine for DuckDB's readable
+    re-derivation) would cost four."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    q = (F.length("text") >= 100) & (F.col("n_tokens") >= 20)
+    lg = q & F.col("lang").isin("en", "de", "fr", "es")
+    # first-doc-wins uniqueness among the lang-kept set only: rejected
+    # rows get a non-hex singleton partition key so they can never share
+    # (and thus never steal) a kept row's fingerprint partition
+    flags = toks.withColumn(
+        "rn_lang",
+        F.row_number().over(
+            Window.partitionBy(F.when(lg, F.md5(F.col("text"))).otherwise(
+                F.concat(F.lit("!"), F.col("doc_id").cast("string"))
+            )).orderBy("doc_id")
+        ),
+    ).select(
+        "n_tokens",
+        q.alias("pass_q"),
+        lg.alias("pass_lang"),
+        (lg & (F.col("rn_lang") == 1)).alias("pass_uniq"),
+    )
+    cell = flags.agg(
+        F.count(F.lit(1)).alias("d1"),
+        F.sum("n_tokens").alias("t1"),
+        F.count(F.when(F.col("pass_q"), 1)).alias("d2"),
+        F.coalesce(F.sum(F.when(F.col("pass_q"), F.col("n_tokens"))), F.lit(0)).alias("t2"),
+        F.count(F.when(F.col("pass_lang"), 1)).alias("d3"),
+        F.coalesce(F.sum(F.when(F.col("pass_lang"), F.col("n_tokens"))), F.lit(0)).alias("t3"),
+        F.count(F.when(F.col("pass_uniq"), 1)).alias("d4"),
+        F.coalesce(F.sum(F.when(F.col("pass_uniq"), F.col("n_tokens"))), F.lit(0)).alias("t4"),
+    )
+    return cell.select(
+        F.expr(
+            "stack(4, "
+            "1, 'raw', d1, t1, "
+            "2, 'quality', d2, t2, "
+            "3, 'lang', d3, t3, "
+            "4, 'dedup', d4, t4) AS (step, stage, n_docs, n_tokens)"
+        )
+    )

@@ -71,11 +71,12 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
         zorder,
     )
-    from hivekudu_handler_spark.functions import scalar, udfs  # noqa: F401
+    from hivekudu_handler_spark.functions import collections, scalar, udfs  # noqa: F401
     from hivekudu_handler_spark.pipeline import (  # noqa: F401
         clustering,
         curation,
         dedup,
+        lm_score,
         multimodal,
         pca,
         sampling,

@@ -1,0 +1,128 @@
+"""Invariants for the round-7 late additions: bigram LM scoring, the
+map/struct complex-type surface, the interval-overlap join, the curation
+funnel report, and the native session_window aggregate.
+
+Each key's cross-engine value check is the DuckDB differential (oracle in
+the registry, replayed by tools/parity.py and the driver); these tests
+pin the semantics and the plan shapes the oracle can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.plans import checks
+from hivekudu_handler_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lm_score_bigram_counts_and_bounds(spark):
+    """n_bigrams = n_tokens - 1 for every scored doc; scores are
+    non-negative (P(w2|w1) <= 1 always) and finite."""
+    specs = load_all()
+    lm = specs["text_lm_score"].fn(spark, SF).alias("lm")
+    toks = specs["text_tokens"].fn(spark, SF).alias("tk")
+    j = lm.join(toks, "doc_id").select("lm.n_bigrams", "tk.n_tokens", "lm.lm_score")
+    bad = j.filter(
+        (F.col("n_bigrams") != F.col("n_tokens") - 1)
+        | (F.col("lm_score") < 0)
+        | F.isnan("lm_score")
+    )
+    assert bad.count() == 0
+    # docs with < 2 tokens are unscored, all others present
+    n_scorable = toks.filter(F.col("n_tokens") >= 2).count()
+    assert lm.count() == n_scorable
+
+
+def test_lm_score_repeated_bigram_is_free(spark):
+    """A context that always continues the same way costs 0 nats: build
+    the check from the score table itself — any doc whose every bigram is
+    deterministic under the corpus must score exactly 0.  The fixture has
+    none, so synthesize the invariant at the definition level instead:
+    the minimum possible lm_score is 0 and only P=1 contexts produce it."""
+    lm = load_all()["text_lm_score"].fn(spark, SF)
+    assert lm.filter(F.col("lm_score") < 0).count() == 0
+
+
+def test_fn_map_totals_match_event_counts(spark):
+    """The higher-order fold over map_values must re-derive each user's
+    raw event count, and element_at misses must be NULL not 0."""
+    m = load_all()["fn_map"].fn(spark, SF)
+    from hivekudu_handler_spark.tables import load_table
+
+    raw = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    j = m.join(raw, "user_id")
+    assert j.filter(F.col("n_total") != F.col("n_raw")).count() == 0
+    assert m.filter(F.col("n_click") == 0).count() == 0  # NULL, never 0
+
+
+def test_fn_struct_roundtrip_is_lossless(spark):
+    """Pack → inline must preserve the exact row multiset of lineitem."""
+    s = load_all()["fn_struct"].fn(spark, SF)
+    from hivekudu_handler_spark.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    assert s.count() == li.count()
+    # per-order maxima agree with a direct aggregate
+    direct = li.groupBy("l_orderkey").agg(F.max("l_quantity").alias("mq"))
+    j = s.select("l_orderkey", "max_qty").distinct().join(direct, "l_orderkey")
+    assert j.filter(F.col("max_qty") != F.col("mq")).count() == 0
+
+
+def test_interval_overlap_join_is_blocked_not_cartesian(spark):
+    """The 100 TB claim: candidate generation is a bucket equi-join —
+    the plan must contain no cartesian/nested-loop join."""
+    df = load_all()["join_interval_overlap"].fn(spark, SF)
+    ps = checks.plan_string(df)
+    assert "CartesianProduct" not in ps, ps
+    assert "BroadcastNestedLoopJoin" not in ps, ps
+
+
+def test_interval_overlap_pair_symmetry(spark):
+    """Overlap is symmetric, so the concurrency degrees must sum to an
+    even number (2 × unordered pairs)."""
+    df = load_all()["join_interval_overlap"].fn(spark, SF)
+    total = df.agg(F.sum("n_concurrent")).first()[0]
+    assert total is not None and total % 2 == 0
+
+
+def test_session_window_matches_manual_sessions(spark):
+    """Native session_window and the gaps-and-islands construction must
+    produce identical session sets (count, bounds, membership)."""
+    specs = load_all()
+    native = specs["agg_session_window"].fn(spark, SF)
+    manual = (
+        specs["events_sessionize"]
+        .fn(spark, SF)
+        .select(
+            "user_id",
+            F.col("session_start"),
+            F.col("session_end"),
+            F.col("n_events"),
+        )
+    )
+    assert native.count() == manual.count()
+    assert native.exceptAll(manual).count() == 0
+
+
+def test_quality_report_is_monotone_and_single_scan(spark):
+    """Stage survival can only shrink; the composed plan reads the
+    documents table exactly once (the report costs one scan, the whole
+    point vs the oracle's four CTE re-scans)."""
+    df = load_all()["curate_quality_report"].fn(spark, SF)
+    rows = {r["step"]: r for r in df.collect()}
+    assert list(sorted(rows)) == [1, 2, 3, 4]
+    for a, b in ((1, 2), (2, 3), (3, 4)):
+        assert rows[a]["n_docs"] >= rows[b]["n_docs"]
+        assert rows[a]["n_tokens"] >= rows[b]["n_tokens"]
+    import re
+
+    ps = checks.plan_string(df)
+    # formatted mode names each scan once in the tree and once in the
+    # detail section — count the detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", ps)) == 1, ps

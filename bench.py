@@ -88,6 +88,7 @@ HEADLINE = [
     "mm_image_phash_dedup", # decode -> aHash -> pigeonhole-banded visual dedup
     "text_lm_score",        # corpus bigram LM: count shuffles + vocab join-back
     "join_interval_overlap",  # hour-bucket-blocked interval self-join
+    "sim_pq_adc",           # PQ codes scan + ADC tables + exact re-rank
 ]
 
 

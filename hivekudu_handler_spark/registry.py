@@ -79,6 +79,7 @@ def load_all() -> dict[str, QuerySpec]:
         lm_score,
         multimodal,
         pca,
+        pq,
         sampling,
         similarity,
         span_dedup,

@@ -126,3 +126,64 @@ def test_quality_report_is_monotone_and_single_scan(spark):
     # formatted mode names each scan once in the tree and once in the
     # detail section — count the detail headers
     assert len(re.findall(r"\(\d+\) Scan parquet", ps)) == 1, ps
+
+
+def test_pq_codes_in_range_and_deterministic(spark):
+    """Every code word indexes a real centroid; encoding the same corpus
+    twice is bit-identical (deterministic sample + deterministic
+    Lloyd)."""
+    from hivekudu_handler_spark.pipeline import pq as pqmod
+
+    enc1 = load_all()["emb_pq_encode"].fn(spark, SF).orderBy("vec_id").collect()
+    enc2 = load_all()["emb_pq_encode"].fn(spark, SF).orderBy("vec_id").collect()
+    assert [r["code_str"] for r in enc1] == [r["code_str"] for r in enc2]
+    for r in enc1:
+        codes = [int(c) for c in r["code_str"].split(",")]
+        assert len(codes) == pqmod._M
+        assert all(0 <= c < pqmod._KSUB for c in codes)
+
+
+def test_pq_reconstruction_beats_one_centroid_baseline(spark):
+    """PQ reconstruction error must be strictly below the degenerate
+    1-centroid-per-subspace quantizer (= the per-subspace sample mean):
+    the cheapest possible sanity floor for 'the codebooks learned
+    something'."""
+    import numpy as np
+
+    from hivekudu_handler_spark.pipeline import pq as pqmod
+    from hivekudu_handler_spark.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    norm = pqmod._normalize(e)
+    sample = np.array(
+        norm.orderBy("vec_id")
+        .limit(pqmod._TRAIN_N)
+        .select("v")
+        .toPandas()["v"]
+        .tolist()
+    )
+    x = np.array(norm.select("v").toPandas()["v"].tolist())
+    mu = sample.mean(axis=0)
+    baseline = float(((x - mu) ** 2).sum(axis=1).mean())
+    enc = load_all()["emb_pq_encode"].fn(spark, SF)
+    measured = enc.agg(F.avg("recon_err")).first()[0]
+    assert measured < baseline, (measured, baseline)
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC + exact re-rank must hold the same recall bar as the LSH and
+    IVF search paths: recall@10 ≥ 0.8 vs sim_topk_cosine ground truth."""
+    specs = load_all()
+    a = specs["sim_pq_adc"].fn(spark, SF).toPandas()
+    gt = specs["sim_topk_cosine"].fn(spark, SF).toPandas()
+    qids = sorted(gt["query_id"].unique())
+    recall = sum(
+        len(
+            set(gt[gt.query_id == q]["neighbor_id"])
+            & set(a[a.query_id == q]["neighbor_id"])
+        )
+        / len(set(gt[gt.query_id == q]["neighbor_id"]))
+        for q in qids
+    ) / len(qids)
+    assert recall >= 0.8, recall

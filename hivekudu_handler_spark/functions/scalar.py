@@ -326,3 +326,36 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh")[3].cast("double").alias("head_4"),
         F.sqrt(F.aggregate("embedding", F.lit(0.0), _sq_acc)).alias("l2_norm"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle=(
+        "SELECT o_orderkey, "
+        "       o_orderkey & 255 AS low_byte, "
+        "       o_orderkey | 15 AS or_mask, "
+        "       xor(o_orderkey, o_custkey) AS key_xor, "
+        "       CAST(bit_count(o_orderkey) AS INT) AS popcount, "
+        "       o_orderkey << 2 AS shl2, "
+        "       o_orderkey >> 3 AS shr3 "
+        "FROM orders"
+    ),
+    tags=("fn",),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator family (&, |, XOR, popcount, shifts) over the
+    key columns — the primitives the hash/bucket/bloom layers build on
+    (Hive exposes the same set as &,|,^,<<,>> builtins).  All pure
+    codegen'd JVM expressions; popcount (``bit_count``) is the one the
+    SimHash/Hamming dedup path leans on.  Shifts are width-preserving on
+    BIGINT in both engines for these magnitudes, so results are exact."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & CAST(255 AS BIGINT)").alias("low_byte"),
+        F.expr("o_orderkey | CAST(15 AS BIGINT)").alias("or_mask"),
+        F.expr("o_orderkey ^ o_custkey").alias("key_xor"),
+        F.bit_count("o_orderkey").cast("int").alias("popcount"),
+        F.shiftleft("o_orderkey", 2).alias("shl2"),
+        F.shiftright("o_orderkey", 3).alias("shr3"),
+    )

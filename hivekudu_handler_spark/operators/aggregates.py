@@ -470,3 +470,35 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).withColumn("value", F.round("value", 2))
+
+
+@query("agg_sketch_mergeable", tags=("agg", "sketch"))
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pre-aggregation pattern
+    that makes 100 TB NDV queries cheap: per-partition (here per order
+    year) Datasketches HLL sketches of the customer key are built ONCE
+    with ``hll_sketch_agg``, then ``hll_union_agg`` folds the stored
+    sketches into coarser rollups WITHOUT touching the raw data again —
+    a daily sketch table answers "distinct customers this quarter/year/
+    ever" by unioning kilobyte sketches instead of re-scanning the fact.
+
+    Output: one row per year (estimate from the year's sketch) plus an
+    ``ALL`` row whose estimate comes from unioning the per-year sketches
+    — never from re-aggregating rows.  Rows-only key: Datasketches HLL
+    binaries are engine-specific, not SQL-replayable; pytest pins both
+    estimates within the published HLL error envelope of the exact NDVs
+    and pins the union row's plan to consume sketches, not raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .persist()
+    )
+    per_year = yearly.select(
+        F.col("yr").cast("string").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = yearly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+    ).select(F.lit("ALL").alias("scope"), "approx_customers")
+    return per_year.unionByName(merged).orderBy("scope")

@@ -187,3 +187,30 @@ def test_pq_adc_recall_vs_exact(spark):
         for q in qids
     ) / len(qids)
     assert recall >= 0.8, recall
+
+
+def test_sketch_mergeable_error_envelope(spark):
+    """Per-year and unioned HLL estimates must sit within 5% of the
+    exact NDVs (lgK=12 default ⇒ ~1.6% RSE; 5% ≈ 3σ), and the ALL row
+    must come from UNIONING the stored sketches (hll_union_agg in the
+    plan), not from re-aggregating raw rows."""
+    from hivekudu_handler_spark.tables import load_table
+
+    df = load_all()["agg_sketch_mergeable"].fn(spark, SF)
+    got = {r["scope"]: r["approx_customers"] for r in df.collect()}
+    o = load_table(spark, SF, "orders")
+    exact = {
+        str(r["yr"]): r["n"]
+        for r in o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for scope, est in got.items():
+        assert abs(est - exact[scope]) / exact[scope] <= 0.05, (
+            scope,
+            est,
+            exact[scope],
+        )
+    assert "hll_union_agg" in checks.plan_string(df)

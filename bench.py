@@ -89,6 +89,7 @@ HEADLINE = [
     "text_lm_score",        # corpus bigram LM: count shuffles + vocab join-back
     "join_interval_overlap",  # hour-bucket-blocked interval self-join
     "sim_pq_adc",           # PQ codes scan + ADC tables + exact re-rank
+    "text_bpe_train",       # vocab-count shuffle + driver merge-learn + encode
 ]
 
 

@@ -214,3 +214,44 @@ def test_sketch_mergeable_error_envelope(spark):
             exact[scope],
         )
     assert "hll_union_agg" in checks.plan_string(df)
+
+
+def test_bpe_train_bounds_and_header(spark):
+    """Per-doc token counts are bounded by chars+words above (0-merge
+    degenerate tokenization) and words below (1 token per word); the
+    corpus must actually compress below the 0-merge baseline; the model
+    header row carries the merge count."""
+    bpe = load_all()["text_bpe_train"].fn(spark, SF)
+    rows = bpe.collect()
+    hdr = [r for r in rows if r["doc_id"] == -1]
+    assert len(hdr) == 1 and hdr[0]["n_bpe_tokens"] > 0
+    body = {r["doc_id"]: r for r in rows if r["doc_id"] >= 0}
+    toks = load_all()["text_tokens"].fn(spark, SF).collect()
+    total_bpe = total_baseline = 0
+    for t in toks:
+        r = body[t["doc_id"]]
+        n_words = t["n_tokens"]
+        assert n_words <= r["n_bpe_tokens"] <= r["n_word_chars"] + n_words
+        total_bpe += r["n_bpe_tokens"]
+        total_baseline += r["n_word_chars"] + n_words
+    assert total_bpe < total_baseline
+
+
+def test_bpe_merge_loop_is_lossless_and_deterministic():
+    """Pure-algorithm check, no Spark: encoding any word with the
+    learned ranks re-joins to the original word + sentinel, and the
+    learner is order-independent on its input (sorted internally by
+    the caller's deterministic collect)."""
+    from hivekudu_handler_spark.pipeline.bpe_train import (
+        _END,
+        _encode_word,
+        learn_merges,
+    )
+
+    counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_merges(counts, 10)
+    assert merges == learn_merges(list(reversed(counts)), 10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w, _ in counts + [("unseen", 1), ("a", 1)]:
+        seq = _encode_word(w, ranks)
+        assert "".join(seq) == w + _END

@@ -304,8 +304,13 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
+    # candidates are C·|queries| rows — broadcast EXPLICITLY so the plan
+    # stays a corpus-scan + broadcast probe at any corpus size (the
+    # optimizer can't size a window output; without the hint a CBO miss
+    # would shuffle the corpus for a 750-row join)
     exact = (
-        cands.join(norm.select("vec_id", "v"), "vec_id")
+        norm.select("vec_id", "v")
+        .join(F.broadcast(cands), "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select("query_id", "vec_id", dot.alias("cos_raw"))
     )

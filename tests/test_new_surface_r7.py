@@ -255,3 +255,15 @@ def test_bpe_merge_loop_is_lossless_and_deterministic():
     for w, _ in counts + [("unseen", 1), ("a", 1)]:
         seq = _encode_word(w, ranks)
         assert "".join(seq) == w + _END
+
+
+def test_pq_rerank_broadcasts_candidates(spark):
+    """The exact re-rank must be corpus-scan + broadcast probes — no
+    shuffle join of corpus-sized data (the candidate set is C·|queries|
+    rows and explicitly broadcast; a CBO miss would otherwise shuffle
+    the corpus for a 750-row join)."""
+    df = load_all()["sim_pq_adc"].fn(spark, SF)
+    ps = checks.plan_string(df)
+    assert "SortMergeJoin" not in ps, ps
+    assert "ShuffledHashJoin" not in ps, ps
+    assert "BroadcastHashJoin" in ps, ps

@@ -432,3 +432,79 @@ def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_non_ws"),
         F.size(F.filter("toks", lambda x: x != "")).alias("n_words"),
     )
+
+
+_HH_K = 100  # Misra-Gries capacity; guarantee threshold = n/(K+1)
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=(
+        "WITH toks AS ("
+        f"  SELECT unnest(list_filter({_TOKENS_SQL}, x -> x <> '')) AS token "
+        "  FROM documents) "
+        "SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token "
+        f"HAVING COUNT(*) > (SELECT COUNT(*) FROM toks) / {_HH_K + 1}.0"
+    ),
+    tags=("text", "sketch"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token mining with a MERGEABLE Misra-Gries sketch — the
+    deterministic-guarantee cousin of the HLL key: find every token
+    whose corpus frequency exceeds n/(K+1) WITHOUT a corpus-sized
+    group-by.
+
+    Why this is the 100 TB shape: a plain ``GROUP BY token`` shuffles
+    the full vocabulary (web-scale: 10⁸⁺ rows, heavy skew on the
+    hitters).  Here each partition folds its token stream into a
+    K-counter Misra-Gries summary (Arrow-batched: per-batch exact counts
+    merge into the summary, then trim to K by subtracting the (K+1)-th
+    largest — the Agarwal et al. "Mergeable Summaries" merge, which
+    preserves the undercount bound ≤ n_p/(K+1)).  Survivor sets are
+    CANDIDATE-COMPLETE for the global threshold: if a token's total
+    count exceeds n/(K+1), an averaging argument puts it above
+    n_p/(K+1) in at least one partition, so it survives there.  The
+    tiny candidate union (≤ K·P rows) broadcasts back for one exact
+    targeted count, so the FINAL output is exactly correct — which is
+    what lets a sketch key keep a plain SQL oracle (GROUP BY + HAVING):
+    sketch for candidate generation, exact verify for the answer, the
+    same discipline as the LSH dedup stack."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(tokens(), lambda x: x != "")).alias("token")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for t, c in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > _HH_K:
+                cut = sorted(counters.values(), reverse=True)[_HH_K]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c > cut
+                }
+        if counters:
+            yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = (
+        tok.mapInPandas(
+            mg, T.StructType([T.StructField("token", T.StringType())])
+        )
+        .distinct()
+    )
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(n)
+        .filter(F.col("cnt") > F.col("n") / (_HH_K + 1))
+        .select("token", "cnt")
+    )

@@ -267,3 +267,29 @@ def test_pq_rerank_broadcasts_candidates(spark):
     assert "SortMergeJoin" not in ps, ps
     assert "ShuffledHashJoin" not in ps, ps
     assert "BroadcastHashJoin" in ps, ps
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """The MG candidate stage is partitioning-dependent (survivor SETS
+    vary with arrival order), but the exact-verify threshold makes the
+    FINAL answer partitioning-independent — pin that by comparing
+    against a direct exact group-by at two partitionings."""
+    from hivekudu_handler_spark.pipeline.text import _HH_K, tokens
+    from hivekudu_handler_spark.tables import load_table
+
+    hh = load_all()["text_heavy_hitters"].fn(spark, SF)
+    got = {(r["token"], r["cnt"]) for r in hh.collect()}
+
+    d = load_table(spark, SF, "documents").repartition(7)
+    tok = d.select(
+        F.explode(F.filter(tokens(), lambda x: x != "")).alias("token")
+    )
+    n = tok.count()
+    exact = {
+        (r["token"], r["cnt"])
+        for r in tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > n / (_HH_K + 1))
+        .collect()
+    }
+    assert got == exact and len(got) > 0

@@ -90,6 +90,7 @@ HEADLINE = [
     "join_interval_overlap",  # hour-bucket-blocked interval self-join
     "sim_pq_adc",           # PQ codes scan + ADC tables + exact re-rank
     "text_bpe_train",       # vocab-count shuffle + driver merge-learn + encode
+    "text_heavy_hitters",   # per-partition Misra-Gries + exact candidate verify
 ]
 
 

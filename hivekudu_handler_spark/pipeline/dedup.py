@@ -138,20 +138,22 @@ def _cap_hot_shingles(ex: DataFrame, cap: int, key: str = "shingle") -> DataFram
     return ex.join(keep, key)
 
 
-def ngram_jaccard_pairs(
+def shingle_pair_stats(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.5,
     shingle_df_cap: int = _SHINGLE_DF_CAP,
 ) -> DataFrame:
-    """Exact pairwise Jaccard ≥ threshold via the shingle-inverted-index
-    join (never materializes |docs|² pairs).
+    """(doc_a, doc_b, c, na, nb) for every pair of documents sharing at
+    least one shingle: overlap count plus both true shingle-set sizes —
+    the sufficient statistics for any set-overlap metric (Jaccard,
+    containment, overlap coefficient) via the inverted-index join that
+    never materializes |docs|² pairs.
 
     The shingle table feeds four plan branches (both join sides + both
     size lookups): persisted so tokenization runs once.  The join key is
     ``xxhash64(shingle)`` — an 8-byte shuffle key instead of a ~20-byte
     string (64-bit collisions are negligible at this cardinality and the
-    final Jaccard is still computed from true shingle-set sizes).  Hot
+    metrics are still computed from true shingle-set sizes).  Hot
     shingles above ``shingle_df_cap`` documents are excluded from the
     index (see ``_SHINGLE_DF_CAP``); pairs whose overlap survives only
     via capped shingles score lower — the documented approximation that
@@ -179,16 +181,26 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    jac = (
-        common.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
-        )
-        .withColumn("jac_raw", F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+    return common.join(
+        sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+        "doc_b",
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    shingle_df_cap: int = _SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Exact pairwise Jaccard ≥ threshold over ``shingle_pair_stats``
+    (see there for the inverted-index scale shape)."""
+    stats = shingle_pair_stats(spark, sf_dir, shingle_df_cap)
+    jac = stats.withColumn(
+        "jac_raw", F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     )
     return jac.filter(F.col("jac_raw") >= threshold).select(
         "doc_a", "doc_b", F.round("jac_raw", 6).alias("jaccard")
@@ -231,6 +243,53 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5)."""
     return ngram_jaccard_pairs(spark, sf_dir, threshold=0.5)
+
+
+_CONTAIN_TAU = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=(
+        f"WITH {_SHINGLE_CTES_SQL}, "
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c "
+        "  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, len(s) AS n FROM sh) "
+        "SELECT doc_a, doc_b, "
+        "       CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc, "
+        "       ROUND(c * 1.0 / LEAST(sa.n, sb.n), 6) AS containment "
+        "FROM common "
+        "JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b "
+        f"WHERE c * 1.0 / LEAST(sa.n, sb.n) >= {_CONTAIN_TAU}"
+    ),
+    tags=("dedup",),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where the smaller shingle set
+    is ≥ 80% inside the larger — |A∩B| / min(|A|,|B|).
+
+    Jaccard misses doc-in-doc duplication: a short document quoted whole
+    inside a long one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on
+    containment.  Training-data pipelines drop the *contained* side (the
+    quote adds no new tokens); ``contained_doc`` names it (ties break to
+    the lower doc_id so the rule is deterministic).  Same inverted-index
+    join as Jaccard — ``shingle_pair_stats`` — so the 100 TB cost shape
+    is identical: hot-shingle-capped bucket join, never |docs|² pairs.
+    """
+    stats = shingle_pair_stats(spark, sf_dir)
+    cont = stats.withColumn(
+        "cont_raw", F.col("c") / F.least("na", "nb")
+    )
+    return cont.filter(F.col("cont_raw") >= _CONTAIN_TAU).select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+        F.round("cont_raw", 6).alias("containment"),
+    )
 
 
 _BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")

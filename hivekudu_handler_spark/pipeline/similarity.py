@@ -164,6 +164,48 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES))
 
 
+# Range-search threshold: the fixture's query-vs-corpus cosine tops out
+# near 0.40 with a 99th percentile ≈ 0.30, so τ = 0.30 keeps ~1% of the
+# corpus per query — a selective radius, not a disguised full scan.
+_RANGE_TAU = 0.30
+
+
+@query(
+    "sim_range_search",
+    oracle=(
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        f"          FROM embeddings WHERE vec_id < {_N_QUERIES}), "
+        "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+        "           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
+        "             AS cos_raw "
+        "           FROM embeddings e CROSS JOIN q "
+        "           WHERE e.vec_id <> q.query_id) "
+        "SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cosine "
+        f"FROM scored WHERE cos_raw >= {_RANGE_TAU}"
+    ),
+    tags=("similarity", "vector"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine *range* search: every corpus vector within radius
+    (cosine ≥ 0.30) of each query vector — the "find all near-dup
+    candidates of this document" query, vs top-k's fixed-size answer.
+
+    Unlike top-k there is no ranking stage at all: queries broadcast,
+    one codegen'd scan of the corpus, a threshold filter — zero shuffle
+    of corpus-sized data and no per-query window.  At 100 TB this is the
+    cheapest possible shape (embarrassingly parallel map over corpus
+    partitions); selectivity is governed by τ, and a production caller
+    pre-gates with sign-LSH bands (``sim_ann_lsh``) when τ is loose.
+    """
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    scored = _score_pairs(e, e.filter(F.col("vec_id") < _N_QUERIES))
+    return scored.filter(F.col("cos_raw") >= _RANGE_TAU).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round("cos_raw", 4).alias("cosine"),
+    )
+
+
 # --- sign-LSH --------------------------------------------------------------
 
 # Defaults for the registered key.  16 bits hash to 65k buckets — enough

@@ -767,3 +767,50 @@ def test_tfidf_top_terms_are_positive_and_ranked(spark, specs):
     for doc, rnks in by_doc.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), (doc, rnks)
     assert all(r["tfidf"] >= 0 for r in rows)
+
+
+def test_containment_detects_doc_in_doc(spark, tmp_path):
+    """A short document quoted verbatim inside a long one scores
+    containment 1.0 (every trigram of the quote appears in the host)
+    while its Jaccard stays far below the 0.5 dedup threshold — the
+    asymmetric case ``dedup_containment`` exists to catch.  The
+    ``contained_doc`` column must name the smaller-set side."""
+    quote = "quick brown fox jumps over the lazy dog tonight"
+    host = (
+        "the long host document begins with plenty of framing words "
+        f"then quotes {quote} and continues afterwards with many more "
+        "entirely unrelated closing words to dilute the jaccard score "
+        "further and further until the symmetric metric gives up"
+    )
+    spark.createDataFrame(
+        [(1, host, "en", "t", len(host)), (2, quote, "en", "t", len(quote))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["contained_doc"], r["containment"])
+        for r in dedup.dedup_containment(spark, sf).collect()
+    }
+    assert (1, 2) in cont
+    contained, score = cont[(1, 2)]
+    assert contained == 2  # the quote is the contained side
+    assert score == 1.0
+    # the symmetric metric misses the same pair at its dedup threshold
+    assert (1, 2) not in _pairs(dedup.ngram_jaccard_pairs(spark, sf, 0.5))
+
+
+def test_range_search_consistent_with_topk(spark, specs):
+    """Range search (cosine ≥ τ) agrees with the exact top-k ranking:
+    every top-k neighbor at or above the radius appears in the range
+    result with the identical rounded cosine, and nothing below the
+    radius leaks in."""
+    tau = similarity._RANGE_TAU
+    rng = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in specs["sim_range_search"].fn(spark, SF).collect()
+    }
+    assert all(c >= tau - 1e-9 for c in rng.values())
+    topk = specs["sim_topk_cosine"].fn(spark, SF).collect()
+    for r in topk:
+        if r["cosine"] >= tau:
+            assert rng.get((r["query_id"], r["neighbor_id"])) == r["cosine"]

@@ -445,3 +445,22 @@ def test_banded_pairing_keys_have_no_cartesian(spark):
         plan = checks.plan_string(df)
         assert "CartesianProduct" not in plan, (key, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (key, plan)
+
+
+def test_range_search_is_scan_shaped(spark):
+    """Range search must have NO ranking stage at all: no Window (the
+    top-k path's rank step), no hashpartitioning exchange of the corpus
+    — just the broadcast query probe over one corpus scan."""
+    plan = checks.plan_string(load_all()["sim_range_search"].fn(spark, SF))
+    assert "Window" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_containment_shares_inverted_index_shape(spark):
+    """Containment pairs come from the same inverted-index join as
+    Jaccard: a shingle-key equi-join (SortMergeJoin/ShuffledHashJoin on
+    the hashed shingle), never a CartesianProduct over documents."""
+    plan = checks.plan_string(load_all()["dedup_containment"].fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

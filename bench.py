@@ -91,6 +91,8 @@ HEADLINE = [
     "sim_pq_adc",           # PQ codes scan + ADC tables + exact re-rank
     "text_bpe_train",       # vocab-count shuffle + driver merge-learn + encode
     "text_heavy_hitters",   # per-partition Misra-Gries + exact candidate verify
+    "sim_range_search",     # radius query: broadcast probe, no ranking stage
+    "dedup_containment",    # doc-in-doc via the shared shingle pair stats
 ]
 
 

@@ -428,6 +428,83 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_asof_nearest",
+    oracle=(
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT * FROM events WHERE event_type = 'view'), "
+        "pairs AS ("
+        "  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
+        "         abs(date_diff('microsecond', v.ts, p.ts)) AS abs_gap_us, "
+        "         CASE WHEN v.ts <= p.ts THEN 'backward' ELSE 'forward' END "
+        "           AS direction, "
+        "         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY "
+        "           abs(date_diff('microsecond', v.ts, p.ts)), "
+        "           CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END, "
+        "           CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END"
+        "         ) AS rn "
+        "  FROM p JOIN v ON p.user_id = v.user_id) "
+        "SELECT purchase_id, user_id, view_id, abs_gap_us, direction "
+        "FROM pairs WHERE rn = 1"
+    ),
+    tags=("join", "custom"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each purchase, the view closest in time in
+    EITHER direction (``pandas.merge_asof(direction='nearest')``), ties
+    broken toward the prior view.
+
+    Composed from the two directional scans over ONE shuffle: the same
+    per-user ``(ts, views-first, event_id)`` sort feeds a
+    preceding-frame ``last`` (nearest prior view — ``join_asof``'s
+    carry) AND a following-frame ``first`` (nearest later view), then a
+    row-local comparator picks the smaller gap.  Both window frames
+    share the partitioning and ordering, so Catalyst plans a single
+    exchange + sort — the naive form (full-outer-joining the backward
+    and forward results on purchase_id) pays a second shuffle for the
+    same answer.  Same-instant views land in the preceding frame
+    (views-first ordering) with gap 0, which wins every tie, so the
+    following frame correctly sees only strictly-later views.
+    Tiebreakers mirror the directional keys: latest (max event_id)
+    among equal-gap prior views, earliest (min event_id) among
+    equal-gap later views — the oracle encodes the same order with a
+    signed event_id sort term.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "user_id", "ts", "event_type")
+    is_purchase = (F.col("event_type") == "purchase").cast("int")
+    asc = Window.partitionBy("user_id").orderBy("ts", is_purchase, "event_id")
+    w_back = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = asc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    scanned = (
+        ev.withColumn("back_id", F.last(view_id, ignorenulls=True).over(w_back))
+        .withColumn("back_ts", F.last(view_ts, ignorenulls=True).over(w_back))
+        .withColumn("fwd_id", F.first(view_id, ignorenulls=True).over(w_fwd))
+        .withColumn("fwd_ts", F.first(view_ts, ignorenulls=True).over(w_fwd))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("back_id").isNotNull() | F.col("fwd_id").isNotNull())
+        )
+    )
+    gap_b = F.unix_micros("ts") - F.unix_micros("back_ts")
+    gap_f = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    use_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | (gap_b <= gap_f)
+    )
+    return scanned.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(use_back, F.col("back_id")).otherwise(F.col("fwd_id"))
+        .alias("view_id"),
+        F.when(use_back, gap_b).otherwise(gap_f).alias("abs_gap_us"),
+        F.when(use_back, F.lit("backward")).otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+
 def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``applyInPandas`` + ``pandas.merge_asof`` formulation of
     ``join_asof`` — kept as the template for as-of logic Spark

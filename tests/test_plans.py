@@ -464,3 +464,22 @@ def test_containment_shares_inverted_index_shape(spark):
     plan = checks.plan_string(load_all()["dedup_containment"].fn(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_nearest_single_exchange_and_directional_agreement(spark):
+    """join_asof_nearest's dual-frame windows must share one exchange +
+    sort (the full-outer composition of the two directional results
+    would pay two), and its picks must agree with the directional keys:
+    the chosen gap is the min of the backward/forward gaps wherever
+    both directions matched."""
+    specs = load_all()
+    near = specs["join_asof_nearest"].fn(spark, SF)
+    assert checks.count_shuffles(near) == 1
+    assert "Python" not in checks.plan_string(near)
+    picked = {r["purchase_id"]: r["abs_gap_us"] for r in near.collect()}
+    back = {r["purchase_id"]: r["gap_us"] for r in specs["join_asof"].fn(spark, SF).collect()}
+    fwd = {r["purchase_id"]: r["gap_us"] for r in specs["join_asof_forward"].fn(spark, SF).collect()}
+    assert set(picked) == set(back) | set(fwd)
+    big = 1 << 62
+    for pid, gap in picked.items():
+        assert gap == min(back.get(pid, big), fwd.get(pid, big)), pid

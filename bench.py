@@ -93,6 +93,7 @@ HEADLINE = [
     "text_heavy_hitters",   # per-partition Misra-Gries + exact candidate verify
     "sim_range_search",     # radius query: broadcast probe, no ranking stage
     "dedup_containment",    # doc-in-doc via the shared shingle pair stats
+    "join_asof_nearest",    # dual-frame nearest match over one shuffle
 ]
 
 

@@ -502,3 +502,52 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
     ).select(F.lit("ALL").alias("scope"), "approx_customers")
     return per_year.unionByName(merged).orderBy("scope")
+
+
+@query(
+    "agg_mode",
+    oracle=(
+        "WITH counts AS ("
+        "  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt "
+        "  FROM orders GROUP BY 1, 2), "
+        "ranked AS ("
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+        "    ORDER BY cnt DESC, o_orderpriority) AS rn FROM counts) "
+        "SELECT o_orderstatus, o_orderpriority AS modal_priority, "
+        "       cnt AS modal_count "
+        "FROM ranked WHERE rn = 1"
+    ),
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent order priority
+    per order status, ties broken to the lexicographically smallest
+    value.
+
+    Spark's built-in ``mode()`` (3.4+) picks an arbitrary winner on
+    ties, so results vary with partitioning — unusable under a
+    differential oracle and a reproducibility hazard in pipelines.
+    Composed instead as count-then-pick: one map-side-combined count
+    aggregate over the fact table (group×value cardinality crosses the
+    shuffle, not rows), then a window rank over only the counted table
+    (groups × |value domain| rows — KBs at any fact-table size).  The
+    expensive stage is exactly the ``agg_groupby`` plan; determinism
+    costs one extra exchange of a dimension-sized intermediate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("modal_count"),
+        )
+    )

@@ -87,3 +87,25 @@ def test_session_tz_pinned_by_queries(spark):
         assert row["unix_ts"] % 86400 == 0
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_mode_is_true_max_and_partitioning_invariant(spark):
+    """The modal value per group carries the group's true max count,
+    and the answer is identical under a different input partitioning
+    (the failure mode of Spark's built-in tie-arbitrary mode())."""
+    q = load_all()["agg_mode"]
+    base = {r["o_orderstatus"]: (r["modal_priority"], r["modal_count"])
+            for r in q.fn(spark, SF).collect()}
+    counts = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .count()
+        .collect()
+    )
+    best = {}
+    for r in counts:
+        k = r["o_orderstatus"]
+        cand = (-r["count"], r["o_orderpriority"])
+        if k not in best or cand < best[k]:
+            best[k] = cand
+    assert {k: (v[1], -v[0]) for k, v in best.items()} == base

@@ -14,8 +14,10 @@ aggregation.  So the scale split is:
 1. **word counts** — one corpus scan + one vocabulary-keyed shuffle with
    map-side combine (the same shape as ``text_tfidf``'s df stage).  The
    result is vocabulary-sized: Heaps' law puts a 100 TB web corpus at
-   ~10⁷–10⁸ word types, kilobyte rows — reducible further with a count
-   floor.  This is the ONLY corpus-sized work in training.
+   ~10⁷–10⁸ word types, kilobyte rows — and the driver collect is
+   bounded by the ``_MAX_WORD_TYPES`` top-by-count cap (planned as
+   TakeOrderedAndProject, no global sort).  This is the ONLY
+   corpus-sized work in training.
 2. **merge learning** — driver-side over the collected count table,
    exactly like HF-tokenizers' single-node trainer (the merge table is
    MODEL STATE: a few thousand string pairs).  Deterministic: best pair
@@ -49,6 +51,15 @@ from hivekudu_handler_spark.tables import load_table
 
 _N_MERGES = 64
 _END = "</w>"  # end-of-word sentinel, the classic BPE formulation
+
+# Driver-collect bound for merge learning (r7 verdict): Heaps' law puts a
+# 100 TB corpus at 10⁷–10⁸ word types, a multi-GB collect if unbounded.
+# Cap at the top 2¹⁸ types by count — the same move as HF-tokenizers'
+# vocab/alphabet limits: merge votes are count-weighted, so the extreme
+# tail (rank ≫ 10⁵, counts ≈ 1) cannot flip a winning pair except in
+# corner corpora, and bounding the model input is what makes the trainer
+# run at all at scale.  Deterministic: ties broken by word ASC.
+_MAX_WORD_TYPES = 1 << 18
 
 
 def word_counts(d: DataFrame) -> DataFrame:
@@ -119,11 +130,25 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return seq
 
 
-def bpe_fit(spark: SparkSession, sf_dir: str, n_merges: int = _N_MERGES):
+def bpe_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = _N_MERGES,
+    max_word_types: int = _MAX_WORD_TYPES,
+):
     d = load_table(spark, sf_dir, "documents")
+    # top-N by (cnt DESC, word ASC): Catalyst plans sort+limit as
+    # TakeOrderedAndProject — per-partition heaps, no global sort
+    # shuffle — so the driver receives at most max_word_types rows no
+    # matter the corpus size.
+    capped = (
+        word_counts(d)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_word_types)
+    )
     counts = [
         (r["word"], r["cnt"])
-        for r in word_counts(d).orderBy("word").collect()
+        for r in capped.orderBy("word").collect()
     ]
     return d, learn_merges(counts, n_merges)
 

@@ -237,3 +237,81 @@ def test_source_hash_includes_dependency_closure():
         return data
 
     assert _combined_hash("hivekudu_handler_spark/operators/ddl.py", patched) != base
+
+
+def test_per_key_hash_granularity():
+    """r8: per-key function-closure hashing.  The r7 module-level
+    granularity meant one additive edit (agg_mode) re-staled all 20
+    aggregate keys; 159/209 keys entered r8 stale with almost no real
+    behavior changes.  Pin the four properties that prevent that:
+
+    1. appending an unrelated function to the defining module does NOT
+       change an existing key's hash;
+    2. editing the key's own body DOES;
+    3. editing a same-module helper the key references DOES;
+    4. editing an unreferenced part of a hub module (registry.load_all's
+       import list) does NOT — but editing the cross-module helper the
+       key actually calls (tables.load_table) DOES.
+    """
+    import os
+
+    from tools.source_hashes import _ClosureWalker, _fs_reader
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    read = _fs_reader(root)
+    agg_rel = "hivekudu_handler_spark/operators/aggregates.py"
+
+    def hashes(patch=None):
+        def pread(rel):
+            data = read(rel)
+            if patch and data is not None and rel in patch:
+                return patch[rel](data)
+            return data
+
+        w = _ClosureWalker(pread)
+        return {k: w.closure_hash(agg_rel, fn) for k, fn in w.query_keys(agg_rel).items()}
+
+    base = hashes()
+    assert "agg_count_star" in base and "agg_groupby" in base
+
+    # 1. unrelated addition to the same module: no key hash moves
+    added = hashes({agg_rel: lambda d: d + b"\n\ndef _brand_new_helper():\n    return 1\n"})
+    assert added == base
+
+    # 2. editing one key's body moves only that key
+    def edit_count_star(data):
+        # first occurrence only: the same expression text appears in
+        # other aggregate bodies, and those must NOT be touched
+        return data.replace(b'F.count(F.lit(1)).alias("cnt")', b'F.count(F.lit(2)).alias("cnt")', 1)
+
+    edited = hashes({agg_rel: edit_count_star})
+    assert edited["agg_count_star"] != base["agg_count_star"]
+    assert edited["agg_groupby"] == base["agg_groupby"]
+
+    # 3. editing the cross-module helper every key calls moves them all
+    tables_rel = "hivekudu_handler_spark/tables.py"
+
+    def edit_load_table(data):
+        return data.replace(b"def load_table(", b"def load_table(  # edited\n")
+
+    dep = hashes({tables_rel: edit_load_table})
+    assert dep["agg_count_star"] != base["agg_count_star"]
+
+    # 4. hub-module churn the key never references is absorbed
+    reg_rel = "hivekudu_handler_spark/registry.py"
+
+    def edit_load_all(data):
+        return data.replace(b"def load_all(", b"def load_all(  # edited\n")
+
+    hub = hashes({reg_rel: edit_load_all})
+    assert hub == base
+
+    # oracle SQL lives in the decorator: changing it must move the hash
+    def edit_oracle(data):
+        return data.replace(
+            b'oracle="SELECT COUNT(*) AS cnt FROM lineitem"',
+            b'oracle="SELECT COUNT(*) AS cnt2 FROM lineitem"',
+        )
+
+    orc = hashes({agg_rel: edit_oracle})
+    assert orc["agg_count_star"] != base["agg_count_star"]

@@ -1,0 +1,64 @@
+"""Invariants for the round-8 additions and scale fixes: the bounded
+BPE training collect, SQL catalog verbs, mview commit batching, and the
+external-layout attach seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bpe_vocab_collect_is_capped(spark):
+    """r7 verdict's one scale flag: bpe_fit collected the FULL word-count
+    vocabulary driver-side (multi-GB at 100 TB).  Pin the fix: (a) the
+    collect is bounded by max_word_types; (b) the cap is planned as a
+    top-N (TakeOrderedAndProject), not a global sort shuffle; (c) the
+    fixture vocabulary sits under the default cap, so the learned merge
+    table is unchanged by the cap's introduction."""
+    from hivekudu_handler_spark.pipeline.bpe_train import (
+        _MAX_WORD_TYPES,
+        bpe_fit,
+        word_counts,
+    )
+    from hivekudu_handler_spark.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    vocab_n = word_counts(d).count()
+    assert vocab_n < _MAX_WORD_TYPES  # (c) precondition at fixture scale
+
+    # (a) a tiny cap really bounds what merge learning sees: train with
+    # cap 10 (< the fixture's vocabulary) and verify it equals training
+    # on the exact top-10 list
+    assert vocab_n > 10
+    d2, merges_capped = bpe_fit(spark, SF, n_merges=8, max_word_types=10)
+    top10 = [
+        (r["word"], r["cnt"])
+        for r in word_counts(d2)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(10)
+        .collect()
+    ]
+    assert len(top10) == 10
+    from hivekudu_handler_spark.pipeline.bpe_train import learn_merges
+
+    assert merges_capped == learn_merges(sorted(top10), 8)
+
+    # (b) plan shape: sort+limit must fold into TakeOrderedAndProject
+    capped_plan = (
+        word_counts(d)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(_MAX_WORD_TYPES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in capped_plan
+
+    # (c) default-cap merges == unbounded merges on the fixture
+    _, merges_default = bpe_fit(spark, SF, n_merges=8)
+    _, merges_unbounded = bpe_fit(spark, SF, n_merges=8, max_word_types=1 << 30)
+    assert merges_default == merges_unbounded

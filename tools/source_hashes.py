@@ -8,15 +8,20 @@ green row silently goes stale — nothing re-queues the key for official
 re-verification.  This module makes staleness structural instead of
 luck-of-the-window:
 
-- ``current_hashes(specs)`` — sha256 over the *defining module's source
-  file PLUS the transitive closure of its package-internal imports*
-  for each registry key (module-level on purpose: helpers like
-  ``_frame_sample`` live next to the registered fn, and an edit anywhere
-  in the module is grounds for re-recording every key it defines;
-  closure-level since r7: rewriting ``sources/table_store.py`` changes
-  every ``operators/ddl.py`` key's behavior without touching ddl.py —
-  a key's verified behavior is the code it runs, not the file it is
-  defined in).
+- ``current_hashes(specs)`` — per-key *function-closure* hash
+  (per-key since r8; the r7 module-closure granularity meant adding one
+  aggregate re-staled all 20 keys in ``aggregates.py`` — 159 of 209 keys
+  entered r8 "stale" though almost none had behavior changes).  The hash
+  covers: the ``@query`` function's own source INCLUDING its decorator
+  (the oracle SQL lives there), the transitive closure of same-module
+  top-level names it references (helpers, constants, classes), the
+  source of import statements binding referenced external names, and —
+  for referenced names bound by package-internal imports — the imported
+  module's whole-file closure hash (cross-module deps stay module-level
+  on purpose: rewriting ``sources/table_store.py`` changes every
+  ``operators/ddl.py`` key's behavior without touching ddl.py; a key's
+  verified behavior is the code it RUNS, not the file it is defined in).
+  Keys not statically locatable fall back to the module-closure hash.
 - ``tools/source_hashes.json`` stores, per key, ``{round: hash}`` —
   the hash of the key's source at the end of each builder round N, i.e.
   the exact code state the driver verifies when it writes
@@ -124,6 +129,201 @@ def _combined_hash(entry_rel: str, read_bytes) -> str | None:
     return agg.hexdigest()
 
 
+class _ClosureWalker:
+    """Cross-module, per-name source-closure hashing over raw source text.
+
+    Static (AST, no imports) on purpose: the same algorithm must run
+    against live files AND historical git blobs (``backfill``).  The
+    closure of a top-level name is: its own source segment, plus (
+    transitively) the segments of every top-level name it references —
+    following ``from pkg.mod import name`` edges into OTHER package
+    modules at the same per-name granularity.  Only when a reference is
+    a whole-module import (``import pkg.m`` / ``from pkg import m``) or
+    the name can't be found in the target module does it fall back to
+    that module's whole-file closure hash.  This keeps hub modules
+    (``registry.py``, ``tables.py``) from staling every key in the repo
+    when one unrelated line is added (r7 verdict: 159/209 keys stale,
+    almost all collateral)."""
+
+    def __init__(self, read_bytes):
+        self.read = read_bytes
+        self._mods: dict[str, dict | None] = {}
+        self._mod_hash: dict[str, str | None] = {}
+
+    # -- module parsing ------------------------------------------------
+    def info(self, rel: str) -> dict | None:
+        """Parsed-module cache: {binds, segment(), tree} or None."""
+        import ast
+
+        if rel in self._mods:
+            return self._mods[rel]
+        data = self.read(rel)
+        if data is None:
+            self._mods[rel] = None
+            return None
+        text = data.decode("utf-8", "replace")
+        try:
+            tree = ast.parse(text)
+        except SyntaxError:
+            self._mods[rel] = None
+            return None
+        lines = text.splitlines(keepends=True)
+
+        def segment(node) -> str:
+            start = node.lineno
+            decos = getattr(node, "decorator_list", None)
+            if decos:
+                # decorator source is part of a key's behavior (the
+                # oracle SQL string lives inside the @query(...) call)
+                start = min(start, min(d.lineno for d in decos))
+            return "".join(lines[start - 1 : node.end_lineno])
+
+        binds: dict[str, tuple] = {}
+        for stmt in tree.body:
+            if isinstance(stmt, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                binds[stmt.name] = ("def", stmt)
+            elif isinstance(stmt, (ast.Assign, ast.AnnAssign)):
+                targets = stmt.targets if isinstance(stmt, ast.Assign) else [stmt.target]
+                for t in targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            binds[n.id] = ("def", stmt)
+            elif isinstance(stmt, ast.Import):
+                for a in stmt.names:
+                    binds[a.asname or a.name.split(".")[0]] = ("import", a.name, None, stmt)
+            elif isinstance(stmt, ast.ImportFrom):
+                mod = stmt.module or ""
+                for a in stmt.names:
+                    binds[a.asname or a.name] = ("import", mod, a.name, stmt)
+        self._mods[rel] = {"binds": binds, "segment": segment, "tree": tree}
+        return self._mods[rel]
+
+    @staticmethod
+    def _module_rel(dotted: str) -> list[str]:
+        rel = dotted.replace(".", "/")
+        return [rel + ".py", rel + "/__init__.py"]
+
+    def module_hash(self, dotted: str) -> str | None:
+        if dotted not in self._mod_hash:
+            h = None
+            for p in self._module_rel(dotted):
+                h = _combined_hash(p, self.read)
+                if h is not None:
+                    break
+            self._mod_hash[dotted] = h
+        return self._mod_hash[dotted]
+
+    # -- closure -------------------------------------------------------
+    def closure_hash(self, rel: str, name: str) -> str | None:
+        """Hash of the cross-module source closure of top-level ``name``
+        in module ``rel``; None when the name can't be located."""
+        import ast
+
+        info = self.info(rel)
+        if info is None or name not in info["binds"] or info["binds"][name][0] != "def":
+            return None
+        segs: dict[tuple[str, str], str] = {}
+        mod_deps: dict[str, str] = {}
+        imp_segs: dict[tuple[str, str], str] = {}
+        stack = [(rel, name)]
+        visited: set[tuple[str, str]] = set()
+        while stack:
+            mrel, mname = stack.pop()
+            if (mrel, mname) in visited:
+                continue
+            visited.add((mrel, mname))
+            minfo = self.info(mrel)
+            if minfo is None:
+                continue
+            bound = minfo["binds"].get(mname)
+            if bound is None:
+                continue  # builtin / dynamically-defined: ignore
+            if bound[0] == "def":
+                node = bound[1]
+                segs[(mrel, mname)] = minfo["segment"](node)
+                for n in ast.walk(node):
+                    if isinstance(n, ast.Name):
+                        stack.append((mrel, n.id))
+                continue
+            # import binding
+            _, mod, attr, imp_stmt = bound
+            if attr is not None and mod.startswith(_PKG):
+                # `from pkg.mod import attr` — recurse per-name when the
+                # target module defines attr at top level
+                for cand in self._module_rel(mod):
+                    tinfo = self.info(cand)
+                    if tinfo is None:
+                        continue
+                    tb = tinfo["binds"].get(attr)
+                    if tb is not None and tb[0] == "def":
+                        stack.append((cand, attr))
+                    else:
+                        # attr is a submodule or dynamic: module-level
+                        h = self.module_hash(f"{mod}.{attr}") or self.module_hash(mod)
+                        if h is not None:
+                            mod_deps[f"{mod}.{attr}"] = h
+                    break
+                else:
+                    h = self.module_hash(f"{mod}.{attr}") or self.module_hash(mod)
+                    if h is not None:
+                        mod_deps[f"{mod}.{attr}"] = h
+            elif attr is None and mod.startswith(_PKG):
+                # whole-module import: which attrs are used is not
+                # statically tracked — whole-module hash
+                h = self.module_hash(mod)
+                if h is not None:
+                    mod_deps[mod] = h
+            else:
+                # external import: pin the import statement's text
+                imp_segs[(mrel, mname)] = minfo["segment"](imp_stmt)
+        agg = hashlib.sha256()
+        for k in sorted(segs):
+            agg.update(f"{k[0]}:{k[1]}".encode())
+            agg.update(hashlib.sha256(segs[k].encode()).digest())
+        for k in sorted(mod_deps):
+            agg.update(k.encode())
+            agg.update(mod_deps[k].encode())
+        for k in sorted(imp_segs):
+            agg.update(f"imp:{k[0]}:{k[1]}".encode())
+            agg.update(hashlib.sha256(imp_segs[k].encode()).digest())
+        return agg.hexdigest()
+
+    def query_keys(self, rel: str) -> dict[str, str]:
+        """{key: top-level fn name} for every ``@query``-decorated
+        function in the module at ``rel``."""
+        import ast
+
+        info = self.info(rel)
+        if info is None:
+            return {}
+        out: dict[str, str] = {}
+        for stmt in info["tree"].body:
+            if not isinstance(stmt, ast.FunctionDef):
+                continue
+            for d in stmt.decorator_list:
+                if isinstance(d, ast.Call):
+                    f = d.func
+                    dn = f.id if isinstance(f, ast.Name) else getattr(f, "attr", "")
+                    if dn == "query" and d.args and isinstance(d.args[0], ast.Constant) \
+                            and isinstance(d.args[0].value, str):
+                        out[d.args[0].value] = stmt.name
+        return out
+
+
+def _fn_closure_hashes(entry_rel: str, read_bytes, walker: "_ClosureWalker | None" = None) -> dict[str, str]:
+    """Per-key function-closure hashes for every ``@query``-registered
+    top-level function in the module at ``entry_rel``.  Returns {} when
+    the module can't be read/parsed (callers fall back to
+    ``_combined_hash``)."""
+    w = walker or _ClosureWalker(read_bytes)
+    out: dict[str, str] = {}
+    for key, fn_name in w.query_keys(entry_rel).items():
+        h = w.closure_hash(entry_rel, fn_name)
+        if h is not None:
+            out[key] = h
+    return out
+
+
 def _fs_reader(root: str):
     cache: dict[str, bytes | None] = {}
 
@@ -140,19 +340,28 @@ def _fs_reader(root: str):
 
 
 def current_hashes(specs: Mapping[str, object]) -> dict[str, str]:
-    """Dependency-closure hash (see ``_combined_hash``) of each key's
-    defining module, from the live filesystem."""
+    """Per-key function-closure hash (see ``_fn_closure_hashes``) from
+    the live filesystem; falls back to the defining module's closure
+    hash for keys not statically locatable."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     read = _fs_reader(root)
-    cache: dict[str, str] = {}
+    walker = _ClosureWalker(read)
+    fn_cache: dict[str, dict[str, str]] = {}
+    mod_cache: dict[str, str] = {}
+    rels: dict[str, str] = {}
     out: dict[str, str] = {}
     for name, spec in specs.items():
         mod = spec.fn.__module__
-        if mod not in cache:
+        if mod not in fn_cache:
             src = inspect.getsourcefile(sys.modules[mod])
-            rel = os.path.relpath(os.path.abspath(src), root)
-            cache[mod] = _combined_hash(rel, read)
-        out[name] = cache[mod]
+            rels[mod] = os.path.relpath(os.path.abspath(src), root)
+            fn_cache[mod] = _fn_closure_hashes(rels[mod], read, walker)
+        if name in fn_cache[mod]:
+            out[name] = fn_cache[mod][name]
+        else:
+            if mod not in mod_cache:
+                mod_cache[mod] = _combined_hash(rels[mod], read)
+            out[name] = mod_cache[mod]
     return out
 
 
@@ -257,6 +466,15 @@ def backfill(root: str) -> int:
             )
         return combined_cache[(commit, path)]
 
+    fn_cache: dict[tuple[str, str], dict[str, str]] = {}
+    walkers: dict[str, _ClosureWalker] = {}
+
+    def fn_hashes(commit: str, path: str) -> dict[str, str]:
+        if (commit, path) not in fn_cache:
+            w = walkers.setdefault(commit, _ClosureWalker(reader(commit)))
+            fn_cache[(commit, path)] = _fn_closure_hashes(path, reader(commit), w)
+        return fn_cache[(commit, path)]
+
     n = 0
     for rnd, rec in load_correctness_records(root):
         commit = commits.get(rnd)
@@ -266,7 +484,8 @@ def backfill(root: str) -> int:
             path = paths.get(key)
             if path is None:
                 continue  # key no longer in the registry
-            h = combined(commit, path)
+            # same per-key-first, module-fallback policy as current_hashes
+            h = fn_hashes(commit, path).get(key) or combined(commit, path)
             if h is None:
                 continue  # module path didn't exist then (key moved modules)
             hashes.setdefault(key, {})[str(rnd)] = h

@@ -489,10 +489,15 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates within the published HLL error envelope of the exact NDVs
     and pins the union row's plan to consume sketches, not raw rows."""
     o = load_table(spark, sf_dir, "orders")
+    # localCheckpoint, not persist: the result is lazy, so no caller
+    # could ever unpersist — a cached plan would pin the sketch table in
+    # the CacheManager for the session lifetime (r7 ADVICE).  Checkpoint
+    # blocks free with the DataFrame reference; the sketches are still
+    # built exactly once for both branches.
     yearly = (
         o.groupBy(F.year("o_orderdate").alias("yr"))
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     per_year = yearly.select(
         F.col("yr").cast("string").alias("scope"),

@@ -710,3 +710,99 @@ def table_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "ddl_show_tables",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(1, 'tables', 'dim_nation'), "
+        "(2, 'tables', 'events_ranged'), "
+        "(3, 'tables', 'v_nation'), "
+        "(4, 'like', 'dim_nation'), "
+        "(5, 'like', 'v_nation'), "
+        "(6, 'create', 'CREATE TABLE dim_nation ( id int, name string ) "
+        "TBLPROPERTIES (''kudu.key_columns''=''id'', "
+        "''kudu.num_buckets''=''8'')'), "
+        "(7, 'create', 'CREATE TABLE events_ranged ( ts bigint, v double ) "
+        "TBLPROPERTIES (''kudu.key_columns''=''ts'', "
+        "''kudu.range_splits''=''100,200'', ''kudu.hash_in_range''=''2'')'), "
+        "(8, 'create_view', 'CREATE VIEW v_nation AS "
+        "SELECT id FROM dim_nation'), "
+        "(9, 'roundtrip', 'true')) "
+        "AS t(step, kind, val)"
+    ),
+    tags=("ddl",),
+)
+def ddl_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES / SHOW TABLES LIKE / SHOW CREATE TABLE through the
+    SQL front-end — Hive's catalog verbs over handler tables (the
+    reference rides hive-exec's catalog, ``pom.xml:28-32``; the Python
+    ``list_tables`` surface existed since r3, this closes the SQL-text
+    form, r7 verdict item 3).
+
+    Scenario: two managed tables (hash-bucketed; range×hash composite)
+    + one view, all created via SQL text.  Steps 1-3 list the catalog,
+    4-5 apply Hive's ``*``/``|`` LIKE dialect, 6-8 render canonical
+    DDL, and step 9 proves the round-trip property: re-executing the
+    rendered DDL under a new name yields an identical DESCRIBE and
+    layout meta.  DDL text is whitespace-normalized on both sides (the
+    renderer pretty-prints; the contract is the token stream)."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE dim_nation (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id', 'kudu.num_buckets'='8')",
+        )
+        execute(
+            store,
+            "CREATE TABLE events_ranged (ts bigint, v double) "
+            "TBLPROPERTIES ('kudu.key_columns'='ts', "
+            "'kudu.range_splits'='100,200', 'kudu.hash_in_range'='2')",
+        )
+        execute(store, "CREATE VIEW v_nation AS SELECT id FROM dim_nation")
+
+        rows: list[tuple[int, str, str]] = []
+        step = 1
+        for r in execute(store, "SHOW TABLES").collect():
+            rows.append((step, "tables", r["tab_name"]))
+            step += 1
+        for r in execute(store, "SHOW TABLES LIKE 'dim_*|v_*'").collect():
+            rows.append((step, "like", r["tab_name"]))
+            step += 1
+
+        def norm(text: str) -> str:
+            return " ".join(text.split())
+
+        ddls: dict[str, str] = {}
+        for tbl, kind in (
+            ("dim_nation", "create"),
+            ("events_ranged", "create"),
+            ("v_nation", "create_view"),
+        ):
+            stmt = execute(store, f"SHOW CREATE TABLE {tbl}").collect()[0][
+                "createtab_stmt"
+            ]
+            ddls[tbl] = stmt
+            rows.append((step, kind, norm(stmt)))
+            step += 1
+
+        # round-trip: the rendered DDL re-parses into an equivalent table
+        execute(store, ddls["events_ranged"].replace("events_ranged", "er2"))
+        same_desc = (
+            store.describe("events_ranged").collect()
+            == store.describe("er2").collect()
+        )
+        m1, m2 = store.table_meta("events_ranged"), store.table_meta("er2")
+        same_layout = (
+            m1.range_splits == m2.range_splits
+            and m1.hash_in_range == m2.hash_in_range
+            and m1.key_columns == m2.key_columns
+        )
+        rows.append((step, "roundtrip", str(same_desc and same_layout).lower()))
+        return spark.createDataFrame(rows, "step int, kind string, val string")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -296,12 +296,21 @@ def _asof_merge(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @query(
     "join_asof",
+    # explicit ROW_NUMBER formulation, not DuckDB ASOF JOIN: ASOF
+    # tie-selection among equal right-side timestamps is unspecified,
+    # while the Spark side deterministically picks the MAX event_id
+    # among equal-ts prior views — the oracle must encode the same
+    # total order (r7 ADVICE; join_asof_nearest precedent)
     oracle=(
-        "SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
-        "       date_diff('microsecond', v.ts, p.ts) AS gap_us "
-        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
-        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-        "  ON p.user_id = v.user_id AND v.ts <= p.ts"
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT * FROM events WHERE event_type = 'view'), "
+        "pairs AS ("
+        "  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
+        "         date_diff('microsecond', v.ts, p.ts) AS gap_us, "
+        "         ROW_NUMBER() OVER (PARTITION BY p.event_id "
+        "           ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+        "  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts) "
+        "SELECT purchase_id, user_id, view_id, gap_us FROM pairs WHERE rn = 1"
     ),
     tags=("join", "custom"),
 )
@@ -357,14 +366,18 @@ _ASOF_TOL_US = 7 * 86_400_000_000  # 7 days
 
 @query(
     "join_asof_tolerance",
+    # same deterministic ROW_NUMBER formulation as join_asof's oracle
     oracle=(
-        "SELECT * FROM ("
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT * FROM events WHERE event_type = 'view'), "
+        "pairs AS ("
         "  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
-        "         date_diff('microsecond', v.ts, p.ts) AS gap_us "
-        "  FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
-        "  ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-        "    ON p.user_id = v.user_id AND v.ts <= p.ts) t "
-        f"WHERE gap_us <= {_ASOF_TOL_US}"
+        "         date_diff('microsecond', v.ts, p.ts) AS gap_us, "
+        "         ROW_NUMBER() OVER (PARTITION BY p.event_id "
+        "           ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+        "  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts) "
+        "SELECT purchase_id, user_id, view_id, gap_us FROM pairs "
+        f"WHERE rn = 1 AND gap_us <= {_ASOF_TOL_US}"
     ),
     tags=("join", "custom"),
 )
@@ -381,12 +394,19 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof_forward",
+    # explicit ROW_NUMBER oracle: the Spark side picks the MIN event_id
+    # among equal-ts later views; DuckDB ASOF tie-selection is
+    # unspecified, so encode the exact order (r7 ADVICE)
     oracle=(
-        "SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
-        "       date_diff('microsecond', p.ts, v.ts) AS gap_us "
-        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
-        "ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v "
-        "  ON p.user_id = v.user_id AND v.ts >= p.ts"
+        "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+        "v AS (SELECT * FROM events WHERE event_type = 'view'), "
+        "pairs AS ("
+        "  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id, "
+        "         date_diff('microsecond', p.ts, v.ts) AS gap_us, "
+        "         ROW_NUMBER() OVER (PARTITION BY p.event_id "
+        "           ORDER BY v.ts ASC, v.event_id ASC) AS rn "
+        "  FROM p JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts) "
+        "SELECT purchase_id, user_id, view_id, gap_us FROM pairs WHERE rn = 1"
     ),
     tags=("join", "custom"),
 )

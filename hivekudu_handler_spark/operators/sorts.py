@@ -38,8 +38,14 @@ def with_global_position(
 
     1. ``repartitionByRange`` + ``sortWithinPartitions`` — partition i
        holds a contiguous, sorted slice of the total order (the exact
-       machinery behind a plain ``orderBy``), persisted so both passes
-       see one materialization;
+       machinery behind a plain ``orderBy``), materialized via
+       ``localCheckpoint`` so both passes see one copy.  Checkpoint, not
+       ``persist``: a persisted plan lives in the CacheManager until
+       someone unpersists it — and no caller can, because the result is
+       lazy (r7 ADVICE: every caller pinned a sorted copy of its table
+       for the session lifetime, accumulating across bench sweeps).
+       Checkpoint blocks are freed by the ContextCleaner as soon as the
+       returned DataFrame is dropped;
     2. per-partition row counts — a ≤``shuffle.partitions``-row
        aggregate — become cumulative offsets, closure-shipped (KBs);
     3. an Arrow-batched ``mapInPandas`` adds ``offset + local cumcount``
@@ -48,7 +54,7 @@ def with_global_position(
     Total cost: the one range shuffle ORDER BY needs anyway + a tiny
     count job.  Every partition stays executor-sized at any scale."""
     s = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
-    s = s.persist()
+    s = s.localCheckpoint(eager=True)
     counts = s.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     offsets: dict[int, int] = {}
     acc = 0

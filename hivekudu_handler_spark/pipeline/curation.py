@@ -588,10 +588,19 @@ def curate_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXTURE_SHARES = {"en": 0.30, "zh": 0.20, "de": 0.20, "es": 0.15, "fr": 0.15}
 _MIXTURE_BUDGET = 0.5
 
+# CAST the share/budget literals to DOUBLE: DuckDB parses bare decimal
+# literals as exact DECIMAL and would multiply/divide in decimal
+# arithmetic, while the Spark side derives the rate in Python IEEE
+# doubles — a corpus where floor(rate*65536) straddles the two
+# representations would flip sample membership cross-engine (r7 ADVICE).
+# With the casts both engines run the identical IEEE operation sequence.
 _MIX_CASE_SQL = (
     "CASE lang "
-    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_SHARES.items())
-    + " ELSE 0.0 END"
+    + " ".join(
+        f"WHEN '{k}' THEN CAST({v} AS DOUBLE)"
+        for k, v in _MIXTURE_SHARES.items()
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
 )
 
 
@@ -602,7 +611,8 @@ _MIX_CASE_SQL = (
         "                SUM(COUNT(*)) OVER () AS n "
         "                FROM documents GROUP BY lang), "
         "rates AS (SELECT lang, "
-        f"         least(1.0, {_MIXTURE_BUDGET} * n * {_MIX_CASE_SQL} / n_lang) "
+        f"         least(CAST(1.0 AS DOUBLE), CAST({_MIXTURE_BUDGET} AS DOUBLE)"
+        f"               * n * {_MIX_CASE_SQL} / n_lang) "
         "            AS rate FROM counts), "
         "thr AS (SELECT lang, rate, "
         "        printf('%04x', CAST(floor(rate * 65536) AS INT)) AS t "

@@ -582,6 +582,7 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins pair-set equality with it and the store's final
     completeness.  Rows-only driver check (scenario + LSH)."""
     from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
     import shutil
 
     store, d = _scratch_store(spark)
@@ -662,7 +663,14 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.upsert("sig_store", batch_sigs)
         n_stored = store.scan("sig_store").count()
         n_docs = sh.count()
-        assert n_stored == n_docs, (n_stored, n_docs)
+        if n_stored != n_docs:
+            # not `assert` (stripped under python -O): this is the one
+            # check that the upsert kept the signature store complete
+            # for the next batch (r7 ADVICE)
+            raise TableStoreError(
+                f"signature store incomplete after upsert: "
+                f"{n_stored} stored != {n_docs} corpus docs"
+            )
         return result
     finally:
         shutil.rmtree(d, ignore_errors=True)

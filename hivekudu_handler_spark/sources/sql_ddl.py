@@ -13,6 +13,14 @@ test exercises (``README.md:14-218``) and routing them to the store:
   [TBLPROPERTIES ('kudu.key_columns'='a,b', ...)]``
 * ``DROP TABLE [IF EXISTS] name``   (``KuduStorageHandler.java:292-310``)
 * ``DESCRIBE [FORMATTED] name``     (demo ``README.md:33,76-110``)
+* ``SHOW TABLES [LIKE 'pat']`` / ``SHOW CREATE TABLE name`` — Hive's
+  catalog verbs, available over handler tables in Hive itself
+  (the reference depends on hive-exec, ``pom.xml:28-32``): SHOW TABLES
+  lists managed tables AND views with Hive's ``*``/``|`` glob dialect;
+  SHOW CREATE TABLE renders the canonical re-parseable DDL (round-trip
+  pinned in tests) — views render their ``CREATE VIEW``, external
+  attachments render ``CREATE EXTERNAL TABLE ... LOCATION`` (honest but
+  rejected on re-parse, exactly like the reference's create hook)
 * ``INSERT INTO [TABLE] name VALUES (...), (...)``
   (demo ``README.md:35,113-130``)
 * ``UPSERT INTO [TABLE] name VALUES (...)`` — the Kudu dialect's
@@ -73,6 +81,8 @@ from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreErr
 # bare spelling for convenience
 _KEY_PROPS = ("kudu.key_columns", "key_columns")
 _SPLIT_PROPS = ("kudu.range_splits", "range_splits")
+_NUM_BUCKETS_PROPS = ("kudu.num_buckets", "num_buckets")
+_PARTITION_BY_PROPS = ("kudu.partition_by", "partition_by")
 _HASH_IN_RANGE_PROPS = ("kudu.hash_in_range", "hash_in_range")
 
 
@@ -144,6 +154,12 @@ _DROP_RE = re.compile(
 _DESCRIBE_RE = re.compile(
     r"^(?:DESCRIBE|DESC)\s+(?:FORMATTED\s+)?(?P<name>[A-Za-z_]\w*)$",
     re.IGNORECASE,
+)
+_SHOW_TABLES_RE = re.compile(
+    r"^SHOW\s+TABLES(?:\s+LIKE\s+'(?P<pat>[^']*)')?$", re.IGNORECASE
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
 )
 _INSERT_RE = re.compile(
     r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+"
@@ -247,6 +263,8 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         if not m:
             raise SqlDdlError(f"cannot parse DESCRIBE statement: {sql!r}")
         return store.describe(m.group("name"))
+    if verb == "SHOW":
+        return _show(store, stmt)
     if verb in ("INSERT", "UPSERT"):
         # UPSERT INTO is the Kudu dialect's first-class verb (Impala on
         # Kudu; the reference's declared merge goal,
@@ -354,6 +372,72 @@ def _create_mview(store: TableStore, m: re.Match) -> None:
         m.group("name"), m.group("base"), group_cols, sum_cols
     )
     return None
+
+
+def _show(store: TableStore, stmt: str) -> DataFrame:
+    """``SHOW TABLES [LIKE 'pat']`` / ``SHOW CREATE TABLE name``.
+
+    Hive's LIKE dialect: ``*`` globs, ``|`` separates alternatives.
+    SHOW CREATE TABLE emits the CANONICAL managed-table DDL (columns,
+    key/layout TBLPROPERTIES) — re-parsing the emitted text through
+    ``execute`` recreates an equivalent table (round-trip pinned in
+    tests/test_new_surface_r8.py).  A view renders its ``CREATE VIEW``;
+    an external attachment renders ``CREATE EXTERNAL TABLE ...
+    LOCATION``, which this front-end honestly REJECTS on re-parse, the
+    same way the reference's create hook refuses externals
+    (``KuduStorageHandler.java:230-237``)."""
+    m = _SHOW_TABLES_RE.match(stmt)
+    if m:
+        names = sorted(set(store.list_tables()) | set(store.list_views()))
+        pat = m.group("pat")
+        if pat is not None:
+            import fnmatch
+
+            alts = [a for a in pat.split("|") if a]
+            names = [
+                n for n in names if any(fnmatch.fnmatchcase(n, a) for a in alts)
+            ]
+        return store.spark.createDataFrame(
+            [(n,) for n in names], "tab_name string"
+        )
+    m = _SHOW_CREATE_RE.match(stmt)
+    if m:
+        return store.spark.createDataFrame(
+            [(_render_create(store, m.group("name")),)],
+            "createtab_stmt string",
+        )
+    raise SqlDdlError(f"cannot parse SHOW statement: {stmt!r}")
+
+
+def _render_create(store: TableStore, name: str) -> str:
+    from hivekudu_handler_spark.sources.table_store import NoSuchTableError
+
+    try:
+        view_sql = store._view_sql(name)
+    except NoSuchTableError:
+        view_sql = None
+    if view_sql is not None:
+        return f"CREATE VIEW {name} AS {view_sql}"
+    meta = store.table_meta(name)
+    cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in meta.schema.fields
+    )
+    props = [f"'kudu.key_columns'='{','.join(meta.key_columns)}'"]
+    if meta.range_splits:
+        splits = ",".join(str(s) for s in meta.range_splits)
+        props.append(f"'kudu.range_splits'='{splits}'")
+    if meta.hash_in_range is not None:
+        props.append(f"'kudu.hash_in_range'='{meta.hash_in_range}'")
+    if meta.num_buckets is not None:
+        props.append(f"'kudu.num_buckets'='{meta.num_buckets}'")
+    if meta.partition_by:
+        props.append(f"'kudu.partition_by'='{','.join(meta.partition_by)}'")
+    external = "EXTERNAL " if meta.external else ""
+    location = f"\nLOCATION '{meta.location}'" if meta.external else ""
+    return (
+        f"CREATE {external}TABLE {meta.name} (\n  {cols}\n)"
+        f"{location}\nTBLPROPERTIES ({', '.join(props)})"
+    )
 
 
 def sql(store: TableStore, text: str) -> DataFrame | None:
@@ -577,12 +661,29 @@ def _create(store: TableStore, stmt: str) -> None:
             ) from None
     else:
         hir = None
+    nb_prop = next((props[p] for p in _NUM_BUCKETS_PROPS if p in props), None)
+    if nb_prop is not None:
+        try:
+            nb = int(nb_prop)
+        except ValueError:
+            raise SqlDdlError(
+                f"num_buckets must be an integer, got {nb_prop!r}"
+            ) from None
+    else:
+        nb = None
+    pb_prop = next((props[p] for p in _PARTITION_BY_PROPS if p in props), None)
     store.create_table(
         name,
         cols,
         key_columns,
         range_splits=_parse_splits(split_prop) if split_prop else None,
         hash_in_range=hir,
+        num_buckets=nb,
+        partition_by=(
+            [c.strip() for c in pb_prop.split(",") if c.strip()]
+            if pb_prop
+            else None
+        ),
     )
 
 

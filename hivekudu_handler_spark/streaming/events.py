@@ -391,9 +391,14 @@ def _range_bucket(df: DataFrame, col: str, n: int):
     lo, hi = row["lo"], row["hi"]
     span = (hi - lo) if hi is not None and hi > lo else 1.0
     bucket = (
-        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * n) + 1
+        F.floor((F.col(col).cast("double") - F.lit(lo or 0.0)) / F.lit(span) * n) + 1
     )
-    return F.least(F.lit(n), bucket).cast("int")
+    # NULL key values must still land in a staged file: without the
+    # coalesce a NULL bucket silently DROPS those rows from every staged
+    # split (the ntile this replaced never lost rows — r7 ADVICE).
+    # Under heavy skew buckets other than 1 may stage empty; callers
+    # must tolerate empty staged files.
+    return F.coalesce(F.least(F.lit(n), bucket).cast("int"), F.lit(1))
 
 
 def run_upsert_sink(

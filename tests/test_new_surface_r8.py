@@ -62,3 +62,55 @@ def test_bpe_vocab_collect_is_capped(spark):
     _, merges_default = bpe_fit(spark, SF, n_merges=8)
     _, merges_unbounded = bpe_fit(spark, SF, n_merges=8, max_word_types=1 << 30)
     assert merges_default == merges_unbounded
+
+
+def test_sql_show_verbs(spark, tmp_path):
+    """SHOW TABLES / LIKE globs / SHOW CREATE TABLE semantics the
+    ddl_show_tables oracle can't see: view listing, external rendering
+    with honest re-parse rejection, LIKE with no match, parse errors."""
+    import pytest
+
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+    from hivekudu_handler_spark.sources.table_store import TableStore
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    execute(
+        store,
+        "CREATE TABLE t1 (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "CREATE VIEW v1 AS SELECT id FROM t1")
+
+    # external attach renders EXTERNAL + LOCATION and re-parse REJECTS it
+    ext_path = str(tmp_path / "ext.parquet")
+    spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) AS s").write.parquet(
+        ext_path
+    )
+    store.attach_external("ext_t", ext_path, ["k"])
+
+    names = [r["tab_name"] for r in execute(store, "SHOW TABLES").collect()]
+    assert names == sorted(names)
+    assert {"t1", "v1", "ext_t"} <= set(names)
+
+    assert [
+        r["tab_name"] for r in execute(store, "SHOW TABLES LIKE 'zzz*'").collect()
+    ] == []
+    assert [
+        r["tab_name"] for r in execute(store, "SHOW TABLES LIKE 't1|v*'").collect()
+    ] == ["t1", "v1"]
+
+    ext_ddl = execute(store, "SHOW CREATE TABLE ext_t").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "CREATE EXTERNAL TABLE" in ext_ddl and f"LOCATION '{ext_path}'" in ext_ddl
+    with pytest.raises(SqlDdlError):
+        execute(store, ext_ddl.replace("ext_t", "ext_t2"))
+
+    view_ddl = execute(store, "SHOW CREATE TABLE v1").collect()[0][
+        "createtab_stmt"
+    ]
+    execute(store, view_ddl.replace(" v1 ", " v2 "))
+    assert "v2" in store.list_views()
+
+    with pytest.raises(SqlDdlError):
+        execute(store, "SHOW GRANTS")

@@ -806,3 +806,53 @@ def ddl_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "step int, kind string, val string")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "scan_external_master",
+    oracle=(
+        "SELECT n_nationkey, "
+        "       CASE WHEN n_nationkey < 5 THEN reverse(n_name) "
+        "            ELSE n_name END AS n_name "
+        "FROM nation"
+    ),
+    tags=("ddl", "source"),
+)
+def scan_external_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table master-address connector surface (SURVEY §1.4 row
+    "per-table master address"; ``HiveKuduConstants.java:28``): a
+    cluster is addressed PER TABLE through ``.option()`` calls, read
+    AND write, exactly the reference's ``kudu.master_addresses`` +
+    ``kudu.table_name`` property pair.
+
+    Scenario: a scratch warehouse stands in as the remote cluster
+    (``local://`` scheme — the honest mock; a host:port quorum raises
+    the documented unavailable-seam error, pinned in pytest).  The
+    nation table lands in the "cluster" through its own API; the test
+    then round-trips entirely through the option surface: load() the
+    table, save() an upsert batch (first five nations' names reversed),
+    load() again and return the merged state."""
+    from hivekudu_handler_spark.sources.cluster import kudu
+    from hivekudu_handler_spark.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "metrics", "n_nationkey int, n_name string", ["n_nationkey"]
+        )
+        store.insert("metrics", n)
+        addressed = (
+            kudu(spark)
+            .option("kudu.master_addresses", f"local://{d}")
+            .option("kudu.table_name", "metrics")
+        )
+        batch = (
+            addressed.load()
+            .filter(F.col("n_nationkey") < 5)
+            .select("n_nationkey", F.reverse("n_name").alias("n_name"))
+        )
+        addressed.mode("upsert").save(batch)
+        return _materialize(spark, addressed.load())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

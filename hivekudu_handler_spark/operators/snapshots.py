@@ -287,3 +287,78 @@ def mview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("mv").orderBy("event_type"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "mview_recover",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_rows, "
+        "       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) "
+        "         AS sum_cents "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    tags=("table", "snapshot", "slow"),
+)
+def mview_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view CRASH RECOVERY, driver-checked (r7 verdict item
+    5: the two-phase pending marker and snapshot rollback had pytest
+    coverage but no oracle-backed key that would fail if recovery
+    broke).
+
+    Scenario: base table half-loaded, mview created, the other half
+    upserted — then a refresh is SIMULATED TO CRASH MID-MERGE: the
+    phase-1 pending marker is written exactly as
+    ``refresh_materialized_view`` writes it, and a POISON partial merge
+    lands in the view (a wrong row for one group — standing in for any
+    torn half-applied delta).  The next REBUILD must (a) see the
+    marker, (b) roll the view back to the recorded pre-merge snapshot
+    via ``insert_overwrite`` + ``scan_snapshot`` — exercising the
+    displaced-file archive path — and (c) re-apply the whole delta,
+    yielding the exact recomputed aggregate.  If recovery is broken the
+    poison row survives (or deltas double-apply) and the oracle hash
+    mismatches."""
+    import json
+
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE evr (event_id bigint, event_type string, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='event_id')",
+        )
+        store.insert("evr", ev.filter(F.col("event_id") % 2 == 0))
+        run_sql(
+            store,
+            "CREATE MATERIALIZED VIEW mvr AS "
+            "SELECT event_type, COUNT(*) AS n_rows, SUM(cents) AS sum_cents "
+            "FROM evr GROUP BY event_type",
+        )
+        store.upsert("evr", ev.filter(F.col("event_id") % 2 == 1))
+
+        # -- simulate the crash: phase-1 marker + torn partial merge --
+        mpath = store._mview_path("mvr")
+        mv = json.loads(mpath.read_text())
+        mv["pending"] = {
+            "to": store.current_version("evr"),
+            "view_pre": store.current_version("mvr"),
+        }
+        mpath.write_text(json.dumps(mv))
+        poison = store.scan("mvr").limit(1).select(
+            "event_type",
+            (F.col("n_rows") + 999_999).alias("n_rows"),
+            (F.col("sum_cents") + 123_456_789).alias("sum_cents"),
+        )
+        store.upsert("mvr", poison)  # half-applied merge, then "crash"
+
+        run_sql(store, "ALTER MATERIALIZED VIEW mvr REBUILD")
+        return _materialize(spark, store.scan("mvr").orderBy("event_type"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

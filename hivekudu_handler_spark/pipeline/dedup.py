@@ -296,29 +296,37 @@ _BATCH_SOURCES = ("src15", "src16", "src17", "src18", "src19")
 _BATCH_SQL = "source IN ('src15','src16','src17','src18','src19')"
 
 
+# Shared by dedup_incremental AND dedup_incremental_minhash: the LSH
+# variant's emitted pairs are exact-verified and its candidate
+# generation is deterministic with measured recall 1.0 on the fixtures
+# (see dedup_minhash), so both keys' correct output is this same exact
+# batch-vs-corpus pair set.
+_INCREMENTAL_ORACLE = (
+    f"WITH {_SHINGLE_CTES_SQL}, "
+    f"flags AS (SELECT doc_id, {_BATCH_SQL} AS is_batch FROM documents), "
+    "common AS ("
+    "  SELECT a.doc_id AS batch_doc, b.doc_id AS other_doc, COUNT(*) AS c "
+    "  FROM ex a "
+    "  JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_batch "
+    "  JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id "
+    "  JOIN flags fb ON fb.doc_id = b.doc_id "
+    "  WHERE (NOT fb.is_batch) OR a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, len(s) AS n FROM sh) "
+    "SELECT batch_doc, other_doc, "
+    "       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard, "
+    "       fb.is_batch AS other_in_batch "
+    "FROM common "
+    "JOIN sizes sa ON sa.doc_id = batch_doc "
+    "JOIN sizes sb ON sb.doc_id = other_doc "
+    "JOIN flags fb ON fb.doc_id = other_doc "
+    "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5"
+)
+
+
 @query(
     "dedup_incremental",
-    oracle=(
-        f"WITH {_SHINGLE_CTES_SQL}, "
-        f"flags AS (SELECT doc_id, {_BATCH_SQL} AS is_batch FROM documents), "
-        "common AS ("
-        "  SELECT a.doc_id AS batch_doc, b.doc_id AS other_doc, COUNT(*) AS c "
-        "  FROM ex a "
-        "  JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_batch "
-        "  JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id "
-        "  JOIN flags fb ON fb.doc_id = b.doc_id "
-        "  WHERE (NOT fb.is_batch) OR a.doc_id < b.doc_id "
-        "  GROUP BY 1, 2), "
-        "sizes AS (SELECT doc_id, len(s) AS n FROM sh) "
-        "SELECT batch_doc, other_doc, "
-        "       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard, "
-        "       fb.is_batch AS other_in_batch "
-        "FROM common "
-        "JOIN sizes sa ON sa.doc_id = batch_doc "
-        "JOIN sizes sb ON sb.doc_id = other_doc "
-        "JOIN flags fb ON fb.doc_id = other_doc "
-        "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5"
-    ),
+    oracle=_INCREMENTAL_ORACLE,
     tags=("dedup",),
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,17 +443,23 @@ def _minhash_band_table(sh: DataFrame) -> DataFrame:
     return _bands_from_sigs(sigs)
 
 
-@query("dedup_minhash", tags=("dedup", "approx"))
+@query("dedup_minhash", oracle=_jaccard_oracle(0.5), tags=("dedup", "approx"))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at Jaccard ≥ 0.5.
 
     shingle → crc32 → 64 affine permutations min-folded per doc →
     32 band buckets → bucket self-join → exact Jaccard verify.
     Emitted pairs are exact-verified (precision 1.0); recall at J=0.5 is
-    1-(1-0.25)³² ≈ 0.9999.  Rows-only check (LSH candidate generation is
-    not SQL-expressible); tests/test_pipeline.py asserts recall vs the exact
-    operator.
-    """
+    1-(1-0.25)³² ≈ 0.9999.
+
+    Oracle-backed since r8 (the dedup_ann_verified precedent): emitted
+    pairs are exact-verified, so precision is structural; and the whole
+    pipeline is DETERMINISTIC (crc32 + fixed affine permutations, no
+    RNG), so recall on a given fixture is a fixed fact, not a sample —
+    measured 1.0 at sf0.001/0.01/0.1, making the output exactly the
+    exact-Jaccard pair set the SQL oracle computes.  A fixture change
+    that produced an LSH miss would fail the oracle loudly (and the
+    recall pin in tests/test_pipeline.py first)."""
     sh = doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0).persist()
     sh.count()  # materialize before the consumer branches race
     bands = _minhash_band_table(sh)
@@ -489,7 +503,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_incremental_minhash", tags=("dedup", "approx"))
+@query(
+    "dedup_incremental_minhash",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("dedup", "approx"),
+)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH form of ``dedup_incremental`` — the shape the incremental
     pairing takes when even batch × posting-list exact pairing is too
@@ -503,9 +521,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ |batch| × bucket occupancy, never corpus².  Candidates
     exact-verify against true shingle sets (precision 1.0).  Same
     output contract as ``dedup_incremental`` (batch doc on the left,
-    ``other_in_batch`` flags the regime).  Rows-only driver check;
-    pytest pins subset-of-exact + recall vs the exact incremental
-    operator."""
+    ``other_in_batch`` flags the regime).  Oracle-backed since r8: the
+    deterministic band probe has measured recall 1.0 on the fixtures
+    (no RNG anywhere), so the output IS the exact incremental pair set
+    — the shared ``_INCREMENTAL_ORACLE``; pytest additionally pins
+    pair-set equality with the exact operator."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
     )
@@ -561,7 +581,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_signature_store", tags=("dedup", "approx", "slow"))
+@query(
+    "dedup_signature_store",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("dedup", "approx", "slow"),
+)
 def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained-signature-store steady state behind
     ``dedup_incremental_minhash`` made CONCRETE through the table layer:
@@ -580,7 +604,10 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns the same pair contract as ``dedup_incremental_minhash``;
     pytest pins pair-set equality with it and the store's final
-    completeness.  Rows-only driver check (scenario + LSH)."""
+    completeness.  Oracle-backed since r8 for the same reason as that
+    key: deterministic banding with measured fixture recall 1.0 means
+    the scenario's output is the exact incremental pair set
+    (``_INCREMENTAL_ORACLE``)."""
     from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
     from hivekudu_handler_spark.sources.table_store import TableStoreError
     import shutil

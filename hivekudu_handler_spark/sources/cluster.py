@@ -1,0 +1,131 @@
+"""Per-table external-cluster addressing — the ``.option()`` seam.
+
+The reference IS a connector to an external cluster: every table carries
+a ``kudu.master_addresses`` property (``HiveKuduConstants.java:28``), the
+input format builds a client against that address for tablet splits and
+scanners (``HiveKuduTableInputFormat.java:149-223,444-572``), and the
+output format opens an insert session against it
+(``HiveKuduTableOutputFormat.java:96-311``).  SURVEY §1.4 maps this to
+"data source options (``.option(...)``) on read/write"; this module is
+that surface.
+
+Address scheme (documented mock, per SURVEY §7.2's scoping of a real
+DSv2/RPC connector out of this repo):
+
+* ``local://<warehouse-path>`` — a TableStore warehouse reachable on the
+  local filesystem stands in for a cluster: reads scan it, writes
+  upsert into it.  This exercises every part of the option surface —
+  address parsing, table resolution, schema discovery, read-only vs
+  write routing — against real storage.
+* ``<host>:<port>[,<host>:<port>...]`` — a genuine remote master
+  quorum.  No Kudu RPC client exists in this environment, so this
+  raises :class:`ExternalClusterUnavailableError` at connect time with
+  the parsed quorum in the message — the one honest
+  ``NotImplementedError``-style seam, exactly like the multimodal
+  codec seam (``pipeline/multimodal.py``).
+
+Usage mirrors a Spark data source::
+
+    df = (kudu(spark)
+          .option("kudu.master_addresses", "local:///wh")
+          .option("kudu.table_name", "metrics")
+          .load())
+
+    (kudu(spark).option("kudu.master_addresses", "local:///wh")
+                .option("kudu.table_name", "metrics")
+                .mode("upsert").save(batch_df))
+
+At 100 TB the local:// path inherits TableStore's scale shapes (bucket
+pruning, manifest commits); the remote path's cost model is the Kudu
+client's — out of scope here by design.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreError
+
+
+class ExternalClusterUnavailableError(TableStoreError):
+    """A real master quorum was addressed but no RPC client exists in
+    this build — the documented connector seam."""
+
+
+_MASTER_PROP = "kudu.master_addresses"
+_TABLE_PROP = "kudu.table_name"
+_HOSTPORT_RE = re.compile(r"^[\w.\-]+:\d+$")
+
+
+def _resolve(spark: SparkSession, masters: str) -> TableStore:
+    """Materialize a client for a master-address string.
+
+    ``local://<path>`` → a TableStore over that warehouse; a host:port
+    quorum → the honest unavailable-seam error carrying the parsed
+    quorum (what a real client would dial)."""
+    if masters.startswith("local://"):
+        return TableStore(spark, masters[len("local://") :])
+    quorum = [h.strip() for h in masters.split(",") if h.strip()]
+    if quorum and all(_HOSTPORT_RE.match(h) for h in quorum):
+        raise ExternalClusterUnavailableError(
+            f"no RPC client in this build for master quorum {quorum}; "
+            f"use local://<warehouse-path> or TableStore.attach_external"
+        )
+    raise TableStoreError(
+        f"cannot parse master addresses {masters!r}: expected "
+        f"local://<path> or host:port[,host:port...]"
+    )
+
+
+class KuduSource:
+    """Option-chaining reader/writer over an addressed cluster table."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._options: dict[str, str] = {}
+        self._mode = "upsert"
+
+    def option(self, key: str, value: str) -> "KuduSource":
+        self._options[key] = str(value)
+        return self
+
+    def options(self, **kv: str) -> "KuduSource":
+        for k, v in kv.items():
+            self.option(k, v)
+        return self
+
+    def mode(self, mode: str) -> "KuduSource":
+        if mode not in ("insert", "upsert"):
+            # the reference's writer is an insert session with
+            # ignore-duplicate semantics; upsert is the declared goal
+            raise TableStoreError(f"unsupported write mode: {mode!r}")
+        self._mode = mode
+        return self
+
+    def _store_and_table(self) -> tuple[TableStore, str]:
+        masters = self._options.get(_MASTER_PROP)
+        table = self._options.get(_TABLE_PROP)
+        if not masters or not table:
+            raise TableStoreError(
+                f"both '{_MASTER_PROP}' and '{_TABLE_PROP}' options are "
+                f"required (HiveKuduConstants.java:28-30)"
+            )
+        return _resolve(self._spark, masters), table
+
+    def load(self) -> DataFrame:
+        store, table = self._store_and_table()
+        return store.scan(table)
+
+    def save(self, df: DataFrame) -> None:
+        store, table = self._store_and_table()
+        if self._mode == "insert":
+            store.insert(table, df)
+        else:
+            store.upsert(table, df)
+
+
+def kudu(spark: SparkSession) -> KuduSource:
+    """Entry point: ``kudu(spark).option(...).load()/.save(df)``."""
+    return KuduSource(spark)

@@ -1647,25 +1647,23 @@ class TableStore:
                 for c in scols
             ],
         )
+        # materialize the changed-group frame ONCE (it is delta-sized):
+        # the null check, the live upsert, and the dead-group delete all
+        # consume it, and without this each consumer re-runs the whole
+        # manifest-diff + delta aggregate (measured ~2× refresh cost)
+        merged = merged.localCheckpoint(eager=True)
         self._reject_null_groups(merged, gcols, name)
         live = merged.filter(F.col("n_rows") > 0)
-        dead = merged.filter(F.col("n_rows") <= 0).select(*gcols).collect()
+        dead = merged.filter(F.col("n_rows") <= 0).select(*gcols)
         # phase 1: mark the merge in flight, remembering the view version
         # a recovery would roll back to
         mv["pending"] = {"to": cur, "view_pre": self.current_version(name)}
         path.write_text(json.dumps(mv))
-        self.upsert(name, live)
-        if dead:
-            # bounded by |emptied groups| ≤ |changed groups| — driver-side
-            # key list is delta-sized, never table-sized
-            pred = None
-            for row in dead:
-                term = None
-                for c in gcols:
-                    eq = F.col(c) == F.lit(row[c])
-                    term = eq if term is None else (term & eq)
-                pred = term if pred is None else (pred | term)
-            self.delete_where(name, pred)
+        # ONE bucket rewrite + ONE commit for both the changed-group
+        # upsert and the emptied-group delete (r7 verdict item 6): the
+        # two mutations touch the same delta-sized group set, so the
+        # split form paid the bucket rewrite and version commit twice
+        self.upsert(name, live, delete_keys=dead)
         # phase 2: merge landed — advance and clear the marker atomically
         # (one small-file write)
         prev = mv["last_version"]
@@ -1919,13 +1917,34 @@ class TableStore:
         df = self.spark.createDataFrame(rows, meta.schema)
         self.insert(name, df)
 
-    def upsert(self, name: str, df: DataFrame) -> None:
+    def upsert(
+        self, name: str, df: DataFrame, *, delete_keys: DataFrame | None = None
+    ) -> None:
         """PK MERGE semantics (reference goal ``doc/DesignDocument.md:9``):
         batch rows replace existing rows with the same key.  Only the
-        buckets the batch touches are read and rewritten."""
+        buckets the batch touches are read and rewritten.
+
+        ``delete_keys`` (a DataFrame containing the key columns) folds a
+        keyed delete into the SAME bucket rewrite and version commit —
+        the mview refresh's upsert-changed-groups + delete-emptied-groups
+        pair becomes one commit instead of two (r7 verdict item 6; both
+        mutations mostly touch the same buckets, so two commits paid the
+        rewrite twice).  A key present in both the batch and
+        ``delete_keys`` is ASSERTED (batch wins): deletion applies to
+        existing rows only.  Partition exprs derive from key columns, so
+        key-only delete frames prune to their buckets like any batch."""
         meta = self._writable_meta(name)
         batch = self._dedup_batch(meta, self._validate_batch(meta, df))
+        drop = (
+            delete_keys.select(*meta.key_columns).distinct()
+            if delete_keys is not None
+            else None
+        )
         affected = self._affected_buckets(meta, batch)
+        if drop is not None:
+            affected = sorted(
+                set(affected) | set(self._affected_buckets(meta, drop))
+            )
         if not affected:
             return
         existing = (
@@ -1933,9 +1952,10 @@ class TableStore:
             .filter(self._part_filter(meta, affected))
             .drop(*self._part_cols(meta))
         )
-        kept = existing.join(
-            batch.select(*meta.key_columns), on=meta.key_columns, how="left_anti"
-        )
+        gone = batch.select(*meta.key_columns)
+        if drop is not None:
+            gone = gone.unionByName(drop)
+        kept = existing.join(gone, on=meta.key_columns, how="left_anti")
         self._replace_buckets(meta, affected, kept.unionByName(batch))
         self._commit_version(meta, "upsert")
 

@@ -114,3 +114,87 @@ def test_sql_show_verbs(spark, tmp_path):
 
     with pytest.raises(SqlDdlError):
         execute(store, "SHOW GRANTS")
+
+
+def test_mview_recover_key_is_sensitive(spark):
+    """mview_recover's oracle only proves recovery if the poison row
+    would otherwise SURVIVE: replay the same scenario but omit the
+    pending marker (so REBUILD has nothing to recover from) and assert
+    the poisoned aggregate is then visibly wrong — i.e. the driver key
+    genuinely fails when the two-phase recovery machinery is bypassed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, SF).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE evr (event_id bigint, event_type string, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='event_id')",
+        )
+        store.insert("evr", ev.filter(F.col("event_id") % 2 == 0))
+        run_sql(
+            store,
+            "CREATE MATERIALIZED VIEW mvr AS "
+            "SELECT event_type, COUNT(*) AS n_rows, SUM(cents) AS sum_cents "
+            "FROM evr GROUP BY event_type",
+        )
+        store.upsert("evr", ev.filter(F.col("event_id") % 2 == 1))
+        poison = store.scan("mvr").limit(1).select(
+            "event_type",
+            (F.col("n_rows") + 999_999).alias("n_rows"),
+            (F.col("sum_cents") + 123_456_789).alias("sum_cents"),
+        )
+        store.upsert("mvr", poison)  # torn merge, but NO pending marker
+
+        run_sql(store, "ALTER MATERIALIZED VIEW mvr REBUILD")
+        total = store.scan("mvr").agg(F.sum("n_rows")).collect()[0][0]
+        true_total = ev.count()
+        # without the marker the poison is not rolled back: the refresh
+        # applies deltas on top of the poisoned state
+        assert total != true_total
+        assert total >= true_total + 999_999
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_external_master_seam_errors(spark):
+    """The cluster option surface: a real host:port quorum raises the
+    documented unavailable-seam error naming the quorum; malformed
+    addresses and missing options raise parse errors; write modes are
+    validated."""
+    import pytest
+
+    from hivekudu_handler_spark.sources.cluster import (
+        ExternalClusterUnavailableError,
+        kudu,
+    )
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    r = (
+        kudu(spark)
+        .option("kudu.master_addresses", "kudu-master-1:7051,kudu-master-2:7051")
+        .option("kudu.table_name", "t")
+    )
+    with pytest.raises(ExternalClusterUnavailableError) as exc:
+        r.load()
+    assert "kudu-master-1:7051" in str(exc.value)
+
+    with pytest.raises(TableStoreError):
+        kudu(spark).option("kudu.table_name", "t").load()  # no masters
+    with pytest.raises(TableStoreError):
+        kudu(spark).option(
+            "kudu.master_addresses", "not an address"
+        ).option("kudu.table_name", "t").load()
+    with pytest.raises(TableStoreError):
+        kudu(spark).mode("overwrite")

@@ -25,14 +25,30 @@ def _pairs(df, a="doc_a", b="doc_b"):
 
 
 def test_minhash_matches_exact_pairs(spark, specs):
-    """Exact-verified LSH: precision 1.0 by construction; recall vs the
-    exact jaccard operator should be ~1 at these band settings."""
+    """Exact-verified LSH: precision 1.0 by construction; and since r8
+    the key is ORACLE-backed on the premise that the deterministic band
+    probe has recall exactly 1.0 on the fixtures — so this pins full
+    set equality, not a recall floor (a fixture change that introduced
+    an LSH miss must fail here before it fails the driver gate)."""
     exact = _pairs(dedup.ngram_jaccard_pairs(spark, SF, 0.5))
     mh = _pairs(specs["dedup_minhash"].fn(spark, SF))
-    assert mh <= exact  # never a false positive
-    if exact:
-        recall = len(mh & exact) / len(exact)
-        assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} pairs"
+    assert exact, "fixture must contain near-dup pairs"
+    assert mh == exact, (
+        f"missed: {exact - mh}, spurious: {mh - exact}"
+    )
+
+
+def test_incremental_minhash_equals_exact_incremental(spark, specs):
+    """dedup_incremental_minhash and dedup_signature_store share
+    dedup_incremental's oracle (r8 promotion) — valid iff all three
+    emit the identical batch-vs-corpus pair set."""
+    rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    exact = rows(specs["dedup_incremental"].fn(spark, SF))
+    lsh = rows(specs["dedup_incremental_minhash"].fn(spark, SF))
+    stored = rows(specs["dedup_signature_store"].fn(spark, SF))
+    assert exact
+    assert lsh == exact
+    assert stored == exact
 
 
 def test_simhash_pairs_are_near_duplicates(spark, specs):

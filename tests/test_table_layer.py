@@ -1323,17 +1323,24 @@ def test_mview_null_group_and_key_sum_and_crash_recovery(spark, store):
         "a", 1, 3, 5,
     )
 
-    # crash between merge and bookkeeping: recovery must not double-count
+    # crash between merge and bookkeeping: recovery must not double-count.
+    # r8: refresh lands the changed-group upsert AND the emptied-group
+    # delete in ONE store.upsert(delete_keys=...) commit, so the crash
+    # window is now "merge commit landed, phase-2 bookkeeping didn't" —
+    # inject by letting the real upsert complete, then dying
     store.insert_values("b", [(4, "c", 7)])
-    real_delete = store.delete_where
-    store.delete_where = lambda *a, **k: (_ for _ in ()).throw(
-        RuntimeError("injected crash after upsert")
-    )
-    # make a group empty so the delete phase actually runs
-    real_delete("b", "grp = 'a'")
+    real_upsert = store.upsert
+
+    def crashing_upsert(*a, **k):
+        real_upsert(*a, **k)
+        raise RuntimeError("injected crash after merge upsert")
+
+    store.upsert = crashing_upsert
+    # empty a group so the folded delete path participates in the merge
+    store.delete_where("b", "grp = 'a'")
     with _pytest.raises(RuntimeError, match="injected"):
         store.refresh_materialized_view("mv")
-    store.delete_where = real_delete
+    store.upsert = real_upsert
     mv_meta = _json.loads(store._mview_path("mv").read_text())
     assert "pending" in mv_meta  # marker survives the crash
     store.refresh_materialized_view("mv")  # rolls back, re-applies

@@ -1277,3 +1277,67 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return connected_components_star(pairs)
+
+
+# SemDeDup keep threshold on within-cluster cosine.  Production corpora
+# with real (anisotropic) embeddings run this high (0.9+); the synthetic
+# fixture's embeddings are near-orthogonal, so 0.4 is the operating
+# point that actually exercises the drop path (pytest requires drops).
+_SEM_TAU = 0.4
+
+
+@query("dedup_semantic", tags=("dedup", "vector", "slow"))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
+    the embedding space, then compare pairs only WITHIN each cluster —
+    the clustering is the blocking structure that turns exact all-pairs
+    O(n²) into Σᵢ nᵢ², with k chosen so clusters stay task-sized (at
+    100 TB: k grows with the corpus, per-cluster work stays bounded; the
+    cluster id is the shuffle key, so each cluster's pair block is one
+    partition's work).
+
+    Keep rule (deterministic, no RNG anywhere — kmeans_fit seeds from
+    the k lowest vec_ids): a vector is DROPPED iff some smaller-id
+    vector in the same cluster has cosine ≥ τ with it; kept otherwise.
+    Chains therefore collapse to the minimum id of each within-cluster
+    near-dup component — the "keep one exemplar per duplicate
+    neighborhood" semantics of the paper, with first-id standing in for
+    its random exemplar choice.
+
+    Cross-cluster near-dup pairs are invisible BY DESIGN (that is the
+    blocking trade; the exact operator is ``dedup_embedding``, the
+    banded one ``dedup_ann_verified``).  Rows-only driver check: the
+    k-means centroids are trained state with no SQL twin; pytest pins
+    determinism and per-row keep/drop correctness against exact
+    recomputed cosines."""
+    from hivekudu_handler_spark.pipeline.clustering import _assign, kmeans_fit
+    from hivekudu_handler_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    cents, _ = kmeans_fit(e)
+    assigned = _assign(e, cents).select("vec_id", "v", "cent_id")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    # within-cluster ordered pairs (smaller id on the left); cosine in
+    # pure JVM expressions — no Python in the pair loop
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

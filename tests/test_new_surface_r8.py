@@ -198,3 +198,54 @@ def test_external_master_seam_errors(spark):
         ).option("kudu.table_name", "t").load()
     with pytest.raises(TableStoreError):
         kudu(spark).mode("overwrite")
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """dedup_semantic (SemDeDup-style): per-row keep/drop correctness
+    against exact recomputed cosines, plus determinism.
+
+    A vector is dropped iff SOME smaller-id vector in its cluster has
+    cosine >= tau with it; so (a) every dropped vector must have such a
+    witness, (b) every kept vector must have none, and (c) the minimum
+    vec_id of every cluster is always kept."""
+    import numpy as np
+
+    from hivekudu_handler_spark.registry import load_all
+
+    specs = load_all()
+    out1 = sorted(tuple(r) for r in specs["dedup_semantic"].fn(spark, SF).collect())
+    out2 = sorted(tuple(r) for r in specs["dedup_semantic"].fn(spark, SF).collect())
+    assert out1 == out2  # deterministic end-to-end (no RNG)
+
+    from hivekudu_handler_spark.pipeline.dedup import _SEM_TAU
+    from hivekudu_handler_spark.tables import load_table
+
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(
+            np.dot(vecs[a], vecs[b])
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+
+    by_cluster: dict[int, list[tuple[int, bool]]] = {}
+    for vec_id, cent_id, is_dup in out1:
+        by_cluster.setdefault(cent_id, []).append((vec_id, is_dup))
+    assert len(out1) == len(vecs)  # every vector classified exactly once
+
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort()
+        ids = [m[0] for m in members]
+        assert not members[0][1]  # (c) cluster minimum always kept
+        for vec_id, is_dup in members:
+            witnesses = [o for o in ids if o < vec_id and cos(o, vec_id) >= _SEM_TAU]
+            if is_dup:
+                n_dropped += 1
+                assert witnesses, f"dropped {vec_id} has no witness"  # (a)
+            else:
+                assert not witnesses, f"kept {vec_id} despite {witnesses}"  # (b)
+    assert n_dropped > 0  # fixture must exercise the drop path

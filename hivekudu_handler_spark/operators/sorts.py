@@ -53,8 +53,8 @@ def with_global_position(
 
     Total cost: the one range shuffle ORDER BY needs anyway + a tiny
     count job.  Every partition stays executor-sized at any scale."""
-    s = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
-    s = s.localCheckpoint(eager=True)
+    s_pre = df.repartitionByRange(*sort_cols).sortWithinPartitions(*sort_cols)
+    s = s_pre.localCheckpoint(eager=True)
     counts = s.groupBy(F.spark_partition_id().alias("pid")).count().collect()
     offsets: dict[int, int] = {}
     acc = 0
@@ -79,7 +79,14 @@ def with_global_position(
             seen += len(pdf)
             yield pdf
 
-    return s.mapInPandas(add_pos, out_schema)
+    out = s.mapInPandas(add_pos, out_schema)
+    # The eager checkpoint truncates the returned plan at ExistingRDD,
+    # hiding the range-partitioned sort that ALREADY RAN from plan
+    # inspection.  Keep the executed stage's DataFrame reachable so plan
+    # tests assert on the physical plan the checkpoint job executed
+    # (logical-plan reference only — no data pinned).
+    out.pre_checkpoint_df = s_pre
+    return out
 
 
 @query(

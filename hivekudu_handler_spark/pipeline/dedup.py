@@ -14,9 +14,9 @@ Scale design (the point of each algorithm):
   1-(1-0.5²)³² ≈ 0.9999): candidate pairs from band-bucket self-joins,
   then *exact* Jaccard verification so emitted pairs are never false
   positives.  This is the linear-ish scale path for near-dedup at 100 TB.
-* SimHash — 64-bit signature from signed token-hash bit sums; Hamming ≤ k
-  pairs found by the 4×16-bit pigeonhole banding (Hamming ≤ 3 ⇒ some
-  16-bit chunk equal), verified with bit_count(xor).
+* SimHash — 60-bit signature from signed md5-prefix token-hash bit sums;
+  Hamming ≤ k pairs found by the 4×15-bit pigeonhole banding (Hamming
+  ≤ 3 ⇒ some 15-bit chunk equal), verified with bit_count(xor).
 * embedding cosine — exact pairwise over unit-normalized vectors
   (bounded fixture); the ANN scale path lives in pipeline/similarity.py.
 
@@ -703,21 +703,71 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
-@query("dedup_simhash", tags=("dedup", "approx"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance ≤ 3 (of 64 bits).
+# SimHash geometry.  60-bit signatures: the token hash is the first 15
+# hex chars of md5(token) — the widest md5 prefix BOTH engines cast to
+# BIGINT losslessly (Spark: conv(hex,16,10)::long; DuckDB:
+# '0x'||hex :: BIGINT — verified bit-identical), which is what makes the
+# exact SQL oracle possible.  Bands: 4 × 15 bits.  Pigeonhole: ≤ 3
+# differing bits cannot touch all 4 bands, so at the Hamming ≤ 3
+# threshold candidate recall is 1.0 STRUCTURALLY (not fixture-measured),
+# and the emitted set is exactly the all-pairs Hamming ≤ 3 set.
+_SIMHASH_BITS = 60
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 15
+_SIMHASH_MAX_HAMMING = 3
 
-    Signed bit-sum over xxhash64 token hashes weighted by term count;
-    candidate pairs via the 4×16-bit pigeonhole banding, verified with
-    bit_count(a XOR b).  Rows-only check; tests compare against direct
-    pairwise Hamming on the signatures.
+# DuckDB twin: full simhash derivation (normalize → term counts →
+# md5-prefix hash → signed bit sums → signature) then brute-force
+# all-pairs Hamming — affordable at oracle scale, and the strongest
+# possible check of the banded Spark plan (oracle has no banding at all).
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS w
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+th AS (
+  SELECT doc_id, cnt, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM tf),
+bits AS (
+  SELECT doc_id, r.j, SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+  FROM th, range(0, {_SIMHASH_BITS}) r(j) GROUP BY 1, 2),
+sigs AS (
+  SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sig
+  FROM bits GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 (of 60 bits).
+
+    Signed bit-sum over md5-prefix token hashes weighted by term count;
+    candidate pairs via the 4×15-bit pigeonhole banding, verified with
+    bit_count(a XOR b).
+
+    Oracle-backed since r8 (was rows-only): unlike the minhash
+    promotion, which rests on measured recall, here the banding is
+    LOSSLESS BY CONSTRUCTION — 3 flipped bits can't intersect all 4
+    bands — so the banded plan provably equals the oracle's brute-force
+    all-pairs scan on every input, and the oracle checks the entire
+    signature derivation cross-engine (md5 prefix → signed sums → sign
+    bits).  The 64-bit xxhash64 signature this replaces had no
+    cross-engine twin (xxhash64 is Spark-only).
     """
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.filter(tokens(), lambda x: x != "")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("th", F.xxhash64("tok"))
+        .withColumn(
+            "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
     )
     bit_sums = tf.groupBy("doc_id").agg(
         *[
@@ -725,23 +775,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
                 .otherwise(-F.col("cnt"))
             ).alias(f"b{j}")
-            for j in range(64)
+            for j in range(_SIMHASH_BITS)
         ]
     )
     sig_expr = None
-    for j in range(64):
+    for j in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, j)
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
     sigs = bit_sums.select("doc_id", sig_expr.alias("sig"))
+    band_mask = (1 << _SIMHASH_BAND_BITS) - 1
     chunks = sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftright(F.col("sig"), c * _SIMHASH_BAND_BITS).bitwiseAND(
+                        F.lit(band_mask)
+                    )
+                    for c in range(_SIMHASH_BANDS)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -766,7 +819,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
 

@@ -249,3 +249,73 @@ def test_semantic_dedup_keep_rule(spark):
             else:
                 assert not witnesses, f"kept {vec_id} despite {witnesses}"  # (b)
     assert n_dropped > 0  # fixture must exercise the drop path
+
+
+def test_simhash_banding_is_lossless(spark):
+    """r8 oracle promotion of dedup_simhash rests on the pigeonhole
+    claim: 4 bands × 15 bits means ≤3 flipped bits always leave one band
+    intact, so the banded candidate join emits EXACTLY the brute-force
+    all-pairs Hamming ≤ 3 set.  Verify by comparing the operator against
+    a band-free crossJoin over the same signatures (affordable at
+    fixture scale), and pin the cross-engine hash seam: Spark's
+    conv(md5-prefix) must equal DuckDB's hex cast for the same token."""
+    import duckdb
+
+    from hivekudu_handler_spark.pipeline.dedup import (
+        _SIMHASH_MAX_HAMMING,
+        dedup_simhash,
+    )
+
+    out = {tuple(r) for r in dedup_simhash(spark, SF).collect()}
+
+    # brute-force all-pairs over the derived signatures (no banding)
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    from hivekudu_handler_spark.pipeline.dedup import _SIMHASH_BITS
+    from hivekudu_handler_spark.pipeline.text import tokens
+
+    tf = (
+        d.select("doc_id", F.explode(F.filter(tokens(), lambda x: x != "")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    )
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("th", j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+                .otherwise(-F.col("cnt"))
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(_SIMHASH_BITS):
+        t = F.shiftleft(F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), j)
+        sig = t if sig is None else sig.bitwiseOR(t)
+    sigs = sums.select("doc_id", sig.alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        tuple(r)
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id"),
+            F.col("b.doc_id"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("h"),
+        )
+        .filter(F.col("h") <= _SIMHASH_MAX_HAMMING)
+        .collect()
+    }
+    assert out == brute and out  # lossless banding, non-empty fixture
+
+    # cross-engine token-hash seam (the oracle's entire validity)
+    tok = "hello"
+    spark_h = (
+        spark.range(1)
+        .select(F.conv(F.substring(F.md5(F.lit(tok)), 1, 15), 16, 10).cast("long"))
+        .first()[0]
+    )
+    duck_h = duckdb.sql(
+        f"SELECT CAST(concat('0x', substr(md5('{tok}'), 1, 15)) AS BIGINT)"
+    ).fetchone()[0]
+    assert spark_h == duck_h

@@ -415,13 +415,27 @@ def test_global_sort_position_has_no_window(spark):
     contain NO WindowExec at all (an unpartitioned row_number window
     funnels the whole table through one task; r6 verdict's two flagged
     scale-killers) and the sort must be the parallel range-partitioned
-    one."""
+    one.  Since the r7-ADVICE localCheckpoint fix the returned plan is
+    truncated at ExistingRDD, so the range sort is asserted on the
+    pre-checkpoint stage the checkpoint job executed
+    (``pre_checkpoint_df``)."""
+    from hivekudu_handler_spark.operators.sorts import with_global_position
+    from hivekudu_handler_spark.tables import load_table
+
     for key in ("sort_global", "sort_nulls_order"):
         df = load_all()[key].fn(spark, SF)
         plan = checks.plan_string(df, mode="simple")
         assert "Window" not in plan, (key, plan)
-        assert "rangepartitioning" in plan.lower(), (key, plan)
         assert "SinglePartition" not in plan, (key, plan)
+
+    ranked = with_global_position(
+        load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    sorted_plan = checks.plan_string(ranked.pre_checkpoint_df, mode="simple")
+    assert "rangepartitioning" in sorted_plan.lower(), sorted_plan
+    assert "Window" not in sorted_plan, sorted_plan
+    assert "SinglePartition" not in sorted_plan, sorted_plan
 
 
 def test_incremental_dedup_is_inverted_index_shaped(spark):

@@ -94,6 +94,10 @@ HEADLINE = [
     "sim_range_search",     # radius query: broadcast probe, no ranking stage
     "dedup_containment",    # doc-in-doc via the shared shingle pair stats
     "join_asof_nearest",    # dual-frame nearest match over one shuffle
+    "dedup_simhash",        # signed bit-sum signatures + pigeonhole bands (r8: md5-based)
+    "dedup_bloom_prefilter",  # broadcast bloom admission + exact verify of hits
+    "dedup_semantic",       # SemDeDup: cluster-local cosine dedup over embeddings
+    "sim_ivfpq",            # IVF cell pruning × PQ codes × exact re-rank (FAISS IVFPQ shape)
 ]
 
 

@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from hivekudu_handler_spark.functions import collections, scalar, udfs  # noqa: F401
     from hivekudu_handler_spark.pipeline import (  # noqa: F401
+        bloom,
         bpe_train,
         clustering,
         curation,

@@ -1389,35 +1389,46 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded one ``dedup_ann_verified``).  Rows-only driver check: the
     k-means centroids are trained state with no SQL twin; pytest pins
     determinism and per-row keep/drop correctness against exact
-    recomputed cosines."""
+    recomputed cosines.
+
+    The within-cluster comparison is a per-cluster BLAS matmul via
+    ``applyInPandas`` (r8; the same kernel shape as
+    ``dedup_embedding``'s block-pair matmul, blocked by cluster instead
+    of by hash).  The first cut expressed the pair loop as a cent_id
+    self-join with higher-order-function cosines — Σᵢnᵢ² joined ROWS
+    each dragging two dim-length arrays through the shuffle and the
+    HOF interpreter, measured 3× the cost of the one grouped Arrow
+    pass here (9.8 s → 3.4 s at sf0.1).  Per-task state is nᵢ×dim
+    doubles — exactly the task-sized-cluster contract above."""
     from hivekudu_handler_spark.pipeline.clustering import _assign, kmeans_fit
-    from hivekudu_handler_spark.pipeline.similarity import _as_double, _dot, _norm
+    from hivekudu_handler_spark.pipeline.similarity import _as_double
 
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
     cents, _ = kmeans_fit(e)
     assigned = _assign(e, cents).select("vec_id", "v", "cent_id")
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    # within-cluster ordered pairs (smaller id on the left); cosine in
-    # pure JVM expressions — no Python in the pair loop
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        _norm(F.col("a.v")) * _norm(F.col("b.v"))
-    )
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    out_schema = "vec_id bigint, cent_id int, is_dup boolean"
+
+    def flag_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.vstack(pdf["v"].to_numpy())[order]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = xn @ xn.T
+        # dropped iff ANY smaller-id row reaches τ (NaN from zero-norm
+        # vectors compares False — same outcome as the null cosine the
+        # JVM expression produced)
+        mask = np.asarray(sims >= _SEM_TAU)
+        is_dup = [bool(mask[i, :i].any()) for i in range(len(ids))]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cent_id": pdf["cent_id"].iloc[0],
+                "is_dup": is_dup,
+            }
         )
-        .filter(cos >= _SEM_TAU)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        assigned.join(dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cent_id",
-            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
-        )
-    )
+
+    return assigned.groupBy("cent_id").applyInPandas(flag_cluster, out_schema)

@@ -149,7 +149,12 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(is_batch).select("doc_id", "n_chars", fp)
 
     bitmap = bloom_build(corpus)
-    probed = bloom_probe(batch, bitmap)
+    # materialize the probed batch once: both output branches (misses
+    # pass through, hits verify) consume it, and without the checkpoint
+    # each Union branch re-runs the whole probe lineage — including a
+    # second bitmap build over the corpus.  Batch-sized, so the
+    # checkpoint is bounded at any corpus scale.
+    probed = bloom_probe(batch, bitmap).localCheckpoint(eager=True)
     candidates = probed.filter(F.col("bloom_hit"))
     misses = probed.filter(~F.col("bloom_hit"))
 

@@ -366,7 +366,14 @@ def test_bloom_prefilter_admits_exactly_new_docs(spark, tmp_path):
 
 def test_bloom_prefilter_plan_shape(spark):
     """The bitmap and per-key hit tables broadcast (the batch side never
-    shuffles into the probe), and nothing plans a cartesian."""
+    shuffles into the probe), and nothing plans a cartesian.  The probe
+    stage is asserted directly because the registered key checkpoints
+    the probed batch (so both union branches reuse one execution) which
+    truncates its plan from the final DataFrame."""
+    from pyspark.sql import functions as SF_
+
+    from hivekudu_handler_spark.pipeline.bloom import bloom_build, bloom_probe
+    from hivekudu_handler_spark.pipeline.text import normalized
     from hivekudu_handler_spark.plans import checks
     from hivekudu_handler_spark.registry import load_all as _load
 
@@ -374,7 +381,14 @@ def test_bloom_prefilter_plan_shape(spark):
     plan = checks.plan_string(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("BroadcastExchange") >= 2, plan  # bitmap + hits
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    fp = SF_.md5(normalized()).alias("fp")
+    corpus = d.filter(~SF_.col("source").isin("src15", "src16")).select(fp)
+    batch = d.filter(SF_.col("source").isin("src15", "src16")).select("doc_id", fp)
+    probe_plan = checks.plan_string(bloom_probe(batch, bloom_build(corpus)))
+    assert "CartesianProduct" not in probe_plan, probe_plan
+    assert probe_plan.count("BroadcastExchange") >= 2, probe_plan  # bitmap + hits
 
 
 def test_ivfpq_recall_and_cell_containment(spark):

@@ -98,6 +98,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",  # broadcast bloom admission + exact verify of hits
     "dedup_semantic",       # SemDeDup: cluster-local cosine dedup over embeddings
     "sim_ivfpq",            # IVF cell pruning × PQ codes × exact re-rank (FAISS IVFPQ shape)
+    "sim_knn_graph",        # whole-corpus kNN graph via banded candidates + WindowGroupLimit
 ]
 
 

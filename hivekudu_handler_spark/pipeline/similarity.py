@@ -31,6 +31,7 @@ from hivekudu_handler_spark.tables import load_table
 
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
+_TOP_K_GRAPH = 5  # neighbors per vector in the kNN graph
 
 
 def _as_double(e: DataFrame, out: str = "v") -> DataFrame:
@@ -455,3 +456,51 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cid, cv) for cid, cv in fitted], "cent_id int, cv array<double>"
     )
     return _ivf_topk(e, cents)
+
+
+@query("sim_knn_graph", tags=("similarity", "vector", "approx", "slow"))
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH: top-``_TOP_K_GRAPH`` cosine neighbors for
+    EVERY corpus vector — the primitive semantic-dedup and graph
+    clustering consume (SemDeDup's cluster step, connected-components
+    keeper assignment) when "queries" are the whole corpus, not a
+    handful of probes.
+
+    Composition, all existing machinery: unthresholded sign-LSH
+    candidate pairs (``dedup.ann_verified_pairs`` banding — bucket
+    self-equi-join, never a cross join), symmetrized so both endpoints
+    see the pair, per-vector top-k via a rank window Spark 4 plans as
+    WindowGroupLimit (partition-local group limits before the one
+    exchange, so candidate volume — not corpus² — bounds the shuffle).
+
+    At 100 TB the banding is the knob: candidate volume is
+    Σ_buckets n_b², tuned by band width exactly as the docstring of
+    ``ann_verified_pairs`` lays out; every vector's list is still
+    produced (a vector with zero collisions keeps an empty list rather
+    than a brute-force fallback — recall is the traded quantity, pinned
+    ≥ 0.8 on the fixture vs exact numpy kNN in tests).
+
+    Rows-only driver check (LSH candidate generation has no SQL twin;
+    same class as ``sim_ann_lsh``)."""
+    from hivekudu_handler_spark.pipeline.dedup import ann_verified_pairs
+
+    pairs = ann_verified_pairs(spark, sf_dir, threshold=-1.0)
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cosine",
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K_GRAPH)
+        .select("vec_id", "neighbor_id", "rank", "cosine")
+    )

@@ -451,3 +451,47 @@ def test_ivfpq_recall_and_cell_containment(spark):
 
     for qid, nid in got:
         assert cell[nid] in probe_list(qid), (qid, nid)
+
+
+def test_knn_graph_recall_and_coverage(spark):
+    """sim_knn_graph: (a) recall@5 ≥ 0.8 vs exact numpy kNN over the
+    fixture, (b) per-vector lists are rank-consecutive, neighbor-distinct
+    and ≤ k, (c) emitted cosines are exact (match numpy to 4 dp), (d) the
+    candidate join is banded — no cartesian in the plan."""
+    import numpy as np
+
+    from hivekudu_handler_spark.pipeline.similarity import _TOP_K_GRAPH
+    from hivekudu_handler_spark.plans import checks
+    from hivekudu_handler_spark.tables import load_table
+
+    df = load_all()["sim_knn_graph"].fn(spark, SF)
+    plan = checks.plan_string(df)
+    assert "CartesianProduct" not in plan, plan
+    out = df.collect()
+
+    rows = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    idx = {int(v): i for i, v in enumerate(ids)}
+
+    per_vec: dict[int, list] = {}
+    for r in out:
+        per_vec.setdefault(r["vec_id"], []).append(r)
+    hits = tot = 0
+    for vid, rs in per_vec.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TOP_K_GRAPH
+        assert len({r["neighbor_id"] for r in rs}) == len(rs)
+        for r in rs:  # (c) exact cosine on every edge
+            true = S[idx[vid], idx[r["neighbor_id"]]]
+            assert abs(r["cosine"] - round(float(true), 4)) < 1e-9, r
+    for i, vid in enumerate(ids):
+        exact = {int(ids[j]) for j in np.lexsort((ids, -S[i]))[:_TOP_K_GRAPH]}
+        got = {r["neighbor_id"] for r in per_vec.get(int(vid), [])}
+        hits += len(got & exact)
+        tot += _TOP_K_GRAPH
+    assert hits / tot >= 0.8, hits / tot

@@ -26,8 +26,11 @@ from hivekudu_handler_spark.tables import load_table
 
 
 def with_global_position(
-    df: DataFrame, sort_cols: list[Column], pos_col: str = "pos"
-) -> DataFrame:
+    df: DataFrame,
+    sort_cols: list[Column],
+    pos_col: str = "pos",
+    return_pre_checkpoint: bool = False,
+):
     """Materialize each row's 1-based rank under a total order WITHOUT an
     unpartitioned WindowExec.
 
@@ -80,12 +83,16 @@ def with_global_position(
             yield pdf
 
     out = s.mapInPandas(add_pos, out_schema)
-    # The eager checkpoint truncates the returned plan at ExistingRDD,
-    # hiding the range-partitioned sort that ALREADY RAN from plan
-    # inspection.  Keep the executed stage's DataFrame reachable so plan
-    # tests assert on the physical plan the checkpoint job executed
-    # (logical-plan reference only — no data pinned).
-    out.pre_checkpoint_df = s_pre
+    if return_pre_checkpoint:
+        # The eager checkpoint truncates the returned plan at
+        # ExistingRDD, hiding the range-partitioned sort that ALREADY
+        # RAN from plan inspection.  Callers that need to assert on the
+        # physical plan the checkpoint job executed opt into receiving
+        # that stage's DataFrame explicitly (logical-plan reference
+        # only — no data pinned); a dynamic attribute on ``out`` would
+        # silently vanish through any further transformation (r8
+        # ADVICE).
+        return out, s_pre
     return out
 
 

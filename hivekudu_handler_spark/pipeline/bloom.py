@@ -68,8 +68,12 @@ _BLOOM_BATCH_SQL = "source IN ('src15','src16','src17','src18','src19')"
 
 def _positions(fp: F.Column) -> F.Column:
     """array<struct<word int, mask long>> — the k probed bit positions of
-    fingerprint ``fp``.  Seeded xxhash64 keeps the k hashes independent;
-    pmod keeps positions non-negative."""
+    fingerprint ``fp``.  The k hashes are xxhash64 over the pair
+    ``(fp, i)`` for i in 0..k-1 — PySpark's ``xxhash64`` takes no seed
+    argument (its seed is fixed at 42); independence comes from hashing
+    the loop index as an extra column, and build/probe share this exact
+    function so the positions always agree.  pmod keeps positions
+    non-negative."""
     out = []
     for seed in range(_BLOOM_K):
         bit = F.pmod(F.xxhash64(fp, F.lit(seed)), F.lit(_BLOOM_M_BITS))
@@ -98,11 +102,26 @@ def bloom_build(keys: DataFrame, key_col: str = "fp") -> DataFrame:
 
 
 def bloom_probe(
-    batch: DataFrame, bitmap: DataFrame, key_col: str = "fp"
+    batch: DataFrame,
+    bitmap: DataFrame,
+    key_col: str = "fp",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """``batch`` plus boolean ``bloom_hit`` — True iff every one of the
     key's k bits is set in ``bitmap``.  The bitmap side is broadcast
-    (≤ 16384 rows by construction); the batch never shuffles."""
+    (≤ 16384 rows by construction).
+
+    Two join strategies for re-attaching the per-key verdicts:
+
+    - ``broadcast_hits=True`` (default): broadcast the ``hits`` table so
+      the batch itself never shuffles.  NOTE the bound — ``hits`` is one
+      row per DISTINCT batch fingerprint, which is sized by the INGEST
+      BATCH, not by the bloom (an unusually large batch can exceed the
+      8 GB driver/broadcast limit even though the bitmap never does).
+    - ``broadcast_hits=False``: plain equi-join on the fingerprint —
+      one batch-sized shuffle, safe at any batch size.  Use past the
+      point where distinct batch keys stop being broadcast-sized.
+    """
     probes = batch.select(
         key_col, F.explode(_positions(F.col(key_col))).alias("p")
     ).select(key_col, F.col("p.word").alias("word"), F.col("p.mask").alias("mask"))
@@ -115,7 +134,9 @@ def bloom_probe(
         .groupBy(key_col)
         .agg(F.min("hit").alias("bloom_hit"))
     )
-    return batch.join(F.broadcast(hits), key_col)
+    if broadcast_hits:
+        hits = F.broadcast(hits)
+    return batch.join(hits, key_col)
 
 
 @query(
@@ -145,8 +166,16 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(normalized()).alias("fp")
     is_batch = F.expr(_BLOOM_BATCH_SQL)
-    corpus = d.filter(~is_batch).select(fp)
-    batch = d.filter(is_batch).select("doc_id", "n_chars", fp)
+    # NULL-fingerprint seam, pinned on BOTH engines: a NULL text yields a
+    # NULL fingerprint, which the oracle's NOT EXISTS ADMITS (NULL never
+    # equals anything) — but an inner equi-join on fp would silently drop
+    # it.  So NULL-fp batch rows bypass the bloom entirely and are
+    # admitted directly, and the corpus side drops NULL keys before the
+    # bitmap build (they can never match an exact verify anyway).
+    corpus = d.filter(~is_batch).select(fp).filter(F.col("fp").isNotNull())
+    batch_all = d.filter(is_batch).select("doc_id", "n_chars", fp)
+    null_fp_admitted = batch_all.filter(F.col("fp").isNull())
+    batch = batch_all.filter(F.col("fp").isNotNull())
 
     bitmap = bloom_build(corpus)
     # materialize the probed batch once: both output branches (misses
@@ -160,6 +189,8 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact verification of the (dup-rate-sized) candidate set only
     survivors = candidates.join(corpus.distinct(), "fp", "left_anti")
-    return misses.select("doc_id", "n_chars").unionByName(
-        survivors.select("doc_id", "n_chars")
+    return (
+        misses.select("doc_id", "n_chars")
+        .unionByName(survivors.select("doc_id", "n_chars"))
+        .unionByName(null_fp_admitted.select("doc_id", "n_chars"))
     )

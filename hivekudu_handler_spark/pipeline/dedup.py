@@ -958,7 +958,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_verified_pairs(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.42,
+    threshold: float | None = 0.42,
     bits: int = 24,
     tables: int = 8,
 ) -> DataFrame:
@@ -1031,12 +1031,14 @@ def ann_verified_pairs(
     cos = _dot(F.col("va"), F.col("vb")) / (
         _norm(F.col("va")) * _norm(F.col("vb"))
     )
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    scored = cand.join(ea, "vec_a").join(eb, "vec_b").withColumn("cos_raw", cos)
+    if threshold is not None:
+        # threshold=None means truly unthresholded: skipping the filter
+        # (rather than comparing against -1.0) keeps even an antipodal
+        # pair whose float cosine rounds below -1.0 (r8 ADVICE).
+        scored = scored.filter(F.col("cos_raw") >= threshold)
+    return scored.select(
+        "vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine")
     )
 
 

@@ -482,9 +482,29 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only driver check (LSH candidate generation has no SQL twin;
     same class as ``sim_ann_lsh``)."""
+    return knn_graph(spark, sf_dir)
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    bits: int = 24,
+    tables: int = 8,
+) -> DataFrame:
+    """The ``sim_knn_graph`` composition with the banding knob exposed.
+
+    ``bits``/``tables`` pass straight through to ``ann_verified_pairs``:
+    WIDER bands (bits/tables up) shrink every bucket, and since candidate
+    volume is Σ_buckets n_b², band width is the knob that bounds the one
+    big shuffle on a duplicated/clustered corpus (SCALE.md's 8× smoke
+    measures exactly this).  ``threshold=None`` — the graph is
+    unthresholded by design; recall is traded only through banding."""
     from hivekudu_handler_spark.pipeline.dedup import ann_verified_pairs
 
-    pairs = ann_verified_pairs(spark, sf_dir, threshold=-1.0)
+    pairs = ann_verified_pairs(
+        spark, sf_dir, threshold=None, bits=bits, tables=tables
+    )
     sym = pairs.select(
         F.col("vec_a").alias("vec_id"),
         F.col("vec_b").alias("neighbor_id"),
@@ -501,6 +521,6 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sym.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K_GRAPH)
+        .filter(F.col("rank") <= (k if k is not None else _TOP_K_GRAPH))
         .select("vec_id", "neighbor_id", "rank", "cosine")
     )

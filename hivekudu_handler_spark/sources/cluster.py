@@ -115,8 +115,30 @@ class KuduSource:
         return _resolve(self._spark, masters), table
 
     def load(self) -> DataFrame:
+        """Scan the addressed table.  Two more options ride along, the
+        same transports the reference carried to its scanner
+        (``HiveKuduTableInputFormat.java:303-323,465-469``):
+
+        * ``kudu.scan.columns`` — comma-separated projection;
+        * ``kudu.scan.predicate`` — a SQL predicate string, pushed by
+          Catalyst into the Parquet scan (plan-pinned in tests).
+        """
         store, table = self._store_and_table()
-        return store.scan(table)
+        cols = self._options.get("kudu.scan.columns")
+        return store.scan(
+            table,
+            columns=[c.strip() for c in cols.split(",")] if cols else None,
+            predicate=self._options.get("kudu.scan.predicate"),
+        )
+
+    def lookup(self, key: dict[str, object]) -> DataFrame:
+        """Point-lookup by primary key through the addressed cluster —
+        identical plan shape to ``TableStore.lookup`` (the literal key's
+        hash bucket constant-folds into ONE PartitionFilters value and
+        the key equality lands in PushedFilters), because it IS that
+        lookup, resolved through the ``.option()`` seam."""
+        store, table = self._store_and_table()
+        return store.lookup(table, key)
 
     def save(self, df: DataFrame) -> None:
         store, table = self._store_and_table()

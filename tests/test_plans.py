@@ -417,8 +417,9 @@ def test_global_sort_position_has_no_window(spark):
     scale-killers) and the sort must be the parallel range-partitioned
     one.  Since the r7-ADVICE localCheckpoint fix the returned plan is
     truncated at ExistingRDD, so the range sort is asserted on the
-    pre-checkpoint stage the checkpoint job executed
-    (``pre_checkpoint_df``)."""
+    pre-checkpoint stage the checkpoint job executed (returned
+    explicitly via ``return_pre_checkpoint=True`` since r9 — the r8
+    dynamic-attribute seam vanished through transformations)."""
     from hivekudu_handler_spark.operators.sorts import with_global_position
     from hivekudu_handler_spark.tables import load_table
 
@@ -428,11 +429,12 @@ def test_global_sort_position_has_no_window(spark):
         assert "Window" not in plan, (key, plan)
         assert "SinglePartition" not in plan, (key, plan)
 
-    ranked = with_global_position(
+    _, pre_checkpoint = with_global_position(
         load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        return_pre_checkpoint=True,
     )
-    sorted_plan = checks.plan_string(ranked.pre_checkpoint_df, mode="simple")
+    sorted_plan = checks.plan_string(pre_checkpoint, mode="simple")
     assert "rangepartitioning" in sorted_plan.lower(), sorted_plan
     assert "Window" not in sorted_plan, sorted_plan
     assert "SinglePartition" not in sorted_plan, sorted_plan

@@ -102,6 +102,32 @@ HEADLINE = [
 ]
 
 
+# Scenario keys whose headline wall is dominated by one-time scaffold
+# phases (r8 verdict item 6: BENCH_NOTES phase breakdowns show e.g.
+# mview_incremental's 10 s is six lifecycle phases while the REBUILD —
+# the number that matters at scale — is ~2 s).  For each, a phases
+# helper builds the scaffold untimed and returns the operate thunk; the
+# operate-only wall is emitted alongside the scenario wall under
+# "phases" in the output JSON.
+PHASE_SPLIT = {
+    "mview_incremental": (
+        "hivekudu_handler_spark.operators.snapshots",
+        "mview_incremental_phases",
+        "refresh_only",
+    ),
+    "scan_snapshot": (
+        "hivekudu_handler_spark.operators.snapshots",
+        "scan_snapshot_phases",
+        "probe_only",
+    ),
+    "stream_upsert_sink": (
+        "hivekudu_handler_spark.streaming.events",
+        "stream_upsert_sink_phases",
+        "stream_only",
+    ),
+}
+
+
 def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -141,6 +167,29 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    # operate-phase walls for the scaffold-dominated scenario keys:
+    # setup runs untimed, only the steady-state phase is measured
+    # (single pass — the operate phases mutate scratch state and a
+    # second run would not repeat the same work)
+    import importlib
+
+    phases: dict[str, float] = {}
+    for key, (mod_name, fn_name, phase_label) in PHASE_SPLIT.items():
+        phases_fn = getattr(importlib.import_module(mod_name), fn_name)
+        operate, cleanup = phases_fn(spark, sf_dir)
+        try:
+            t0 = time.time()
+            run_query(operate())
+            phases[f"{key}:{phase_label}"] = round(time.time() - t0, 3)
+        finally:
+            cleanup()
+        spark.catalog.clearCache()
+        print(
+            f"  {key}:{phase_label}: {phases[f'{key}:{phase_label}']}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -149,6 +198,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -203,7 +203,13 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            b = np.frombuffer(bytes(blob), dtype=np.uint8)
+            # NULL blob (NULL text upstream) == empty blob: the oracle's
+            # LEFT JOIN + COALESCE yields the same zero row
+            b = (
+                np.frombuffer(bytes(blob), dtype=np.uint8)
+                if blob is not None
+                else np.empty(0, dtype=np.uint8)
+            )
             n = int(b.size)
             if n == 0:
                 out.append((doc_id, 0, 0.0, 0, 0, 0.0))
@@ -211,7 +217,13 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             counts = np.bincount(b, minlength=256)
             nz = counts[counts > 0]
             p = nz / n
-            entropy = float(-(p * np.log2(p)).sum())
+            # entropy is the one term whose float value is summation-
+            # order- and libm-sensitive across engines (~1e-16); round
+            # AFTER the per-doc aggregation so the hash compares a
+            # stable 6-dp value.  mean_byte needs no rounding: the byte
+            # sum is exact integer arithmetic in float64 on both
+            # engines, so sum/n is bit-identical.
+            entropy = round(float(-(p * np.log2(p)).sum()), 6)
             out.append(
                 (
                     doc_id,
@@ -231,12 +243,44 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_byte_features", tags=("multimodal",))
+# Oracle for mm_byte_features (r8 verdict task 3, promoted r9): the
+# blob IS the UTF-8 bytes of ``text``, so every feature is exact SQL —
+# hex() the blob, split into 2-char byte pairs via a zipped unnest, and
+# aggregate.  mean_byte is exact on both engines (integer byte sum in
+# float64, then one division); entropy() is DuckDB's log2-based Shannon
+# aggregate, rounded to the same 6 dp as the Spark side because its
+# summation order and libm log2 differ harmlessly in the last ulp.
+_BYTE_ORACLE = (
+    "WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents), "
+    "bytes AS ("
+    "  SELECT doc_id, "
+    "         (strpos('0123456789ABCDEF', substr(h, 2*i - 1, 1)) - 1) * 16 "
+    "         + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1 AS byte "
+    "  FROM (SELECT doc_id, h, "
+    "               unnest(generate_series(1, length(h) // 2)) AS i FROM b)), "
+    "agg AS ("
+    "  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bytes, "
+    "         CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean_byte, "
+    "         CAST(MAX(byte) AS INT) AS max_byte, "
+    "         CAST(COUNT(DISTINCT byte) AS INT) AS n_distinct_bytes, "
+    "         ROUND(entropy(byte), 6) AS entropy_bits "
+    "  FROM bytes GROUP BY doc_id) "
+    "SELECT d.doc_id, COALESCE(a.n_bytes, 0) AS n_bytes, "
+    "       COALESCE(a.mean_byte, 0.0) AS mean_byte, "
+    "       COALESCE(a.max_byte, 0) AS max_byte, "
+    "       COALESCE(a.n_distinct_bytes, 0) AS n_distinct_bytes, "
+    "       COALESCE(a.entropy_bits, 0.0) AS entropy_bits "
+    "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+)
+
+
+@query("mm_byte_features", oracle=_BYTE_ORACLE, tags=("multimodal",))
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over blob columns via
     ``mapInPandas`` — the real plumbing for media feature extraction.
-    Rows-only driver check (byte-histogram entropy is not reasonably
-    SQL-expressible); tests pin golden values for fixed docs."""
+    Oracle-backed since r9: the blob is the text's UTF-8 bytes, so the
+    byte histogram / entropy is exact SQL over hex pairs (see
+    ``_BYTE_ORACLE``); tests additionally pin golden values."""
     d = load_table(spark, sf_dir, "documents")
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return blobs.mapInPandas(_byte_features, schema=_FEAT_SCHEMA)

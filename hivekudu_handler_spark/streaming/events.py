@@ -401,6 +401,28 @@ def _range_bucket(df: DataFrame, col: str, n: int):
     return F.coalesce(F.least(F.lit(n), bucket).cast("int"), F.lit(1))
 
 
+def stage_stream_files(
+    events: DataFrame,
+    stage_dir: str,
+    n_files: int = 4,
+    reverse_order: bool = False,
+    col: str = "ts",
+) -> None:
+    """Stage ``events`` as ``n_files`` ``col``-range parquet files so a
+    ``maxFilesPerTrigger=1`` file stream yields a deterministic
+    multi-micro-batch run."""
+    ranged = events.withColumn("_f", _range_bucket(events, col, n_files))
+    order = range(n_files, 0, -1) if reverse_order else range(1, n_files + 1)
+    for seq, i in enumerate(order):
+        (
+            ranged.filter(F.col("_f") == i)
+            .drop("_f")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stage_dir}/f{seq:02d}")
+        )
+
+
 def run_upsert_sink(
     spark: SparkSession,
     events: DataFrame,
@@ -411,6 +433,7 @@ def run_upsert_sink(
     n_files: int = 4,
     *,
     reverse_order: bool = False,
+    pre_staged: bool = False,
 ) -> int:
     """Drive an event stream into a managed keyed table through
     ``foreachBatch`` — the Spark sink for Kudu's core positioning
@@ -434,20 +457,12 @@ def run_upsert_sink(
     never a full-table rewrite.  Returns the number of micro-batches.
 
     ``reverse_order`` stages the files newest-first so tests can prove
-    batch-order independence.
+    batch-order independence.  ``pre_staged`` skips the staging writes
+    (the caller already ran :func:`stage_stream_files` — the bench
+    phase-split uses this to time the streaming engine run alone).
     """
-    # stage the stream as n ts-range files so maxFilesPerTrigger=1 yields
-    # a deterministic multi-batch run
-    ranged = events.withColumn("_f", _range_bucket(events, "ts", n_files))
-    order = range(n_files, 0, -1) if reverse_order else range(1, n_files + 1)
-    for seq, i in enumerate(order):
-        (
-            ranged.filter(F.col("_f") == i)
-            .drop("_f")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{stage_dir}/f{seq:02d}")
-        )
+    if not pre_staged:
+        stage_stream_files(events, stage_dir, n_files, reverse_order)
     schema = events.schema
     stream = (
         spark.readStream.schema(schema)
@@ -537,6 +552,45 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def stream_upsert_sink_phases(spark: SparkSession, sf_dir: str):
+    """Bench phase-split for ``stream_upsert_sink`` (r8 verdict item 6):
+    ``operate()`` is the Structured-Streaming run alone — four
+    ``foreachBatch`` micro-batches of LWW merge into the keyed table
+    plus the final-state scan — against a scaffold (table create +
+    staged stream files) this function already built, untimed.  The
+    operate wall is the per-ingest steady-state cost; the scaffold is
+    one-time setup a real deployment never repeats."""
+    import shutil
+
+    from hivekudu_handler_spark.operators.ddl import _materialize, _scratch_store
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    store, d = _scratch_store(spark)
+    store.create_table(
+        "user_state",
+        "user_id bigint, event_id bigint, ts timestamp, "
+        "event_type string, value double",
+        ["user_id"],
+    )
+    stage_stream_files(ev, str(d / "stage"))
+
+    def operate() -> DataFrame:
+        run_upsert_sink(
+            spark, ev, store, "user_state",
+            checkpoint_dir=str(d / "ckpt"), stage_dir=str(d / "stage"),
+            pre_staged=True,
+        )
+        return _materialize(spark, store.scan("user_state").orderBy("user_id"))
+
+    def cleanup() -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return operate, cleanup
+
+
 def run_mview_maintain(
     spark: SparkSession,
     events: DataFrame,
@@ -554,15 +608,7 @@ def run_mview_maintain(
     keeping the aggregate current is proportional to the ingest rate, not
     the table size — the property that makes a continuously-fresh 100 TB
     rollup affordable.  Returns the number of micro-batches."""
-    ranged = events.withColumn("_f", _range_bucket(events, "event_id", n_files))
-    for i in range(1, n_files + 1):
-        (
-            ranged.filter(F.col("_f") == i)
-            .drop("_f")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{stage_dir}/f{i:02d}")
-        )
+    stage_stream_files(events, stage_dir, n_files, col="event_id")
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)

@@ -55,23 +55,34 @@ def test_approx_distinct_raw_estimate_bound(spark):
 
 
 def test_approx_percentile_error_bound(spark):
-    """percentile_approx at accuracy=1000 must land within 2% relative
-    error of the exact per-group percentile (GK sketch guarantees 1/1000
-    rank error; 2% value margin is generous for this distribution)."""
-    approx = {
-        r["l_returnflag"]: (r["approx_p50"], r["approx_p95"])
+    """The key's in-band booleans must hold (the ±2ε exact rank band the
+    r9 oracle promotion certifies officially), its exact_p columns must
+    equal an independent exact percentile computation, and the raw
+    sketch estimate stays within 2% relative value error."""
+    rows = {
+        r["l_returnflag"]: r
         for r in load_all()["agg_approx_percentile"].fn(spark, SF).collect()
     }
-    exact = {
-        r["l_returnflag"]: r["exact_p"]
-        for r in load_table(spark, SF, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"))
+    li = load_table(spark, SF, "lineitem")
+    ref = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("ap50"),
+            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("ap95"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, est in approx.items():
-        for got, want in zip(est, exact[flag]):
+    assert set(rows) == set(ref)
+    for flag, row in rows.items():
+        assert row["p50_in_band"] and row["p95_in_band"], (flag, row)
+        assert row["exact_p50"] == ref[flag]["exact_p"][0], flag
+        assert row["exact_p95"] == ref[flag]["exact_p"][1], flag
+        for got, want in (
+            (ref[flag]["ap50"], row["exact_p50"]),
+            (ref[flag]["ap95"], row["exact_p95"]),
+        ):
             assert abs(got - want) / want <= 0.02, f"{flag}: {got} vs {want}"
 
 

@@ -418,7 +418,9 @@ def test_byte_features_golden(spark, specs):
     assert row["max_byte"] == max(blob)
     assert row["n_distinct_bytes"] == len(counts)
     assert abs(row["mean_byte"] - sum(blob) / len(blob)) < 1e-12
-    assert abs(row["entropy_bits"] - expected_entropy) < 1e-12
+    # entropy is rounded to 6 dp in the operator since r9 (oracle
+    # promotion: DuckDB's entropy() differs in the last ulp)
+    assert abs(row["entropy_bits"] - expected_entropy) < 5e-7
 
 
 def test_audio_windows_golden(spark, specs):

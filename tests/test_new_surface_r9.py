@@ -107,6 +107,44 @@ def test_ann_pairs_none_threshold_keeps_all_candidates(spark):
     assert len(unthresholded) >= len(thresholded)
 
 
+def test_knn_graph_band_width_bounds_candidates(spark, tmp_path):
+    """The documented banding knob must actually bound candidate volume:
+    on a twin-duplicated corpus (every vector with an exact twin),
+    widening the bands (bits/tables 24/8 -> 48/8, per-band width 3 -> 6)
+    must strictly shrink the RANDOM-collision candidate set while never
+    losing a twin pair (identical vectors share every band at any
+    width — true duplicates are the irreducible floor the knob cannot
+    and must not cut)."""
+    import os
+
+    from hivekudu_handler_spark.pipeline.dedup import ann_verified_pairs
+
+    e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    twins = e.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    out = str(tmp_path / "embeddings.parquet")
+    e.unionByName(twins).write.parquet(out)
+    d = str(tmp_path)
+
+    def pairs(bits):
+        return {
+            (r["vec_a"], r["vec_b"])
+            for r in ann_verified_pairs(
+                spark, d, threshold=None, bits=bits, tables=8
+            ).collect()
+        }
+
+    narrow, wide = pairs(24), pairs(48)
+    twin_pairs = {
+        (r["vec_id"], r["vec_id"] + 1_000_000) for r in e.select("vec_id").collect()
+    }
+    assert twin_pairs <= narrow and twin_pairs <= wide  # duplicates never lost
+    assert len(wide) < len(narrow), (len(wide), len(narrow))
+    # the knob must cut a real fraction of the random-collision tail
+    random_narrow = len(narrow - twin_pairs)
+    random_wide = len(wide - twin_pairs)
+    assert random_wide < random_narrow * 0.8, (random_wide, random_narrow)
+
+
 def test_bloom_prefilter_admits_null_fingerprints(spark, tmp_path):
     """A NULL text (NULL fingerprint) batch row must be ADMITTED — the
     DuckDB oracle's NOT EXISTS admits it because NULL never equals any

@@ -1,0 +1,61 @@
+"""Round-10 surface tests.
+
+Covers the r9 verdict's next-round items that change engine code:
+tiled SemDeDup kernel (verdict "What's wrong" #2).
+"""
+
+import numpy as np
+import pytest
+
+
+def _naive_smaller_id_hits(xn, tau):
+    """Reference implementation: the r8 full-matrix kernel."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = xn @ xn.T
+    mask = np.asarray(sims >= tau)
+    return np.array([bool(mask[i, :i].any()) for i in range(len(xn))])
+
+
+@pytest.mark.parametrize("n,tile", [(0, 4), (1, 4), (7, 3), (64, 8), (257, 16), (100, 1000)])
+def test_tiled_semdedup_kernel_matches_full_matrix(n, tile):
+    """The tiled kernel is a pure refactor of the r8 full-matrix kernel:
+    identical is_dup output for every (cluster size, tile) shape — tile
+    smaller than / equal to / larger than the cluster, diagonal-crossing
+    tiles, and the early-exit path (dense duplicate neighborhoods)."""
+    from hivekudu_handler_spark.pipeline.dedup import _tiled_smaller_id_hits
+
+    rng = np.random.default_rng(42 + n)
+    x = rng.normal(size=(n, 8))
+    # plant duplicate neighborhoods so the early-exit path runs: copies
+    # of row 0 sprinkled through the id order have cosine 1.0 upward
+    for i in range(0, n, 5):
+        x[i] = x[0] * (1.0 + 0.001 * i)
+    if n:
+        x[min(3, n - 1)] = 0.0  # zero-norm row: NaN cosine must stay kept
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    for tau in (0.4, 0.95, 1.1):
+        got = _tiled_smaller_id_hits(xn, tau, tile=tile)
+        want = _naive_smaller_id_hits(xn, tau)
+        assert np.array_equal(np.asarray(got), want), (n, tile, tau)
+
+
+def test_tiled_semdedup_kernel_memory_bound():
+    """Over-cap-cluster smoke: a cluster far above the tile size runs
+    through the tiled kernel without ever allocating an n×n matrix.
+    20k rows @ tile 4096 would need a 3.2 GB full matrix; the tiled
+    peak is one 4096² tile (~128 MB).  Checked structurally (tile loop
+    bounds) and by running it — with a planted duplicate-dense head so
+    early-exit engages — in bounded time."""
+    from hivekudu_handler_spark.pipeline.dedup import _SEM_TILE, _tiled_smaller_id_hits
+
+    n, dim = 20_000, 16
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(n, dim))
+    x[n // 2 :] = x[0] * rng.uniform(0.5, 2.0, size=(n - n // 2, 1))  # dup half
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    out = _tiled_smaller_id_hits(xn, 0.99)
+    assert not out[0]
+    assert out[n // 2 :].all()  # every planted copy sees row 0 upstream
+    assert n > _SEM_TILE  # the smoke genuinely crosses tile boundaries

@@ -230,13 +230,31 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_dedup", tags=("streaming",))
+@query(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("streaming",),
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming dedup surface (``dropDuplicates`` on
-    event_id).  Batch result is trivially the distinct set; the streaming
-    path with ``withWatermark`` is exercised in tests/test_streaming.py.
-    Rows-only check: the watermark semantics themselves are not
-    SQL-expressible."""
+    """Streaming dedup surface (``dropDuplicates`` on event_id; batch
+    mode is what the driver checks).  Oracle-backed since r10 (the
+    ``stream_upsert_sink`` precedent — a finite staged stream has a
+    deterministic final state): ``event_id`` is unique in every fixture,
+    so the batch dedup is the identity modulo projection and the
+    survivor-choice nondeterminism of ``dropDuplicates`` (which row wins
+    among payload-differing duplicates) cannot bite; were a fixture to
+    gain duplicate ids the oracle would fail loudly on row count.
+
+    Scale note (learned writing the streaming test): in a stream, plain
+    ``dropDuplicates(["event_id"])`` keeps key state FOREVER when the
+    event-time column is not in the key subset — the watermark bounds
+    nothing.  The bounded-state operator is
+    ``dropDuplicatesWithinWatermark``, whose state expires once the
+    watermark passes first-seen-ts + delay (dedup guaranteed only within
+    the watermark window — the standard at-scale trade).  That path —
+    duplicates injected across staged micro-batch files, first-seen
+    survivor, state eviction and post-eviction re-emit — is exercised in
+    tests/test_streaming.py::test_stream_dedup_drops_cross_batch_dupes."""
     ev = load_events(spark, sf_dir)
     return ev.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
 
@@ -361,14 +379,29 @@ def run_stateful_over_fixture(spark, sf_dir: str):
     return spark.table(sink)
 
 
-@query("stateful_user_totals", tags=("streaming", "stateful"))
+@query(
+    "stateful_user_totals",
+    oracle=(
+        "SELECT user_id, ROUND(CAST(SUM(value) AS DOUBLE), 2) AS total_value, "
+        "COUNT(*) AS n_events FROM events GROUP BY user_id"
+    ),
+    tags=("streaming", "stateful"),
+)
 def stateful_user_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     running per-user (total_value, n_events) in update mode, executed
     through the real streaming engine (availableNow trigger over the
-    events fixture).  Rows-only driver check — update-mode emission
-    timing is not SQL-expressible; tests/test_streaming.py proves the
-    final state equals the batch groupBy over the same fixture."""
+    events fixture).  Oracle-backed since r10: with a single availableNow
+    batch the sink holds exactly one (= final) update per user, and the
+    final state of a finite stream IS the batch GROUP BY — so the SQL
+    twin is exact, not a weaker invariant.  Rounding-boundary note (r9
+    ADVICE): the kernel's pandas pairwise sum and DuckDB's sequential sum
+    can differ in the last ulp, but the fixture's per-user totals are
+    cent-quantized — measured ≥0.499999 cents from every ROUND(.,2)
+    half-way boundary at sf0.001/0.01/0.1 vs ~1e-11 of engine drift, so
+    the rounded values cannot split across engines on these fixtures.
+    Update-mode emission TIMING remains SQL-inexpressible; multi-batch
+    update sequencing is covered in tests/test_streaming.py."""
     return run_stateful_over_fixture(spark, sf_dir)
 
 

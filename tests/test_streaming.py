@@ -224,6 +224,81 @@ def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
     assert ("10:00", 3) in bg, bg
 
 
+def test_stream_dedup_drops_cross_batch_dupes(spark, tmp_path):
+    """The watermarked-dedup semantics the ``stream_dedup`` key's oracle
+    cannot see (the fixture has unique event_ids): a duplicate arriving
+    in a LATER micro-batch while its key state is live must be dropped,
+    and one arriving after the watermark evicted that state must be
+    re-emitted — the eviction is exactly what bounds dedup state at
+    100 TB (unbounded exact dedup state is the scale-killer;
+    ``pipeline/bloom.py`` is the admission-control variant).
+
+    API note (discovered by this test's first version): plain
+    ``dropDuplicates(["event_id"])`` NEVER evicts state when the
+    event-time column is not part of the key subset, watermark or no —
+    its state grows forever.  ``dropDuplicatesWithinWatermark`` is the
+    bounded-state operator: state expires once the watermark passes
+    first-seen-ts + delay.
+
+    Four parquet files consumed oldest-first with maxFilesPerTrigger=1,
+    watermark 10 minutes.  Note the one-batch lag on both watermark and
+    eviction: the watermark used in batch N derives from data seen
+    through batch N-1, and state cleanup runs at batch END — so e3@12:00
+    (batch B) sets the 11:50 watermark for batch C, whose end evicts
+    e1's 10:00 state, and only batch D sees e1 as new:
+      A: e1@10:00, e2@10:05            → both emitted
+      B: e1@10:07 (state live → drop), e3@12:00
+      C: e1@12:01 (still dropped — eviction happens at THIS batch's end)
+      D: e1@12:03 (state gone → RE-emitted), e4@12:04
+    """
+    import os
+    from datetime import datetime
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_one(name, rows, mtime):
+        df = spark.createDataFrame(rows, "event_id string, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("*.parquet"))
+        dest = src / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    write_one("a", [("e1", t(10, 0)), ("e2", t(10, 5))], 1_000_000)
+    write_one("b", [("e1", t(10, 7)), ("e3", t(12, 0))], 2_000_000)
+    write_one("c", [("e1", t(12, 1))], 3_000_000)
+    write_one("d", [("e1", t(12, 3)), ("e4", t(12, 4))], 4_000_000)
+
+    stream = (
+        spark.readStream.schema("event_id string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_dedup_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["ts"].strftime("%H:%M"))
+        for r in spark.table("stream_dedup_result").collect()
+    )
+    assert got == [
+        ("e1", "10:00"),  # first occurrence
+        ("e1", "12:03"),  # state evicted at 11:50 watermark → treated as new
+        ("e2", "10:05"),
+        ("e3", "12:00"),
+        ("e4", "12:04"),
+    ], got
+
+
 # ---- streaming upsert sink ------------------------------------------------
 
 def test_stream_upsert_sink_multibatch_and_order_independent(spark, sf_dir, tmp_path):

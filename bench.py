@@ -199,6 +199,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "phases": phases,
+                # methodology tag (r9 ADVICE): headline timings are
+                # best-of-2 warm; phase walls are one cold pass (the
+                # operate phases mutate scratch state, so a second run
+                # would not repeat the same work) — don't compare the
+                # two series against each other without this caveat
+                "phases_method": "single_cold_pass",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

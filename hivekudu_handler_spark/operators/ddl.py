@@ -31,10 +31,27 @@ def _scratch_store(spark: SparkSession) -> tuple[TableStore, Path]:
     return TableStore(spark, str(d)), d
 
 
+# Hard cap on rows _materialize may route through the driver.  Harness
+# plumbing only: DDL/merge keys return DESCRIBE output or final keyed
+# state (tens to hundreds of rows).  Never raise this to shove an
+# operator result through; a distributed result must stay a DataFrame.
+_MATERIALIZE_MAX_ROWS = 100_000
+
+
 def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Collect a (small) result and rebuild it driver-side so the scratch
-    warehouse can be deleted immediately."""
-    rows = df.collect()
+    """Collect a DRIVER-SIZED result and rebuild it driver-side so the
+    scratch warehouse can be deleted immediately.  Contract (r9 verdict
+    item 8): results must stay driver-sized — this is scaffold plumbing
+    for scratch-store lifecycle, not an operator plan; the row cap makes
+    misuse (routing a large distributed result through the driver) fail
+    loudly instead of OOMing."""
+    rows = df.limit(_MATERIALIZE_MAX_ROWS + 1).collect()
+    if len(rows) > _MATERIALIZE_MAX_ROWS:
+        raise ValueError(
+            f"_materialize is for driver-sized scaffold results; got more "
+            f"than {_MATERIALIZE_MAX_ROWS} rows — keep large results "
+            f"distributed"
+        )
     return spark.createDataFrame(rows, df.schema)
 
 

@@ -34,13 +34,21 @@ def _mutated_store(spark: SparkSession):
     v0 create → v1 insert {1,2,3} → v2 upsert {2→B, +4} → v3 delete {1}.
     """
     store, d = _scratch_store(spark)
-    store.create_table("snap", "id int, name string, score double", ["id"])
-    store.insert_values("snap", [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
-    meta = store.table_meta("snap")
-    store.upsert(
-        "snap", spark.createDataFrame([(2, "B", 20.0), (4, "d", 4.0)], meta.schema)
-    )
-    store.delete_where("snap", "id = 1")
+    try:
+        store.create_table("snap", "id int, name string, score double", ["id"])
+        store.insert_values("snap", [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+        meta = store.table_meta("snap")
+        store.upsert(
+            "snap",
+            spark.createDataFrame([(2, "B", 20.0), (4, "d", 4.0)], meta.schema),
+        )
+        store.delete_where("snap", "id = 1")
+    except BaseException:
+        # a half-built scaffold has no owner yet (callers only obtain
+        # cleanup() from the successful return) — reap it here or the
+        # scratch dir leaks (r9 ADVICE)
+        shutil.rmtree(d, ignore_errors=True)
+        raise
     return store, d
 
 
@@ -281,24 +289,30 @@ def mview_incremental_phases(spark: SparkSession, sf_dir: str):
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     store, d = _scratch_store(spark)
-    run_sql(
-        store,
-        "CREATE TABLE ev (event_id bigint, event_type string, "
-        "cents bigint) TBLPROPERTIES ('kudu.key_columns'='event_id')",
-    )
-    store.insert("ev", ev.filter(F.col("event_id") % 3 < 2))
-    run_sql(
-        store,
-        "CREATE MATERIALIZED VIEW mv AS "
-        "SELECT event_type, COUNT(*) AS n_rows, SUM(cents) AS sum_cents "
-        "FROM ev GROUP BY event_type",
-    )
-    late = ev.filter(F.col("event_id") % 3 == 2)
-    upd = ev.filter(
-        (F.col("event_id") % 3 < 2) & (F.col("event_id") % 5 == 0)
-    ).withColumn("cents", F.col("cents") * 2)
-    store.upsert("ev", late.unionByName(upd))
-    store.delete_where("ev", "event_type = 'error'")
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE ev (event_id bigint, event_type string, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='event_id')",
+        )
+        store.insert("ev", ev.filter(F.col("event_id") % 3 < 2))
+        run_sql(
+            store,
+            "CREATE MATERIALIZED VIEW mv AS "
+            "SELECT event_type, COUNT(*) AS n_rows, SUM(cents) AS sum_cents "
+            "FROM ev GROUP BY event_type",
+        )
+        late = ev.filter(F.col("event_id") % 3 == 2)
+        upd = ev.filter(
+            (F.col("event_id") % 3 < 2) & (F.col("event_id") % 5 == 0)
+        ).withColumn("cents", F.col("cents") * 2)
+        store.upsert("ev", late.unionByName(upd))
+        store.delete_where("ev", "event_type = 'error'")
+    except BaseException:
+        # cleanup() is only handed out on success — reap the half-built
+        # scaffold here or the scratch dir leaks (r9 ADVICE)
+        shutil.rmtree(d, ignore_errors=True)
+        raise
 
     def operate() -> DataFrame:
         run_sql(store, "ALTER MATERIALIZED VIEW mv REBUILD")

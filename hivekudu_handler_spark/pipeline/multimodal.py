@@ -223,6 +223,15 @@ def _byte_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # stable 6-dp value.  mean_byte needs no rounding: the byte
             # sum is exact integer arithmetic in float64 on both
             # engines, so sum/n is bit-identical.
+            # Boundary-proximity margin (r9 ADVICE): rounding can only
+            # split across engines if a value sits within engine-drift
+            # of a half-way point.  Measured per fixture: the closest
+            # per-doc entropy to a 6-dp boundary is 5.5e-13 away
+            # (sf0.1; sf0.001/0.01 are ≥5.7e-10) vs ≤256 log2 terms of
+            # ~1e-16 drift each (~1e-14 worst case) — ≥50× of margin,
+            # and deterministic while fixtures are frozen.  Re-measure
+            # before trusting a NEW fixture: tools/parity.py fails
+            # loudly if a regenerated corpus lands on a boundary.
             entropy = round(float(-(p * np.log2(p)).sum()), 6)
             out.append(
                 (

@@ -115,9 +115,13 @@ class KuduSource:
         return _resolve(self._spark, masters), table
 
     def load(self) -> DataFrame:
-        """Scan the addressed table.  Two more options ride along, the
-        same transports the reference carried to its scanner
-        (``HiveKuduTableInputFormat.java:303-323,465-469``):
+        """Scan the addressed table.  Two more options ride along,
+        mirroring the transports the reference DESIGNED for its scanner
+        (``mapred/HiveKuduTableInputFormat.java:303-323,465-469``) —
+        note the reference's conf read for the projection is commented
+        out at ``:303`` with the projection hardcoded to ``"id,name"``
+        at ``:304``, so the comma-separated-projection transport here
+        matches the reference's intent, not its shipped code:
 
         * ``kudu.scan.columns`` — comma-separated projection;
         * ``kudu.scan.predicate`` — a SQL predicate string, pushed by

@@ -602,13 +602,19 @@ def stream_upsert_sink_phases(spark: SparkSession, sf_dir: str):
         "user_id", "event_id", "ts", "event_type", "value"
     )
     store, d = _scratch_store(spark)
-    store.create_table(
-        "user_state",
-        "user_id bigint, event_id bigint, ts timestamp, "
-        "event_type string, value double",
-        ["user_id"],
-    )
-    stage_stream_files(ev, str(d / "stage"))
+    try:
+        store.create_table(
+            "user_state",
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "event_type string, value double",
+            ["user_id"],
+        )
+        stage_stream_files(ev, str(d / "stage"))
+    except BaseException:
+        # cleanup() is only handed out on success — reap the half-built
+        # scaffold here or the scratch dir leaks (r9 ADVICE)
+        shutil.rmtree(d, ignore_errors=True)
+        raise
 
     def operate() -> DataFrame:
         run_upsert_sink(

@@ -499,3 +499,32 @@ def test_asof_nearest_single_exchange_and_directional_agreement(spark):
     big = 1 << 62
     for pid, gap in picked.items():
         assert gap == min(back.get(pid, big), fwd.get(pid, big)), pid
+
+
+def test_approx_percentile_certification_single_aggregate(spark):
+    """The exact-bounds certification inside agg_approx_percentile (the
+    r9 oracle promotion, plan showcased in PLANS.md) must stay ONE
+    partial/final aggregate over ONE shuffle: the GK sketches and the
+    six exact percentiles (p50/p95 + the four ±2eps band edges) all fold
+    in the same Aggregate, so certifying the sketch costs no extra pass
+    over the fact table — the certification would be pointless if it
+    doubled the scan or shuffle count it certifies."""
+    df = load_all()["agg_approx_percentile"].fn(spark, SF)
+    assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" in optimized, optimized
+    # exact percentile and sketch live in the SAME aggregate node
+    import re
+
+    aggs = re.findall(r"Aggregate \[.*", optimized)
+    assert len(aggs) == 1, optimized
+    assert "percentile_approx" in aggs[0] and "percentile(" in aggs[0], aggs[0]
+
+
+def test_pca_projection_is_scan_shaped(spark):
+    """emb_pca_project's projection pass must be pure scan + Arrow map:
+    the component matrix broadcasts, so nothing justifies an exchange —
+    the r10 cleanup removed a cosmetic global sort that range-shuffled
+    the whole corpus for row order the driver verifier ignores."""
+    df = load_all()["emb_pca_project"].fn(spark, SF)
+    assert checks.count_shuffles(df) == 0, checks.plan_string(df)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.pipeline.similarity import lsh_replay_ctes
 from hivekudu_handler_spark.pipeline.text import _NORM_SQL, normalized, tokens
 from hivekudu_handler_spark.tables import load_table
 
@@ -1053,31 +1054,10 @@ def ann_verified_pairs(
 # τ=0.42 is 25/26, 31/34, 408/427 across sf0.001/0.01/0.1, because the
 # fixture's near-dup regime sits near the banding boundary — so the
 # oracle replays the approximation instead of pretending there is none.
-# Knife-edge note: DuckDB sums v·(a-b) in the same elementwise order as
-# Spark's aggregate fold; a dot product landing within an ulp of 0 could
-# still flip a bit between engines, but signature bits are pinned
-# identical across engines on all three fixtures (tools/parity.py).
-_ANN_LSH_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-pl AS (
-  SELECT CAST(a.vec_id // 2 AS INT) AS plane_id,
-         list_transform(list_zip(a.v, b.v), s -> s[1] - s[2]) AS plane
-  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
-  WHERE a.vec_id % 2 = 0 AND a.vec_id < 48
-),
-bits AS (
-  SELECT e.vec_id, pl.plane_id,
-         CASE WHEN list_dot_product(e.v, pl.plane) > 0 THEN 1 ELSE 0 END AS bit
-  FROM e CROSS JOIN pl
-),
-sigs AS (
-  SELECT vec_id, CAST(SUM(bit * (1::BIGINT << plane_id)) AS BIGINT) AS sig
-  FROM bits GROUP BY vec_id
-),
-bands AS (
-  SELECT vec_id, t.band_idx, (sig >> (3 * t.band_idx)) & 7 AS bucket
-  FROM sigs CROSS JOIN (SELECT unnest(range(8)) AS band_idx) t
-),
+# Knife-edge note: see ``lsh_replay_ctes`` — a dot product within an ulp
+# of 0 could flip a signature bit between engines; pinned identical on
+# every fixture by this oracle passing (tools/parity.py).
+_ANN_LSH_ORACLE = lsh_replay_ctes(24, 8) + """,
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b

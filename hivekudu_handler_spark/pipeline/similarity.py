@@ -34,6 +34,45 @@ _TOP_K = 10
 _TOP_K_GRAPH = 5  # neighbors per vector in the kNN graph
 
 
+def lsh_replay_ctes(bits: int, tables: int) -> str:
+    """DuckDB CTE prefix (``e``/``pl``/``bits``/``sigs``/``bands``)
+    replaying the sign-LSH signature pipeline in SQL — the r10 oracle
+    mechanism for every LSH-banded key (``dedup_ann_verified``,
+    ``sim_ann_lsh``, ``sim_knn_graph``).
+
+    Sound because nothing in the pipeline touches an RNG: hyperplane i
+    is the difference vector of corpus rows (2i, 2i+1)
+    (``_hyperplanes``), sign bits are ``dot(v, plane) > 0``, and the
+    banding is pure bit arithmetic — all replayable from the
+    ``embeddings`` view alone.  Cross-engine knife edge: a dot product
+    landing within an ulp of 0 could flip a bit between engines (DuckDB
+    sums ``v·(a−b)`` elementwise like Spark's fold, but not in
+    guaranteed-identical order); signature equality is pinned on every
+    fixture by the three keys' oracle rows themselves."""
+    width, mask = bits // tables, (1 << (bits // tables)) - 1
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (
+  SELECT CAST(a.vec_id // 2 AS INT) AS plane_id,
+         list_transform(list_zip(a.v, b.v), s -> s[1] - s[2]) AS plane
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0 AND a.vec_id < {2 * bits}
+),
+bits AS (
+  SELECT e.vec_id, pl.plane_id,
+         CASE WHEN list_dot_product(e.v, pl.plane) > 0 THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN pl
+),
+sigs AS (
+  SELECT vec_id, CAST(SUM(bit * (1::BIGINT << plane_id)) AS BIGINT) AS sig
+  FROM bits GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, t.band_idx, (sig >> ({width} * t.band_idx)) & {mask} AS bucket
+  FROM sigs CROSS JOIN (SELECT unnest(range({tables})) AS band_idx) t
+)"""
+
+
 def _as_double(e: DataFrame, out: str = "v") -> DataFrame:
     return e.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias(out)
@@ -308,12 +347,44 @@ def ann_lsh_topk(
     return _rank_topk(scored, _TOP_K)
 
 
-@query("sim_ann_lsh", tags=("similarity", "vector", "approx"))
+# 48-bit / 12-table replay + query-side candidate join + top-10 rank.
+# Ordering knife edge: the rank orders by the UNROUNDED cosine, which
+# the two engines compute with different summation orders — safe on
+# these fixtures because the smallest adjacent-cosine gap inside any
+# query's candidate ranking is 7.1e-8 (sf0.1; other SFs ≥1.4e-7) with
+# zero exact ties, ~10⁷× the ~1e-15 cross-engine drift.
+_SIM_ANN_LSH_ORACLE = lsh_replay_ctes(48, 12) + """,
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+  FROM bands q JOIN bands c
+    ON q.band_idx = c.band_idx AND q.bucket = c.bucket
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         list_cosine_similarity(ec.v, eq.v) AS cos_raw
+  FROM cand JOIN e ec ON ec.vec_id = cand.vec_id
+            JOIN e eq ON eq.vec_id = cand.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cos_raw, 4) AS cosine FROM (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+@query("sim_ann_lsh", oracle=_SIM_ANN_LSH_ORACLE, tags=("similarity", "vector", "approx"))
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered key: ``ann_lsh_topk`` at the default 48-bit / 12-table
     configuration (recall ≥ 0.8 vs ``sim_topk_cosine`` pinned in
-    tests/test_pipeline.py).  Rows-only driver check; ANN output is a
-    recall/cost tradeoff, not an oracle-matchable set."""
+    tests/test_pipeline.py).  Oracle-backed since r10 (the
+    ``dedup_ann_verified`` precedent): the pipeline is RNG-free, so the
+    DuckDB oracle replays the banding itself (``lsh_replay_ctes``) —
+    the ANN approximation is reproduced, not pretended away.  Top-k
+    sets match exactly on every fixture."""
     return ann_lsh_topk(spark, sf_dir)
 
 
@@ -458,7 +529,41 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(e, cents)
 
 
-@query("sim_knn_graph", tags=("similarity", "vector", "approx", "slow"))
+# 24-bit / 8-table replay (the ann_verified_pairs banding, threshold
+# None), symmetrized, top-5 per vector.  The rank orders by the ROUNDED
+# cosine (unlike _SIM_ANN_LSH_ORACLE's raw ordering) with neighbor_id
+# tiebreak, so rank determinism needs only the rounded values to match
+# — which the dedup_ann_verified oracle already pins per fixture.
+_KNN_GRAPH_ORACLE = lsh_replay_ctes(24, 8) + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+),
+sym AS (
+  SELECT vec_a AS vec_id, vec_b AS neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT vec_b AS vec_id, vec_a AS neighbor_id, cosine FROM scored
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sym)
+WHERE rank <= 5
+"""
+
+
+@query(
+    "sim_knn_graph",
+    oracle=_KNN_GRAPH_ORACLE,
+    tags=("similarity", "vector", "approx", "slow"),
+)
 def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN GRAPH: top-``_TOP_K_GRAPH`` cosine neighbors for
     EVERY corpus vector — the primitive semantic-dedup and graph
@@ -480,8 +585,9 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     than a brute-force fallback — recall is the traded quantity, pinned
     ≥ 0.8 on the fixture vs exact numpy kNN in tests).
 
-    Rows-only driver check (LSH candidate generation has no SQL twin;
-    same class as ``sim_ann_lsh``)."""
+    Oracle-backed since r10 (``dedup_ann_verified`` precedent): the
+    whole RNG-free banding replays in DuckDB SQL (``_KNN_GRAPH_ORACLE``)
+    and the graphs match exactly on every fixture."""
     return knn_graph(spark, sf_dir)
 
 

@@ -1405,7 +1405,26 @@ _SEM_TAU = 0.4
 _SEM_TILE = 4096
 
 
-@query("dedup_semantic", tags=("dedup", "vector", "slow"))
+# SemDeDup replay oracle (r10): the k-means fit is RNG-free (lowest-
+# vec_id seeds) and already replayed in recursive SQL for
+# emb_kmeans_lloyd, so the oracle reuses that CTE chain through the
+# final assignment `af` and adds the within-cluster smaller-id witness
+# join.  τ knife edge: the closest within-cluster cosine to τ=0.4 is
+# 2.5e-5 away (sf0.1; other SFs ≥1.3e-4) vs ~1e-15 cross-engine drift.
+def _semantic_oracle() -> str:
+    from hivekudu_handler_spark.pipeline.clustering import kmeans_assign_ctes
+
+    return kmeans_assign_ctes() + (
+        " SELECT a.vec_id, CAST(a.cent_id AS INT) AS cent_id, "
+        "COUNT(CASE WHEN list_cosine_similarity(a.v, b.v) >= 0.4 "
+        "      THEN 1 END) > 0 AS is_dup "
+        "FROM af a LEFT JOIN af b "
+        "  ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id "
+        "GROUP BY a.vec_id, a.cent_id"
+    )
+
+
+@query("dedup_semantic", oracle=_semantic_oracle(), tags=("dedup", "vector", "slow"))
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): k-means
     the embedding space, then compare pairs only WITHIN each cluster —
@@ -1425,10 +1444,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-cluster near-dup pairs are invisible BY DESIGN (that is the
     blocking trade; the exact operator is ``dedup_embedding``, the
-    banded one ``dedup_ann_verified``).  Rows-only driver check: the
-    k-means centroids are trained state with no SQL twin; pytest pins
-    determinism and per-row keep/drop correctness against exact
-    recomputed cosines.
+    banded one ``dedup_ann_verified``).  Oracle-backed since r10: the
+    k-means fit IS SQL-replayable (the ``emb_kmeans_lloyd`` recursive
+    oracle), so ``_semantic_oracle`` chains that replay's final
+    assignment with the within-cluster smaller-id witness join;
+    keep/drop output matches exactly on every fixture.  pytest
+    additionally pins determinism and per-row keep/drop correctness
+    against exact recomputed cosines.
 
     The within-cluster comparison is a per-cluster BLAS matmul via
     ``applyInPandas`` (r8; the same kernel shape as

@@ -490,7 +490,52 @@ def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> Data
     return _rank_topk(_local_topk(scored, _TOP_K), _TOP_K)
 
 
-@query("sim_ivf", tags=("similarity", "vector", "approx"))
+# IVF replay oracle (r10, the lsh_replay_ctes precedent): seed
+# centroids, cosine-argmax assignment (ties → smallest cent_id, the
+# ROW_NUMBER ordering mirrors _ivf_assign's struct array_max), nprobe
+# probing, exact re-score, top-10.  Margins measured per fixture: the
+# smallest assignment argmax gap is 1.5e-7 and the smallest final-rank
+# adjacent-cosine gap 7.1e-8 (across SFs) — ~10⁷× cross-engine drift.
+_SIM_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT CAST(vec_id AS INT) AS cent_id, v AS cv FROM e
+      WHERE vec_id < {_IVF_CENTROIDS}),
+sims AS (
+  SELECT e.vec_id, c.cent_id, list_cosine_similarity(e.v, c.cv) AS sim
+  FROM e CROSS JOIN c
+),
+asn AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM sims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM sims WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(ev.v, eq.v) AS cos_raw
+  FROM probes p
+  JOIN asn a ON a.cent_id = p.cent_id
+  JOIN e ev ON ev.vec_id = a.vec_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cos_raw, 4) AS cosine FROM (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
+@query("sim_ivf", oracle=_SIM_IVF_ORACLE, tags=("similarity", "vector", "approx"))
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN top-10.
 
@@ -498,8 +543,10 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed; ``sim_ivf_kmeans`` is the same search over a real Lloyd fit).
     Corpus vectors are assigned to their nearest centroid (broadcast
     argmin); each query probes its ``_IVF_NPROBE`` nearest centroid
-    cells and exact-scores only those.  Rows-only driver check; recall
-    ≥ 0.8 vs the exact operator pinned in tests.
+    cells and exact-scores only those.  Oracle-backed since r10: the
+    whole deterministic pipeline replays in SQL (``_SIM_IVF_ORACLE``)
+    and top-k sets match exactly on every fixture; recall ≥ 0.8 vs the
+    exact operator stays pinned in tests.
     """
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
     cents = e.filter(F.col("vec_id") < _IVF_CENTROIDS).select(

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
-from hivekudu_handler_spark.pipeline.similarity import lsh_replay_ctes
+from hivekudu_handler_spark.pipeline.replay import kmeans_assign_ctes, lsh_replay_ctes
 from hivekudu_handler_spark.pipeline.text import _NORM_SQL, normalized, tokens
 from hivekudu_handler_spark.tables import load_table
 
@@ -1412,8 +1412,6 @@ _SEM_TILE = 4096
 # join.  τ knife edge: the closest within-cluster cosine to τ=0.4 is
 # 2.5e-5 away (sf0.1; other SFs ≥1.3e-4) vs ~1e-15 cross-engine drift.
 def _semantic_oracle() -> str:
-    from hivekudu_handler_spark.pipeline.clustering import kmeans_assign_ctes
-
     return kmeans_assign_ctes() + (
         " SELECT a.vec_id, CAST(a.cent_id AS INT) AS cent_id, "
         "COUNT(CASE WHEN list_cosine_similarity(a.v, b.v) >= 0.4 "

@@ -29,48 +29,15 @@ from pyspark.sql import functions as F
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
+from hivekudu_handler_spark.pipeline.replay import (
+    KMEANS_ITERS as _KM_ITERS,
+    kmeans_assign_ctes,
+    lsh_replay_ctes,
+)
+
 _N_QUERIES = 5  # vec_id < 5 are the query vectors
 _TOP_K = 10
 _TOP_K_GRAPH = 5  # neighbors per vector in the kNN graph
-
-
-def lsh_replay_ctes(bits: int, tables: int) -> str:
-    """DuckDB CTE prefix (``e``/``pl``/``bits``/``sigs``/``bands``)
-    replaying the sign-LSH signature pipeline in SQL — the r10 oracle
-    mechanism for every LSH-banded key (``dedup_ann_verified``,
-    ``sim_ann_lsh``, ``sim_knn_graph``).
-
-    Sound because nothing in the pipeline touches an RNG: hyperplane i
-    is the difference vector of corpus rows (2i, 2i+1)
-    (``_hyperplanes``), sign bits are ``dot(v, plane) > 0``, and the
-    banding is pure bit arithmetic — all replayable from the
-    ``embeddings`` view alone.  Cross-engine knife edge: a dot product
-    landing within an ulp of 0 could flip a bit between engines (DuckDB
-    sums ``v·(a−b)`` elementwise like Spark's fold, but not in
-    guaranteed-identical order); signature equality is pinned on every
-    fixture by the three keys' oracle rows themselves."""
-    width, mask = bits // tables, (1 << (bits // tables)) - 1
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-pl AS (
-  SELECT CAST(a.vec_id // 2 AS INT) AS plane_id,
-         list_transform(list_zip(a.v, b.v), s -> s[1] - s[2]) AS plane
-  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
-  WHERE a.vec_id % 2 = 0 AND a.vec_id < {2 * bits}
-),
-bits AS (
-  SELECT e.vec_id, pl.plane_id,
-         CASE WHEN list_dot_product(e.v, pl.plane) > 0 THEN 1 ELSE 0 END AS bit
-  FROM e CROSS JOIN pl
-),
-sigs AS (
-  SELECT vec_id, CAST(SUM(bit * (1::BIGINT << plane_id)) AS BIGINT) AS sig
-  FROM bits GROUP BY vec_id
-),
-bands AS (
-  SELECT vec_id, t.band_idx, (sig >> ({width} * t.band_idx)) & {mask} AS bucket
-  FROM sigs CROSS JOIN (SELECT unnest(range({tables})) AS band_idx) t
-)"""
 
 
 def _as_double(e: DataFrame, out: str = "v") -> DataFrame:
@@ -555,7 +522,52 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(e, cents)
 
 
-@query("sim_ivf_kmeans", tags=("similarity", "vector", "approx", "slow"))
+# sim_ivf's probe/score replay over the Lloyd-fitted centroids instead
+# of the raw seeds: chain the kmeans replay (final centroid table
+# c{iters}) into the same cosine-argmax assignment / nprobe / top-k SQL.
+# Margins per fixture: smallest centroid-sim gap 3.1e-6, smallest
+# final-rank gap 4.1e-7 (both sf0.1 minima) — ~10⁸× cross-engine drift.
+_SIM_IVF_KMEANS_ORACLE = kmeans_assign_ctes() + f""",
+csim AS (
+  SELECT e.vec_id, c.cent_id, list_cosine_similarity(e.v, c.cv) AS sim
+  FROM e CROSS JOIN c{_KM_ITERS} c
+),
+asn2 AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM csim) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM csim WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_cosine_similarity(ev.v, eq.v) AS cos_raw
+  FROM probes p
+  JOIN asn2 a ON a.cent_id = p.cent_id
+  JOIN e ev ON ev.vec_id = a.vec_id
+  JOIN e eq ON eq.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cos_raw, 4) AS cosine FROM (
+  SELECT query_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= {_TOP_K}
+"""
+
+
+@query(
+    "sim_ivf_kmeans",
+    oracle=_SIM_IVF_KMEANS_ORACLE,
+    tags=("similarity", "vector", "approx", "slow"),
+)
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over REAL k-means cells: ``kmeans_fit`` (3 Lloyd
     iterations, deterministic lowest-vec_id init — pipeline/clustering)
@@ -563,9 +575,12 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ivf`` runs over it.  This is the production IVF shape — FAISS
     trains its quantizer the same way — and the composition is pure:
     the fit touches k×d model state driver-side, the search never
-    shuffles the corpus.  Rows-only driver check; recall ≥ 0.8 vs the
-    exact operator pinned in tests (Lloyd cells are better-balanced than
-    the raw-vector seed, so recall should never be worse)."""
+    shuffles the corpus.  Oracle-backed since r10: the Lloyd replay's
+    final centroids chain straight into the IVF probe/score replay
+    (``_SIM_IVF_KMEANS_ORACLE``); top-k sets match exactly on every
+    fixture.  Recall ≥ 0.8 vs the exact operator stays pinned in tests
+    (Lloyd cells are better-balanced than the raw-vector seed, so
+    recall should never be worse)."""
     from hivekudu_handler_spark.pipeline.clustering import kmeans_fit
 
     e = _as_double(load_table(spark, sf_dir, "embeddings"))

@@ -30,10 +30,14 @@ Scale anatomy (every stage bounded or scan-shaped):
   candidates (and ONLY those) join back to the full-precision vectors
   for exact cosine, then exact top-k.  Candidate-sized join ≪ corpus.
 
-Both keys are rows-only (k-means training is not SQL-expressible);
-tests/test_pipeline.py pins the PQ invariants: codes in range,
-reconstruction error strictly below a mean-centroid baseline, encode
-determinism, and ADC+re-rank recall@10 ≥ 0.8 vs the exact
+All three keys are oracle-backed since r10: the train→encode→search
+pipeline is deterministic end-to-end (lowest-vec_id sample, per-subspace
+Lloyd, argmin codes, fixed tie-breaks), so the DuckDB oracles REPLAY it
+— generated MATERIALIZED-CTE SQL from ``pipeline/replay.py`` (the
+unmaterialized form is 2^iters-exponential under CTE inlining).
+tests/test_pipeline.py additionally pins the PQ invariants: codes in
+range, reconstruction error strictly below a mean-centroid baseline,
+encode determinism, and ADC+re-rank recall@10 ≥ 0.8 vs the exact
 ``sim_topk_cosine`` ground truth — the same bar the LSH and IVF search
 paths are held to.
 """
@@ -50,6 +54,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.pipeline.replay import (
+    EMB_DIM,
+    ivfpq_oracle,
+    pq_adc_oracle,
+    pq_encode_oracle,
+)
+from hivekudu_handler_spark.pipeline.similarity import _IVF_CENTROIDS, _IVF_NPROBE
 from hivekudu_handler_spark.tables import load_table
 
 _M = 8  # subspaces
@@ -58,6 +69,7 @@ _TRAIN_N = 2048  # training sample size (model-state-sized, not corpus)
 _ITERS = 10
 _N_QUERIES = 5  # vec_id < 5, same convention as sim_topk_cosine
 _TOP_K = 10
+_DSUB = EMB_DIM // _M  # fixture subvector width; runtime uses dim // _M
 _OVERFETCH = 150  # ADC top-C candidates per query before exact re-rank
 # C=150 holds recall@10 ≥ 0.8 at this codebook resolution (measured 0.76
 # at C=50); candidates stay ≪ corpus, so the re-rank join cost is noise
@@ -158,14 +170,24 @@ def _fit_encode(spark: SparkSession, sf_dir: str):
     return norm, books, pq_encode(norm, books)
 
 
-@query("emb_pq_encode", tags=("embedding", "vector"))
+@query(
+    "emb_pq_encode",
+    oracle=pq_encode_oracle(_M, _KSUB, _TRAIN_N, _ITERS, _DSUB),
+    tags=("embedding", "vector"),
+)
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the corpus (m=8 subspaces × 16 centroids = 8 bytes per
     vector, 32× smaller than the float32 original).  Output is
     driver-hashable: the code word as a comma string plus the rounded
     per-vector reconstruction error (‖x − decode(code)‖², the quantity
     PQ training minimizes — pytest pins it strictly below a
-    1-centroid-per-subspace baseline)."""
+    1-centroid-per-subspace baseline).
+
+    Oracle-backed since r10: the whole train→encode pipeline is
+    deterministic (lowest-vec_id sample, per-subspace Lloyd, argmin
+    codes), so the DuckDB oracle REPLAYS it (``replay.pq_encode_oracle``
+    — ~100 KB of generated, MATERIALIZED CTEs); codes and rounded
+    errors match exactly on every fixture."""
     norm, books, codes = _fit_encode(spark, sf_dir)
     bc = spark.sparkContext.broadcast(books)
     m, ksub, dsub = books.shape
@@ -205,7 +227,12 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm.mapInPandas(fmt, schema)
 
 
-@query("sim_pq_adc", tags=("similarity", "vector"))
+@query(
+    "sim_pq_adc",
+    oracle=pq_adc_oracle(_M, _KSUB, _TRAIN_N, _ITERS, _DSUB, _N_QUERIES,
+                         _OVERFETCH, _TOP_K),
+    tags=("similarity", "vector"),
+)
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance ANN: ADC table-lookup scoring over the 8-byte
     PQ codes retrieves top-50 candidates per query, exact cosine
@@ -213,7 +240,12 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_id, rank, cosine) surface as ``sim_topk_cosine`` (recall@10
     pinned ≥ 0.8 against it in pytest).  The full-precision corpus is
     touched exactly twice: once to encode, once for the candidate-sized
-    re-rank join."""
+    re-rank join.
+
+    Oracle-backed since r10 (``replay.pq_adc_oracle``): codebook replay
+    + ADC lookup sums in the kernel's j-ascending order + the same
+    (adc DESC, vec_id) top-C and exact-dot re-rank; matches exactly on
+    every fixture."""
     norm, books, codes = _fit_encode(spark, sf_dir)
     m, ksub, dsub = books.shape
 
@@ -329,7 +361,12 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ivfpq", tags=("similarity", "vector", "approx", "slow"))
+@query(
+    "sim_ivfpq",
+    oracle=ivfpq_oracle(_M, _KSUB, _TRAIN_N, _ITERS, _DSUB, _N_QUERIES,
+                        _OVERFETCH, _TOP_K, _IVF_CENTROIDS, _IVF_NPROBE),
+    tags=("similarity", "vector", "approx", "slow"),
+)
 def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the production composition (FAISS ``IVFPQ``): the
     coarse quantizer prunes WHICH vectors are scored, PQ codes cut WHAT
@@ -346,17 +383,15 @@ def sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-``_OVERFETCH`` ADC candidates per query re-rank exactly
     (broadcast candidate join, same tail as ``sim_pq_adc``).
 
-    Rows-only driver check (two stacked approximations have no SQL
-    twin); pytest pins recall@10 ≥ 0.8 against ``sim_topk_cosine`` and
-    candidates ⊆ probed cells."""
+    Oracle-backed since r10 (``replay.ivfpq_oracle``): BOTH stacked
+    approximations replay in SQL — the IVF probe restriction composes
+    with the PQ codebook/ADC replay — and top-k sets match exactly on
+    every fixture.  pytest pins recall@10 ≥ 0.8 against
+    ``sim_topk_cosine`` and candidates ⊆ probed cells."""
     norm, books, codes = _fit_encode(spark, sf_dir)
     m, ksub, dsub = books.shape
 
-    from hivekudu_handler_spark.pipeline.similarity import (
-        _IVF_CENTROIDS,
-        _IVF_NPROBE,
-        _ivf_assign,
-    )
+    from hivekudu_handler_spark.pipeline.similarity import _ivf_assign
 
     cents = norm.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")

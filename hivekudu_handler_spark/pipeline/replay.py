@@ -119,3 +119,177 @@ def kmeans_assign_ctes(
         parts.append(update(n))
     parts.append(assign("f", f"c{iters}"))
     return ", ".join(parts)
+
+
+def pq_codebook_ctes(m: int, ksub: int, train_n: int, iters: int, dsub: int) -> str:
+    """DuckDB CTE chain replaying PQ codebook training + full-corpus
+    encoding: L2-normalize (``n``), take the ``train_n`` lowest-vec_id
+    sample, run ``iters`` Lloyd iterations per subspace j (codebooks
+    ``cb{j}_{iters}``, 16×dsub), then assign every corpus vector's
+    subvector to its nearest codeword (``b{j}(vec_id, cid, sqd)``).
+
+    Replay-sound for the same reason as ``kmeans_assign_ctes`` —
+    deterministic lowest-id seeds, left-associated distance folds,
+    (sqd ASC, cid ASC) argmin ties on both engines.  Every CTE is
+    ``MATERIALIZED``: each ``cb{j}_{it}`` is referenced twice (next
+    assign + empty-cluster COALESCE fallback), and DuckDB's default CTE
+    inlining makes the 10-iteration chain 2¹⁰-fold exponential — the
+    unmaterialized form never finishes; materialized it runs in ~12 s.
+
+    Margins measured per fixture (sf0.001/0.01/0.1): smallest
+    final-assignment argmin gap 8.0e-5, i.e. ~10¹⁰× the ~1e-15 drift
+    the cross-engine centroid means can accumulate over 10 iterations."""
+
+    def sqd_expr(va: str, vb: str) -> str:
+        # left-associated chain == numpy's sequential axis-sum at
+        # dsub ≤ 8 (numpy switches to pairwise only above 8 elements)
+        return " + ".join(
+            f"({va}[{d}] - {vb}[{d}]) * ({va}[{d}] - {vb}[{d}])"
+            for d in range(1, dsub + 1)
+        )
+
+    parts = [
+        "WITH eraw AS MATERIALIZED (SELECT vec_id, label, "
+        "CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        "n AS MATERIALIZED (SELECT vec_id, label, "
+        "list_transform(x, t -> t / sqrt(list_dot_product(x, x))) AS v FROM eraw)",
+        f"samp AS MATERIALIZED (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {train_n})",
+    ]
+    for j in range(m):
+        sl = f"v[{j * dsub + 1}:{(j + 1) * dsub}]"
+        parts.append(
+            f"sub{j} AS MATERIALIZED (SELECT vec_id, {sl} AS sv FROM samp)"
+        )
+        parts.append(
+            f"cb{j}_0 AS MATERIALIZED (SELECT CAST(ROW_NUMBER() OVER "
+            f"(ORDER BY vec_id) - 1 AS INT) AS cid, sv AS cv "
+            f"FROM (SELECT vec_id, sv FROM sub{j} ORDER BY vec_id LIMIT {ksub}))"
+        )
+        for it in range(1, iters + 1):
+            sq = sqd_expr("s.sv", "c.cv")
+            parts.append(
+                f"a{j}_{it} AS MATERIALIZED (SELECT vec_id, sv, cid FROM ("
+                f"SELECT s.vec_id, s.sv, c.cid, "
+                f"ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {sq}, c.cid) AS rn "
+                f"FROM sub{j} s CROSS JOIN cb{j}_{it - 1} c) WHERE rn = 1)"
+            )
+            mu = ", ".join(f"AVG(sv[{d}]) " for d in range(1, dsub + 1))
+            parts.append(
+                f"cb{j}_{it} AS MATERIALIZED (SELECT p.cid, COALESCE(u.cv, p.cv) AS cv "
+                f"FROM cb{j}_{it - 1} p "
+                f"LEFT JOIN (SELECT cid, [{mu}] AS cv FROM a{j}_{it} GROUP BY cid) u "
+                f"ON u.cid = p.cid)"
+            )
+    for j in range(m):
+        sl = f"v[{j * dsub + 1}:{(j + 1) * dsub}]"
+        sq = sqd_expr("t.sv", "c.cv")
+        parts.append(
+            f"b{j} AS MATERIALIZED (SELECT vec_id, cid, sqd FROM ("
+            f"SELECT t.vec_id, c.cid, {sq} AS sqd, "
+            f"ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY {sq}, c.cid) AS rn "
+            f"FROM (SELECT vec_id, {sl} AS sv FROM n) t "
+            f"CROSS JOIN cb{j}_{iters} c) WHERE rn = 1)"
+        )
+    return ", ".join(parts)
+
+
+def pq_encode_oracle(m: int, ksub: int, train_n: int, iters: int, dsub: int) -> str:
+    """``emb_pq_encode`` twin: code word as a comma string + 6-dp
+    reconstruction error (Σ_j chosen sqd, the same j-ascending addition
+    order as the kernel's ``err +=`` loop).  6-dp margin measured per
+    fixture: closest error to a rounding boundary is 4.2e-12 away
+    (sf0.01) vs ~1e-14 drift."""
+    code = " || ',' || ".join(f"CAST(b{j}.cid AS VARCHAR)" for j in range(m))
+    err = " + ".join(f"b{j}.sqd" for j in range(m))
+    joins = " ".join(f"JOIN b{j} ON b{j}.vec_id = n.vec_id" for j in range(m))
+    return (
+        pq_codebook_ctes(m, ksub, train_n, iters, dsub)
+        + f" SELECT n.vec_id, n.label, {code} AS code_str, "
+        f"ROUND({err}, 6) AS recon_err FROM n {joins}"
+    )
+
+
+def _pq_adc_tail(m: int, dsub: int, n_queries: int, overfetch: int, top_k: int,
+                 iters: int, cand_src: str) -> str:
+    """Shared ADC-score → top-C → exact-re-rank SQL tail over a
+    candidate source ``cand_src`` providing (vec_id, query_id) pairs."""
+    adc_terms = " + ".join(
+        f"list_dot_product(q.v[{j * dsub + 1}:{(j + 1) * dsub}], c{j}.cv)"
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN b{j} ON b{j}.vec_id = t.vec_id "
+        f"JOIN cb{j}_{iters} c{j} ON c{j}.cid = b{j}.cid"
+        for j in range(m)
+    )
+    return f""",
+q AS MATERIALIZED (SELECT vec_id AS query_id, v FROM n WHERE vec_id < {n_queries}),
+adc AS MATERIALIZED (
+  SELECT q.query_id, t.vec_id, {adc_terms} AS adc
+  FROM {cand_src} t
+  {joins}
+  JOIN q ON q.query_id = t.query_id
+  WHERE t.vec_id <> t.query_id
+),
+cands AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS r
+    FROM adc) WHERE r <= {overfetch}
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cos_raw, 4) AS cosine FROM (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(nv.v, q.v) AS cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY c.query_id
+                            ORDER BY list_dot_product(nv.v, q.v) DESC, c.vec_id) AS rank
+  FROM cands c JOIN n nv ON nv.vec_id = c.vec_id
+               JOIN q ON q.query_id = c.query_id)
+WHERE rank <= {top_k}
+"""
+
+
+def pq_adc_oracle(m: int, ksub: int, train_n: int, iters: int, dsub: int,
+                  n_queries: int, overfetch: int, top_k: int) -> str:
+    """``sim_pq_adc`` twin: full-corpus ADC scores (Σ_j codebook
+    inner-product lookups, the kernel's j-ascending sum order), top-C
+    per query by (adc DESC, vec_id), exact dot re-rank of candidates
+    only (unit vectors, so dot IS cosine — same as the kernel)."""
+    cand = f"(SELECT n2.vec_id, q2.vec_id AS query_id FROM n n2 " \
+           f"CROSS JOIN (SELECT vec_id FROM n WHERE vec_id < {n_queries}) q2)"
+    return pq_codebook_ctes(m, ksub, train_n, iters, dsub) + _pq_adc_tail(
+        m, dsub, n_queries, overfetch, top_k, iters, cand
+    )
+
+
+def ivfpq_oracle(m: int, ksub: int, train_n: int, iters: int, dsub: int,
+                 n_queries: int, overfetch: int, top_k: int,
+                 n_cells: int, nprobe: int) -> str:
+    """``sim_ivfpq`` twin: IVF cell assignment + probing replay (over
+    the NORMALIZED vectors, matching the key) restricts which (vec,
+    query) pairs the shared ADC tail scores."""
+    ivf = f""",
+ivfc AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cent_id, v AS cv
+                      FROM n WHERE vec_id < {n_cells}),
+ivfsims AS MATERIALIZED (
+  SELECT n.vec_id, c.cent_id, list_cosine_similarity(n.v, c.cv) AS sim
+  FROM n CROSS JOIN ivfc c
+),
+asn AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM ivfsims) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM ivfsims WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+)"""
+    cand = "(SELECT a.vec_id, p.query_id FROM asn a JOIN probes p ON p.cent_id = a.cent_id)"
+    return (
+        pq_codebook_ctes(m, ksub, train_n, iters, dsub)
+        + ivf
+        + _pq_adc_tail(m, dsub, n_queries, overfetch, top_k, iters, cand)
+    )

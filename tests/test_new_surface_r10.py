@@ -59,3 +59,76 @@ def test_tiled_semdedup_kernel_memory_bound():
     assert not out[0]
     assert out[n // 2 :].all()  # every planted copy sees row 0 upstream
     assert n > _SEM_TILE  # the smoke genuinely crosses tile boundaries
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_lsh_replay_signatures_match_spark(spark):
+    """Diagnostic layer under the r10 replay oracles: the DuckDB replay's
+    SIGNATURES equal Spark's bit-for-bit (not just the final pair sets).
+    When a future fixture regeneration trips a knife edge (a plane dot
+    within an ulp of 0 — see replay.lsh_replay_ctes), this test names
+    the exact vec_id instead of leaving a pair-set diff to debug."""
+    from hivekudu_handler_spark.pipeline.replay import lsh_replay_ctes
+    from hivekudu_handler_spark.pipeline.similarity import (
+        _as_double,
+        _hyperplanes,
+        _signatures,
+    )
+    from hivekudu_handler_spark.tables import load_table
+
+    e = _as_double(load_table(spark, SF, "embeddings"))
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in _signatures(e, _hyperplanes(e, 24)).collect()
+    }
+    want = dict(
+        _duck(SF)
+        .execute(lsh_replay_ctes(24, 8) + " SELECT vec_id, sig FROM sigs")
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_pq_replay_codebooks_match_numpy(spark):
+    """The DuckDB PQ replay's trained codebooks equal the numpy
+    trainer's to float-noise tolerance after all 10 Lloyd iterations —
+    the state whose divergence would silently shift every downstream
+    code/ADC comparison.  Exact bit-equality is NOT expected (numpy
+    means are pairwise-summed, DuckDB's sequential); the margin that
+    protects the oracles is the argmin gap (≥8e-5), so 1e-9 here is
+    three orders of slack above drift and four below the gap."""
+    import numpy as np
+
+    from hivekudu_handler_spark.pipeline.pq import (
+        _DSUB,
+        _ITERS,
+        _KSUB,
+        _M,
+        _TRAIN_N,
+        _fit_encode,
+    )
+    from hivekudu_handler_spark.pipeline.replay import pq_codebook_ctes
+
+    _, books, _ = _fit_encode(spark, SF)
+    con = _duck(SF)
+    ctes = pq_codebook_ctes(_M, _KSUB, _TRAIN_N, _ITERS, _DSUB)
+    for j in range(_M):
+        rows = con.execute(
+            ctes + f" SELECT cid, cv FROM cb{j}_{_ITERS} ORDER BY cid"
+        ).fetchall()
+        duck = np.array([r[1] for r in rows])
+        assert duck.shape == books[j].shape
+        np.testing.assert_allclose(duck, books[j], atol=1e-9)

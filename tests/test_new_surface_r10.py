@@ -132,3 +132,18 @@ def test_pq_replay_codebooks_match_numpy(spark):
         duck = np.array([r[1] for r in rows])
         assert duck.shape == books[j].shape
         np.testing.assert_allclose(duck, books[j], atol=1e-9)
+
+
+def test_materialize_rejects_oversized_results(spark):
+    """The _materialize driver-collect guard (r9 verdict item 8): scratch
+    scaffold plumbing must fail loudly on a result too big to be
+    driver-sized instead of OOMing the driver at scale."""
+    from hivekudu_handler_spark.operators.ddl import (
+        _MATERIALIZE_MAX_ROWS,
+        _materialize,
+    )
+
+    small = _materialize(spark, spark.range(10).toDF("id"))
+    assert small.count() == 10
+    with pytest.raises(ValueError, match="driver-sized"):
+        _materialize(spark, spark.range(_MATERIALIZE_MAX_ROWS + 1).toDF("id"))

@@ -235,7 +235,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance ANN: ADC table-lookup scoring over the 8-byte
-    PQ codes retrieves top-50 candidates per query, exact cosine
+    PQ codes retrieves top-``_OVERFETCH`` candidates per query, exact cosine
     re-ranks those candidates only, emitting the same (query_id,
     neighbor_id, rank, cosine) surface as ``sim_topk_cosine`` (recall@10
     pinned ≥ 0.8 against it in pytest).  The full-precision corpus is

@@ -27,12 +27,16 @@ aggregation.  So the scale split is:
    merge rank (the GPT-2 ``bpe()`` loop, vectorized per batch over a
    per-word memo cache — unique words per batch ≪ tokens per batch).
 
-Rows-only key: merge learning is iterative and not SQL-expressible.
-tests/test_new_surface_r7.py pins losslessness (tokens re-join to the
-normalized words), determinism, monotone compression (more merges →
-fewer tokens, bounded below by the word count), and merge-table
-validity (every merge's parts are reachable: base chars or earlier
-merge outputs).
+Oracle-backed since r10: merge learning IS SQL-expressible after all —
+the r10 replay mechanism (``pipeline/replay.py::bpe_oracle``) unrolls
+both the trainer's 64 merge iterations and the encoder's greedy loop as
+MATERIALIZED CTEs over a (word, pos, sym) symbol table, and the
+pipeline is float-free so the match is exact, not margin-protected.
+tests/test_new_surface_r7.py additionally pins losslessness (tokens
+re-join to the normalized words), determinism, monotone compression
+(more merges → fewer tokens, bounded below by the word count), and
+merge-table validity (every merge's parts are reachable: base chars or
+earlier merge outputs).
 """
 
 from __future__ import annotations
@@ -45,11 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hivekudu_handler_spark.pipeline.replay import bpe_oracle
 from hivekudu_handler_spark.pipeline.text import tokens
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
 _N_MERGES = 64
+
+# Greedy-encode unroll depth for the SQL replay oracle: must be ≥ the
+# corpus's max word length (fixtures: 8).  See replay.bpe_oracle.
+_ORACLE_ENC_ITERS = 8
 _END = "</w>"  # end-of-word sentinel, the classic BPE formulation
 
 # Driver-collect bound for merge learning (r7 verdict): Heaps' law puts a
@@ -153,7 +162,11 @@ def bpe_fit(
     return d, learn_merges(counts, n_merges)
 
 
-@query("text_bpe_train", tags=("text",))
+@query(
+    "text_bpe_train",
+    oracle=bpe_oracle(_N_MERGES, _ORACLE_ENC_ITERS, _MAX_WORD_TYPES),
+    tags=("text",),
+)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE merge table on the corpus, then re-tokenize every
     document with it.  Output per document: subword-token count, the
@@ -161,7 +174,14 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the space-joined subword stream (drivers can hash strings, not
     lists).  The merge table itself is emitted in the per-corpus header
     row (doc_id = -1) as rank-ordered ``a+b`` strings so the learned
-    model is part of the checked surface."""
+    model is part of the checked surface.
+
+    Oracle-backed since r10 (``replay.bpe_oracle``): classic BPE is
+    deterministic end-to-end — integer pair counts, (count DESC, pair
+    ASC) tie-breaks, leftmost-first merges — so BOTH the trainer and the
+    greedy encoder replay in unrolled SQL, and every per-document
+    tokens_md5 plus the model-header md5 match exactly on all three
+    fixtures.  No floats anywhere, so no knife edges either."""
     d, merges = bpe_fit(spark, sf_dir)
     ranks = {p: i for i, p in enumerate(merges)}
     bc = spark.sparkContext.broadcast(ranks)

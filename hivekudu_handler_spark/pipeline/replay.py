@@ -262,6 +262,117 @@ def pq_adc_oracle(m: int, ksub: int, train_n: int, iters: int, dsub: int,
     )
 
 
+def bpe_oracle(n_merges: int, enc_iters: int, max_word_types: int) -> str:
+    """``text_bpe_train`` twin: the full BPE trainer AND encoder
+    replayed in SQL — ``n_merges`` unrolled merge-learning iterations
+    over a (word, pos, sym) symbol table, then ``enc_iters`` unrolled
+    greedy-encode iterations, then per-document token-stream assembly.
+
+    Replay-sound because classic BPE is deterministic end-to-end: best
+    pair by (count DESC, pair ASC) — byte-wise string comparison agrees
+    between Python and DuckDB's binary collation for this ASCII
+    alphabet — and the encoder merges the lowest-rank pair leftmost.
+
+    The one non-obvious rule is leftmost-first NON-OVERLAP in the
+    training rewrite: for a best pair (a, a), a run of k consecutive
+    a's merges at offsets 1, 3, 5… of the run only (the Python scan
+    consumes two symbols per merge).  Overlap is impossible for
+    s1 ≠ s2, so the SQL applies run-parity — group consecutive matched
+    positions (pos − ROW_NUMBER() is constant within a run) and keep
+    odd ranks — which reproduces the scan exactly.
+
+    ``enc_iters`` must be ≥ the corpus's max word length (each greedy
+    iteration applies exactly one merge per word; a word of L letters
+    needs ≤ L).  The fixtures' max is 8; a regenerated corpus with
+    longer words would leave unmerged pairs and fail the oracle loudly
+    on tokens_md5, which is the correct failure mode.
+
+    All CTEs MATERIALIZED for the same 2^iters-inlining reason as
+    ``pq_codebook_ctes``; runs ~5 s on the fixtures (31-word
+    vocabulary, ~300-row symbol tables)."""
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    p = [f"""WITH docw AS MATERIALIZED (
+  SELECT doc_id, wpos, word FROM (
+    SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS wpos
+    FROM (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents))
+  WHERE word <> '')""",
+        f"""wcnt AS MATERIALIZED (
+  SELECT word, cnt FROM (SELECT word, COUNT(*) AS cnt FROM docw GROUP BY word)
+  ORDER BY cnt DESC, word LIMIT {max_word_types})""",
+        "allw AS MATERIALIZED (SELECT DISTINCT word FROM docw)",
+        "tw AS MATERIALIZED (SELECT word FROM wcnt)",
+        "wpos_t AS (SELECT word, unnest(generate_series(1, length(word))) AS pos FROM tw)",
+        """t0 AS MATERIALIZED (
+  SELECT word, pos, substr(word, pos, 1) AS sym FROM wpos_t
+  UNION ALL SELECT word, length(word) + 1, '</w>' FROM tw)""",
+        "wpos_e AS (SELECT word, unnest(generate_series(1, length(word))) AS pos FROM allw)",
+        """e0 AS MATERIALIZED (
+  SELECT word, pos, substr(word, pos, 1) AS sym FROM wpos_e
+  UNION ALL SELECT word, length(word) + 1, '</w>' FROM allw)""",
+    ]
+    for i in range(1, n_merges + 1):
+        p.append(f"""x{i} AS MATERIALIZED (
+  SELECT word, pos, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+  FROM t{i - 1})""")
+        p.append(f"""b{i} AS MATERIALIZED (
+  SELECT s1, s2 FROM (
+    SELECT x.sym AS s1, x.nsym AS s2, SUM(w.cnt) AS c
+    FROM x{i} x JOIN wcnt w ON w.word = x.word
+    WHERE x.nsym IS NOT NULL GROUP BY x.sym, x.nsym)
+  ORDER BY c DESC, s1, s2 LIMIT 1)""")
+        p.append(f"""mt{i} AS (
+  SELECT x.word, x.pos FROM x{i} x JOIN b{i} b ON x.sym = b.s1 AND x.nsym = b.s2)""")
+        p.append(f"""ap{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS k
+    FROM (SELECT word, pos, pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+          FROM mt{i})) WHERE k % 2 = 1)""")
+        p.append(f"""t{i} AS MATERIALIZED (
+  SELECT x.word, ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY x.pos) AS pos,
+         CASE WHEN a1.pos IS NOT NULL THEN x.sym || x.nsym ELSE x.sym END AS sym
+  FROM x{i} x
+  LEFT JOIN ap{i} a1 ON a1.word = x.word AND a1.pos = x.pos
+  LEFT JOIN ap{i} a2 ON a2.word = x.word AND a2.pos = x.pos - 1
+  WHERE a2.pos IS NULL)""")
+    ranks_union = " UNION ALL ".join(
+        f"SELECT {i} AS r, s1, s2 FROM b{i}" for i in range(1, n_merges + 1)
+    )
+    p.append(f"ranks AS MATERIALIZED ({ranks_union})")
+    for g in range(1, enc_iters + 1):
+        p.append(f"""ex{g} AS MATERIALIZED (
+  SELECT word, pos, sym, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym
+  FROM e{g - 1})""")
+        p.append(f"""pk{g} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT x.word, x.pos, ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY rk.r, x.pos) AS rn
+    FROM ex{g} x JOIN ranks rk ON rk.s1 = x.sym AND rk.s2 = x.nsym) WHERE rn = 1)""")
+        p.append(f"""e{g} AS MATERIALIZED (
+  SELECT x.word, ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY x.pos) AS pos,
+         CASE WHEN p1.pos IS NOT NULL THEN x.sym || x.nsym ELSE x.sym END AS sym
+  FROM ex{g} x
+  LEFT JOIN pk{g} p1 ON p1.word = x.word AND p1.pos = x.pos
+  LEFT JOIN pk{g} p2 ON p2.word = x.word AND p2.pos = x.pos - 1
+  WHERE p2.pos IS NULL)""")
+    p.append(f"""wt AS MATERIALIZED (
+  SELECT word, COUNT(*) AS ntoks, string_agg(sym, ' ' ORDER BY pos) AS toks
+  FROM e{enc_iters} GROUP BY word)""")
+    p.append("""perdoc AS (
+  SELECT dw.doc_id, CAST(SUM(wt.ntoks) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(LENGTH(dw.word)) AS BIGINT) AS n_word_chars,
+         md5(string_agg(wt.toks, ' ' ORDER BY dw.wpos)) AS tokens_md5
+  FROM docw dw JOIN wt ON wt.word = dw.word GROUP BY dw.doc_id)""")
+    tail = """
+SELECT CAST(-1 AS BIGINT) AS doc_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ranks) AS n_bpe_tokens,
+       CAST(0 AS BIGINT) AS n_word_chars,
+       (SELECT COALESCE(md5(string_agg(s1 || '+' || s2, ' ' ORDER BY r)), md5('')) FROM ranks) AS tokens_md5
+UNION ALL
+SELECT d.doc_id, COALESCE(p.n_bpe_tokens, 0), COALESCE(p.n_word_chars, 0),
+       COALESCE(p.tokens_md5, md5('')) FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+    return ", ".join(p) + tail
+
+
 def ivfpq_oracle(m: int, ksub: int, train_n: int, iters: int, dsub: int,
                  n_queries: int, overfetch: int, top_k: int,
                  n_cells: int, nprobe: int) -> str:

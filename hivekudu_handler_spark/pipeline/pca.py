@@ -18,11 +18,19 @@ computePrincipalComponents builds the Gramian the same way):
    Arrow-batched map multiplies each batch once.  Scan-shaped: no
    shuffle at any point, O(d²) driver state.
 
-Rows-only key: eigendecomposition is not SQL-expressible; the pytest
-suite pins the math instead — orthonormal components, eigenvalue
-ordering, and subspace agreement with a single-node numpy PCA of the
-same data (projector-matrix comparison, which is invariant to the sign/
-rotation freedom a raw vector compare would trip over).
+Rows-only key — the ONE pipeline stage the r10 replay-oracle mechanism
+(pipeline/replay.py) cannot reach: the moment pass replays in SQL
+trivially, but the eigensolver does not.  An unrolled subspace
+iteration (the only SQL-expressible eigensolver shape) converges per
+component at rate |λ_{k+1}/λ_k|^n, and the fixture spectrum is
+near-flat — measured λ₉/λ₈ = 0.9863 at sf0.01 — so matching LAPACK
+``eigh`` to the digest's 6-dp margin would need ~10³ unrolled
+iterations per component with no guarantee at the near-degenerate
+pairs.  The pytest suite pins the math instead — orthonormal
+components, eigenvalue ordering, and subspace agreement with a
+single-node numpy PCA of the same data (projector-matrix comparison,
+which is invariant to the sign/rotation freedom a raw vector compare
+would trip over).
 """
 
 from __future__ import annotations

@@ -147,3 +147,25 @@ def test_materialize_rejects_oversized_results(spark):
     assert small.count() == 10
     with pytest.raises(ValueError, match="driver-sized"):
         _materialize(spark, spark.range(_MATERIALIZE_MAX_ROWS + 1).toDF("id"))
+
+
+def test_tiled_kernel_property_random_shapes():
+    """Property sweep (hypothesis-style seeds, bounded for runtime): the
+    tiled kernel equals the full-matrix kernel for arbitrary cluster
+    sizes, tile widths, and thresholds — including taus below 0 (every
+    pair hits) and above 1 (nothing hits)."""
+    rng = np.random.default_rng(123)
+    from hivekudu_handler_spark.pipeline.dedup import _tiled_smaller_id_hits
+
+    for trial in range(25):
+        n = int(rng.integers(0, 40))
+        tile = int(rng.integers(1, 12))
+        tau = float(rng.uniform(-1.2, 1.2))
+        x = rng.normal(size=(n, 4))
+        if n >= 2 and rng.random() < 0.5:
+            x[rng.integers(1, n)] = x[0]  # plant an exact duplicate
+        with np.errstate(invalid="ignore", divide="ignore"):
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        got = np.asarray(_tiled_smaller_id_hits(xn, tau, tile=tile))
+        want = _naive_smaller_id_hits(xn, tau)
+        assert np.array_equal(got, want), (trial, n, tile, tau)

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
-from hivekudu_handler_spark.pipeline.replay import kmeans_assign_ctes, lsh_replay_ctes
+from hivekudu_handler_spark.pipeline.replay import (
+    ANN_BITS,
+    ANN_TABLES,
+    kmeans_assign_ctes,
+    lsh_replay_ctes,
+)
 from hivekudu_handler_spark.pipeline.text import _NORM_SQL, normalized, tokens
 from hivekudu_handler_spark.tables import load_table
 
@@ -956,12 +961,18 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver threshold for the verified near-dup pair set; one definition
+# feeds both the Spark default below and the replay oracle's filter so
+# the two can't diverge (r10 review finding).
+_ANN_TAU = 0.42
+
+
 def ann_verified_pairs(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float | None = 0.42,
-    bits: int = 24,
-    tables: int = 8,
+    threshold: float | None = _ANN_TAU,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
 ) -> DataFrame:
     """Sign-LSH candidate pairs + exact cosine verify on candidates ONLY —
     the sub-quadratic composition ``dedup_embedding``'s docstring defers
@@ -992,13 +1003,21 @@ def ann_verified_pairs(
         _signatures,
     )
 
+    from hivekudu_handler_spark.pipeline.similarity import _nonzero
+
     if bits % tables:
         raise ValueError("bits must divide evenly into tables")
     width = bits // tables
     mask = (1 << width) - 1
-    e = _as_double(load_table(spark, sf_dir, "embeddings")).persist()
+    e_all = _as_double(load_table(spark, sf_dir, "embeddings"))
+    # planes derive from the UNFILTERED corpus (rows (2i, 2i+1) by id);
+    # banding/verify exclude zero-norm vectors — a zero vector's NaN
+    # cosine would pass >= τ under Spark NaN semantics while DuckDB's
+    # list_cosine_similarity returns −1.0 (see similarity._nonzero)
+    planes = _hyperplanes(e_all, bits)
+    e = _nonzero(e_all).persist()
     e.count()  # one materialization feeds signatures and both verify sides
-    sigs = _signatures(e, _hyperplanes(e, bits)).persist()
+    sigs = _signatures(e, planes).persist()
     sigs.count()  # both sides of the band self-join read the cached
     # signatures: unpersisted, each side would re-run the full
     # hyperplane crossJoin + sign aggregation (measured 3× key cost)
@@ -1057,7 +1076,7 @@ def ann_verified_pairs(
 # Knife-edge note: see ``lsh_replay_ctes`` — a dot product within an ulp
 # of 0 could flip a signature bit between engines; pinned identical on
 # every fixture by this oracle passing (tools/parity.py).
-_ANN_LSH_ORACLE = lsh_replay_ctes(24, 8) + """,
+_ANN_LSH_ORACLE = lsh_replay_ctes(ANN_BITS, ANN_TABLES) + f""",
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b
@@ -1065,7 +1084,7 @@ cand AS (
 )
 SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
 FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
-WHERE list_cosine_similarity(ea.v, eb.v) >= 0.42
+WHERE list_cosine_similarity(ea.v, eb.v) >= {_ANN_TAU}
 """
 
 
@@ -1414,7 +1433,7 @@ _SEM_TILE = 4096
 def _semantic_oracle() -> str:
     return kmeans_assign_ctes() + (
         " SELECT a.vec_id, CAST(a.cent_id AS INT) AS cent_id, "
-        "COUNT(CASE WHEN list_cosine_similarity(a.v, b.v) >= 0.4 "
+        f"COUNT(CASE WHEN list_cosine_similarity(a.v, b.v) >= {_SEM_TAU} "
         "      THEN 1 END) > 0 AS is_dup "
         "FROM af a LEFT JOIN af b "
         "  ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id "

@@ -77,13 +77,17 @@ _OVERFETCH = 150  # ADC top-C candidates per query before exact re-rank
 
 def _normalize(e: DataFrame) -> DataFrame:
     """(vec_id, label, v): unit-L2 double vectors — PQ inner-product ADC
-    then ranks by cosine, matching the exact ground truth."""
+    then ranks by cosine, matching the exact ground truth.  Zero-norm
+    vectors are EXCLUDED before the divide (mirrored by the replay
+    oracle's filtered ``n`` CTE): Spark's 0.0/0.0 is NaN and would
+    poison codes/scores with engine-specific NaN semantics; a vector
+    with no direction has no PQ representation."""
     v = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
-    )
+    sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    nrm = F.sqrt(sq)
     return (
         load_e_cols(e)
+        .filter(sq > 0)
         .withColumn("v", F.transform(v, lambda x: x / nrm))
         .select("vec_id", "label", "v")
     )

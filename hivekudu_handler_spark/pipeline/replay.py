@@ -24,6 +24,13 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 EMB_DIM = 64  # embeddings fixture dimensionality (TESTDATA.md)
 
+# The near-dup banding knob shared by dedup.ann_verified_pairs and
+# similarity.knn_graph (and both keys' replay oracles): 8 bands × 3
+# bits.  One definition so a banding change lands in the Spark defaults
+# and every oracle simultaneously (r10 review finding).
+ANN_BITS = 24
+ANN_TABLES = 8
+
 
 def lsh_replay_ctes(bits: int, tables: int) -> str:
     """DuckDB CTE prefix (``e``/``pl``/``bits``/``sigs``/``bands``)
@@ -33,14 +40,24 @@ def lsh_replay_ctes(bits: int, tables: int) -> str:
     is the difference vector of corpus rows (2i, 2i+1)
     (``similarity._hyperplanes``), sign bits are ``dot(v, plane) > 0``,
     and the banding is pure bit arithmetic — all replayable from the
-    ``embeddings`` view alone.  Cross-engine knife edge: a dot product
-    landing within an ulp of 0 could flip a bit between engines (DuckDB
-    sums ``v·(a−b)`` elementwise like Spark's fold, but not in
+    ``embeddings`` view alone.  Cross-engine knife edges: (a) a dot
+    product landing within an ulp of 0 could flip a bit between engines
+    (DuckDB sums ``v·(a−b)`` elementwise like Spark's fold, but not in
     guaranteed-identical order); signature equality is pinned on every
-    fixture by the banded keys' oracle rows themselves."""
+    fixture by the banded keys' oracle rows themselves.  (b) zero-norm
+    vectors: Spark's fold cosine yields NaN — which Spark SQL treats as
+    GREATER than every value — while DuckDB's
+    ``list_cosine_similarity`` returns −1.0, so a zero vector surviving
+    to the scoring stage would diverge between engines.  Both sides
+    therefore EXCLUDE zero-norm vectors from banding/scoring (the
+    ``en`` CTE here; ``_nonzero`` on the Spark side): the defined
+    semantics are "a zero-norm vector neither emits nor receives
+    neighbors".  Hyperplane derivation stays over the UNFILTERED
+    corpus — plane i is rows (2i, 2i+1) by vec_id, filtered or not."""
     width, mask = bits // tables, (1 << (bits // tables)) - 1
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
 pl AS (
   SELECT CAST(a.vec_id // 2 AS INT) AS plane_id,
          list_transform(list_zip(a.v, b.v), s -> s[1] - s[2]) AS plane
@@ -50,7 +67,7 @@ pl AS (
 bits AS (
   SELECT e.vec_id, pl.plane_id,
          CASE WHEN list_dot_product(e.v, pl.plane) > 0 THEN 1 ELSE 0 END AS bit
-  FROM e CROSS JOIN pl
+  FROM en e CROSS JOIN pl
 ),
 sigs AS (
   SELECT vec_id, CAST(SUM(bit * (1::BIGINT << plane_id)) AS BIGINT) AS sig
@@ -121,6 +138,57 @@ def kmeans_assign_ctes(
     return ", ".join(parts)
 
 
+def ivf_assign_probe_ctes(corpus: str, cents: str, n_queries: int, nprobe: int) -> str:
+    """Shared IVF replay section: cosine-argmax cell assignment of
+    ``corpus`` (a CTE of (vec_id, v), already zero-norm-filtered) to
+    ``cents`` (a CTE of (cent_id, cv)), plus each query's ``nprobe``
+    nearest cells.  Produces ``ivfsims``/``asn``/``probes``.  The
+    ROW_NUMBER (sim DESC, cent_id) orderings mirror the Spark side's
+    struct ``array_max`` tie-break (``similarity._ivf_assign``) and
+    probe window.  One SQL text for all three IVF-family oracles
+    (``sim_ivf``, ``sim_ivf_kmeans``, ``sim_ivfpq``) — a tie-break or
+    probing change lands everywhere or nowhere."""
+    return f""",
+ivfsims AS MATERIALIZED (
+  SELECT t.vec_id, c.cent_id, list_cosine_similarity(t.v, c.cv) AS sim
+  FROM {corpus} t CROSS JOIN {cents} c
+),
+asn AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM ivfsims) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+    FROM ivfsims WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+)"""
+
+
+def ivf_topk_tail(corpus: str, top_k: int) -> str:
+    """Exact-cosine scoring of probed-cell members + per-query top-k —
+    the tail shared by ``sim_ivf`` and ``sim_ivf_kmeans`` over the
+    ``asn``/``probes`` CTEs from ``ivf_assign_probe_ctes``."""
+    return f"""
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cos_raw, 4) AS cosine FROM (
+  SELECT s.query_id, s.vec_id, s.cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+                            ORDER BY s.cos_raw DESC, s.vec_id) AS rank
+  FROM (
+    SELECT p.query_id, a.vec_id,
+           list_cosine_similarity(ev.v, eq.v) AS cos_raw
+    FROM probes p
+    JOIN asn a ON a.cent_id = p.cent_id
+    JOIN {corpus} ev ON ev.vec_id = a.vec_id
+    JOIN {corpus} eq ON eq.vec_id = p.query_id
+    WHERE a.vec_id <> p.query_id) s)
+WHERE rank <= {top_k}
+"""
+
+
 def pq_codebook_ctes(m: int, ksub: int, train_n: int, iters: int, dsub: int) -> str:
     """DuckDB CTE chain replaying PQ codebook training + full-corpus
     encoding: L2-normalize (``n``), take the ``train_n`` lowest-vec_id
@@ -151,8 +219,12 @@ def pq_codebook_ctes(m: int, ksub: int, train_n: int, iters: int, dsub: int) -> 
     parts = [
         "WITH eraw AS MATERIALIZED (SELECT vec_id, label, "
         "CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        # zero-norm filter BEFORE the divide: Spark 0.0/0.0 is NaN while
+        # DuckDB float division may differ — both engines exclude zero
+        # vectors from PQ entirely (pq._normalize mirrors this filter)
         "n AS MATERIALIZED (SELECT vec_id, label, "
-        "list_transform(x, t -> t / sqrt(list_dot_product(x, x))) AS v FROM eraw)",
+        "list_transform(x, t -> t / sqrt(list_dot_product(x, x))) AS v "
+        "FROM eraw WHERE list_dot_product(x, x) > 0)",
         f"samp AS MATERIALIZED (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT {train_n})",
     ]
     for j in range(m):
@@ -377,30 +449,16 @@ def ivfpq_oracle(m: int, ksub: int, train_n: int, iters: int, dsub: int,
                  n_queries: int, overfetch: int, top_k: int,
                  n_cells: int, nprobe: int) -> str:
     """``sim_ivfpq`` twin: IVF cell assignment + probing replay (over
-    the NORMALIZED vectors, matching the key) restricts which (vec,
-    query) pairs the shared ADC tail scores."""
-    ivf = f""",
+    the NORMALIZED vectors, matching the key — shared
+    ``ivf_assign_probe_ctes`` section) restricts which (vec, query)
+    pairs the shared ADC tail scores."""
+    ivfc = f""",
 ivfc AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cent_id, v AS cv
-                      FROM n WHERE vec_id < {n_cells}),
-ivfsims AS MATERIALIZED (
-  SELECT n.vec_id, c.cent_id, list_cosine_similarity(n.v, c.cv) AS sim
-  FROM n CROSS JOIN ivfc c
-),
-asn AS MATERIALIZED (
-  SELECT vec_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-    FROM ivfsims) WHERE rn = 1
-),
-probes AS MATERIALIZED (
-  SELECT vec_id AS query_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-    FROM ivfsims WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
-)"""
+                      FROM n WHERE vec_id < {n_cells})"""
     cand = "(SELECT a.vec_id, p.query_id FROM asn a JOIN probes p ON p.cent_id = a.cent_id)"
     return (
         pq_codebook_ctes(m, ksub, train_n, iters, dsub)
-        + ivf
+        + ivfc
+        + ivf_assign_probe_ctes("n", "ivfc", n_queries, nprobe)
         + _pq_adc_tail(m, dsub, n_queries, overfetch, top_k, iters, cand)
     )

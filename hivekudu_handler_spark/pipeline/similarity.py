@@ -30,7 +30,11 @@ from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
 from hivekudu_handler_spark.pipeline.replay import (
+    ANN_BITS,
+    ANN_TABLES,
     KMEANS_ITERS as _KM_ITERS,
+    ivf_assign_probe_ctes,
+    ivf_topk_tail,
     kmeans_assign_ctes,
     lsh_replay_ctes,
 )
@@ -56,6 +60,21 @@ def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+
+
+def _nonzero(e: DataFrame) -> DataFrame:
+    """Drop zero-norm vectors before any cosine scoring/banding stage.
+
+    Defined semantics (r10, shared with every replay oracle's ``en``
+    CTE): a zero-norm vector neither emits nor receives neighbors.
+    Without this, Spark's fold cosine yields NaN — which Spark SQL
+    ranks GREATER than every value, so a zero vector would pass ``>=
+    τ`` filters and take rank 1 in windows — while DuckDB's
+    ``list_cosine_similarity`` returns −1.0: a silent cross-engine
+    divergence on any future fixture containing a zero embedding.  The
+    filter is the same left-fold dot product both engines compare
+    (``list_dot_product(v, v) > 0``)."""
+    return e.filter(_dot(F.col("v"), F.col("v")) > 0)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -150,12 +169,14 @@ def _score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
 @query(
     "sim_topk_cosine",
     oracle=(
-        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
-        f"          FROM embeddings WHERE vec_id < {_N_QUERIES}), "
+        "WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "            FROM embeddings "
+        "            WHERE list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "                  CAST(embedding AS DOUBLE[])) > 0), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM en WHERE vec_id < {_N_QUERIES}), "
         "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-        "           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
-        "             AS cos_raw "
-        "           FROM embeddings e CROSS JOIN q "
+        "           list_cosine_similarity(e.v, q.qv) AS cos_raw "
+        "           FROM en e CROSS JOIN q "
         "           WHERE e.vec_id <> q.query_id), "
         "ranked AS (SELECT query_id, neighbor_id, "
         "           ROW_NUMBER() OVER (PARTITION BY query_id "
@@ -166,8 +187,9 @@ def _score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     tags=("similarity", "vector"),
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-10 for query vectors vec_id < 5."""
-    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    """Exact brute-force cosine top-10 for query vectors vec_id < 5.
+    Zero-norm vectors excluded on both engines (see ``_nonzero``)."""
+    e = _nonzero(_as_double(load_table(spark, sf_dir, "embeddings")))
     return brute_force_topk(e, e.filter(F.col("vec_id") < _N_QUERIES))
 
 
@@ -180,12 +202,14 @@ _RANGE_TAU = 0.30
 @query(
     "sim_range_search",
     oracle=(
-        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
-        f"          FROM embeddings WHERE vec_id < {_N_QUERIES}), "
+        "WITH en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "            FROM embeddings "
+        "            WHERE list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "                  CAST(embedding AS DOUBLE[])) > 0), "
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM en WHERE vec_id < {_N_QUERIES}), "
         "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-        "           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) "
-        "             AS cos_raw "
-        "           FROM embeddings e CROSS JOIN q "
+        "           list_cosine_similarity(e.v, q.qv) AS cos_raw "
+        "           FROM en e CROSS JOIN q "
         "           WHERE e.vec_id <> q.query_id) "
         "SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cosine "
         f"FROM scored WHERE cos_raw >= {_RANGE_TAU}"
@@ -204,7 +228,7 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions); selectivity is governed by τ, and a production caller
     pre-gates with sign-LSH bands (``sim_ann_lsh``) when τ is loose.
     """
-    e = _as_double(load_table(spark, sf_dir, "embeddings"))
+    e = _nonzero(_as_double(load_table(spark, sf_dir, "embeddings")))
     scored = _score_pairs(e, e.filter(F.col("vec_id") < _N_QUERIES))
     return scored.filter(F.col("cos_raw") >= _RANGE_TAU).select(
         "query_id",
@@ -278,8 +302,11 @@ def ann_lsh_topk(
         raise ValueError("bits must divide evenly into tables")
     width = bits // tables
     mask = (1 << width) - 1
-    e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes(e, bits)
+    e_all = _as_double(load_table(spark, sf_dir, "embeddings"))
+    # planes derive from the UNFILTERED corpus (rows (2i, 2i+1) by id);
+    # banding/scoring exclude zero-norm vectors (see _nonzero)
+    planes = _hyperplanes(e_all, bits)
+    e = _nonzero(e_all)
     sigs = _signatures(e, planes)
     bands = sigs.select(
         "vec_id",
@@ -320,12 +347,12 @@ def ann_lsh_topk(
 # these fixtures because the smallest adjacent-cosine gap inside any
 # query's candidate ranking is 7.1e-8 (sf0.1; other SFs ≥1.4e-7) with
 # zero exact ties, ~10⁷× the ~1e-15 cross-engine drift.
-_SIM_ANN_LSH_ORACLE = lsh_replay_ctes(48, 12) + """,
+_SIM_ANN_LSH_ORACLE = lsh_replay_ctes(_LSH_BITS, _LSH_TABLES) + f""",
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id
   FROM bands q JOIN bands c
     ON q.band_idx = c.band_idx AND q.bucket = c.bucket
-  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
 ),
 scored AS (
   SELECT cand.query_id, cand.vec_id,
@@ -339,7 +366,7 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cos_raw DESC, vec_id) AS rank
   FROM scored)
-WHERE rank <= 10
+WHERE rank <= {_TOP_K}
 """
 
 
@@ -428,7 +455,10 @@ def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
 def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
     """The IVF search given a (cent_id, cv) centroid table: assign the
     corpus to cells (broadcast argmin scan), probe each query's
-    ``nprobe`` nearest cells, exact-score candidates only."""
+    ``nprobe`` nearest cells, exact-score candidates only.  Zero-norm
+    corpus vectors and queries are excluded (``_nonzero``; the replay
+    oracles' ``en``/filtered ``n`` CTEs mirror this)."""
+    e = _nonzero(e)
     assigned = _ivf_assign(e, cents)
     # queries probe their nprobe nearest cells
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -460,46 +490,20 @@ def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> Data
 # IVF replay oracle (r10, the lsh_replay_ctes precedent): seed
 # centroids, cosine-argmax assignment (ties → smallest cent_id, the
 # ROW_NUMBER ordering mirrors _ivf_assign's struct array_max), nprobe
-# probing, exact re-score, top-10.  Margins measured per fixture: the
-# smallest assignment argmax gap is 1.5e-7 and the smallest final-rank
+# probing, exact re-score, top-10 — the assign/probe/top-k SQL is the
+# shared replay.ivf_assign_probe_ctes/ivf_topk_tail text used by all
+# three IVF-family keys.  Margins measured per fixture: the smallest
+# assignment argmax gap is 1.5e-7 and the smallest final-rank
 # adjacent-cosine gap 7.1e-8 (across SFs) — ~10⁷× cross-engine drift.
-_SIM_IVF_ORACLE = f"""
+_SIM_IVF_ORACLE = (
+    f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT CAST(vec_id AS INT) AS cent_id, v AS cv FROM e
-      WHERE vec_id < {_IVF_CENTROIDS}),
-sims AS (
-  SELECT e.vec_id, c.cent_id, list_cosine_similarity(e.v, c.cv) AS sim
-  FROM e CROSS JOIN c
-),
-asn AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-    FROM sims) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-    FROM sims WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE}
-),
-scored AS (
-  SELECT p.query_id, a.vec_id,
-         list_cosine_similarity(ev.v, eq.v) AS cos_raw
-  FROM probes p
-  JOIN asn a ON a.cent_id = p.cent_id
-  JOIN e ev ON ev.vec_id = a.vec_id
-  JOIN e eq ON eq.vec_id = p.query_id
-  WHERE a.vec_id <> p.query_id
+en AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),
+c AS (SELECT CAST(vec_id AS INT) AS cent_id, v AS cv FROM en
+      WHERE vec_id < {_IVF_CENTROIDS})"""
+    + ivf_assign_probe_ctes("en", "c", _N_QUERIES, _IVF_NPROBE)
+    + ivf_topk_tail("en", _TOP_K)
 )
-SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
-       ROUND(cos_raw, 4) AS cosine FROM (
-  SELECT query_id, vec_id, cos_raw,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, vec_id) AS rank
-  FROM scored)
-WHERE rank <= {_TOP_K}
-"""
 
 
 @query("sim_ivf", oracle=_SIM_IVF_ORACLE, tags=("similarity", "vector", "approx"))
@@ -516,7 +520,9 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact operator stays pinned in tests.
     """
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") < _IVF_CENTROIDS).select(
+    # zero-norm vectors can't be centroids either — mirrors the oracle's
+    # `c ... FROM en` (cosine to a zero centroid would be NaN vs −1.0)
+    cents = _nonzero(e).filter(F.col("vec_id") < _IVF_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     return _ivf_topk(e, cents)
@@ -524,43 +530,15 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # sim_ivf's probe/score replay over the Lloyd-fitted centroids instead
 # of the raw seeds: chain the kmeans replay (final centroid table
-# c{iters}) into the same cosine-argmax assignment / nprobe / top-k SQL.
-# Margins per fixture: smallest centroid-sim gap 3.1e-6, smallest
+# c{iters}) into the shared cosine-argmax assignment / nprobe / top-k
+# SQL.  Margins per fixture: smallest centroid-sim gap 3.1e-6, smallest
 # final-rank gap 4.1e-7 (both sf0.1 minima) — ~10⁸× cross-engine drift.
-_SIM_IVF_KMEANS_ORACLE = kmeans_assign_ctes() + f""",
-csim AS (
-  SELECT e.vec_id, c.cent_id, list_cosine_similarity(e.v, c.cv) AS sim
-  FROM e CROSS JOIN c{_KM_ITERS} c
-),
-asn2 AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-    FROM csim) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
-    FROM csim WHERE vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE}
-),
-scored AS (
-  SELECT p.query_id, a.vec_id,
-         list_cosine_similarity(ev.v, eq.v) AS cos_raw
-  FROM probes p
-  JOIN asn2 a ON a.cent_id = p.cent_id
-  JOIN e ev ON ev.vec_id = a.vec_id
-  JOIN e eq ON eq.vec_id = p.query_id
-  WHERE a.vec_id <> p.query_id
+_SIM_IVF_KMEANS_ORACLE = (
+    kmeans_assign_ctes()
+    + ", en AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0)"
+    + ivf_assign_probe_ctes("en", f"c{_KM_ITERS}", _N_QUERIES, _IVF_NPROBE)
+    + ivf_topk_tail("en", _TOP_K)
 )
-SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
-       ROUND(cos_raw, 4) AS cosine FROM (
-  SELECT query_id, vec_id, cos_raw,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, vec_id) AS rank
-  FROM scored)
-WHERE rank <= {_TOP_K}
-"""
 
 
 @query(
@@ -596,7 +574,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine (unlike _SIM_ANN_LSH_ORACLE's raw ordering) with neighbor_id
 # tiebreak, so rank determinism needs only the rounded values to match
 # — which the dedup_ann_verified oracle already pins per fixture.
-_KNN_GRAPH_ORACLE = lsh_replay_ctes(24, 8) + """,
+_KNN_GRAPH_ORACLE = lsh_replay_ctes(ANN_BITS, ANN_TABLES) + f""",
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b
@@ -617,7 +595,7 @@ SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
          ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
   FROM sym)
-WHERE rank <= 5
+WHERE rank <= {_TOP_K_GRAPH}
 """
 
 
@@ -657,8 +635,8 @@ def knn_graph(
     spark: SparkSession,
     sf_dir: str,
     k: int | None = None,
-    bits: int = 24,
-    tables: int = 8,
+    bits: int = ANN_BITS,
+    tables: int = ANN_TABLES,
 ) -> DataFrame:
     """The ``sim_knn_graph`` composition with the banding knob exposed.
 

@@ -4,8 +4,13 @@ Each operator module registers its query callables here with the
 ``@query`` decorator.  ``__spark_entry__.py`` exposes the registry to the
 verification driver: ``fn`` becomes the ``queries()`` entry and ``oracle``
 (when SQL-expressible) the ``oracle_sql()`` entry that DuckDB runs against
-the same Parquet tables.  Keys without an oracle get the driver's weaker
-rows-only check (non-SQL-expressible ops: LSH, streaming, approx sketches).
+the same Parquet tables.  Deterministic approximations (LSH banding,
+IVF/PQ search, k-means, BPE) are SQL-expressible after all — their
+oracles REPLAY the approximation via ``pipeline/replay.py`` (r10), so a
+new approximate key should get a replay oracle unless its internals are
+genuinely engine-specific.  Only such keys (HLL sketch register hashes)
+or ill-conditioned numerics (eigh on a near-degenerate spectrum) take
+the driver's weaker rows-only check, backed by pytest invariants.
 """
 
 from __future__ import annotations

@@ -169,3 +169,54 @@ def test_tiled_kernel_property_random_shapes():
         got = np.asarray(_tiled_smaller_id_hits(xn, tau, tile=tile))
         want = _naive_smaller_id_hits(xn, tau)
         assert np.array_equal(got, want), (trial, n, tile, tau)
+
+
+def test_zero_norm_vectors_agree_across_engines(spark, tmp_path):
+    """The r10 review's cross-engine knife edge, now closed: Spark's
+    fold cosine on a zero-norm vector is NaN (which Spark SQL ranks
+    GREATER than everything, so it would pass >= tau filters and take
+    rank 1), while DuckDB's list_cosine_similarity returns -1.0.  Both
+    engines now EXCLUDE zero-norm vectors ("no direction => no
+    neighbors"): inject zero vectors into a copy of the fixture — one
+    as a query (vec_id 2), one in the corpus (vec_id 7, also a
+    hyperplane-source row) — and require Spark output == oracle output
+    for every similarity-family key."""
+    import duckdb
+
+    from hivekudu_handler_spark.registry import load_all
+
+    src = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(src.select("embedding").first()["embedding"])
+    from pyspark.sql import functions as F
+
+    zeroed = src.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id").isin(2, 7),
+            F.array(*[F.lit(0.0).cast("float") for _ in range(dim)]),
+        ).otherwise(F.col("embedding")),
+    )
+    d = tmp_path / "zero_fixture"
+    d.mkdir()
+    zeroed.coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+
+    specs = load_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    for key in (
+        "sim_topk_cosine",
+        "sim_range_search",
+        "dedup_ann_verified",
+        "sim_ann_lsh",
+        "sim_knn_graph",
+        "sim_ivf",
+    ):
+        got = sorted(tuple(r) for r in specs[key].fn(spark, str(d)).collect())
+        want = sorted(tuple(r) for r in con.execute(specs[key].oracle).fetchall())
+        assert got == want, (key, got[:5], want[:5])
+        # the zero vectors are really gone: never a query, never a neighbor
+        flat = {v for row in got for v in row[:2]}
+        assert 2 not in flat and 7 not in flat, (key, sorted(flat))

@@ -35,6 +35,7 @@ from hivekudu_handler_spark.pipeline.replay import (
     ANN_BITS,
     ANN_TABLES,
     kmeans_assign_ctes,
+    lsh_collision_cand_cte,
     lsh_replay_ctes,
 )
 from hivekudu_handler_spark.pipeline.text import _NORM_SQL, normalized, tokens
@@ -1076,12 +1077,7 @@ def ann_verified_pairs(
 # Knife-edge note: see ``lsh_replay_ctes`` — a dot product within an ulp
 # of 0 could flip a signature bit between engines; pinned identical on
 # every fixture by this oracle passing (tools/parity.py).
-_ANN_LSH_ORACLE = lsh_replay_ctes(ANN_BITS, ANN_TABLES) + f""",
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+_ANN_LSH_ORACLE = lsh_replay_ctes(ANN_BITS, ANN_TABLES) + lsh_collision_cand_cte() + f"""
 SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
 FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
 WHERE list_cosine_similarity(ea.v, eb.v) >= {_ANN_TAU}

@@ -54,6 +54,10 @@ def lsh_replay_ctes(bits: int, tables: int) -> str:
     semantics are "a zero-norm vector neither emits nor receives
     neighbors".  Hyperplane derivation stays over the UNFILTERED
     corpus — plane i is rows (2i, 2i+1) by vec_id, filtered or not."""
+    if bits % tables:
+        # mirror the Spark twins' guard (ann_lsh_topk, ann_verified_pairs)
+        # instead of silently truncating the band width
+        raise ValueError("bits must divide evenly into tables")
     width, mask = bits // tables, (1 << (bits // tables)) - 1
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -76,6 +80,20 @@ sigs AS (
 bands AS (
   SELECT vec_id, t.band_idx, (sig >> ({width} * t.band_idx)) & {mask} AS bucket
   FROM sigs CROSS JOIN (SELECT unnest(range({tables})) AS band_idx) t
+)"""
+
+
+def lsh_collision_cand_cte() -> str:
+    """All-pairs band-collision candidates over ``lsh_replay_ctes``'s
+    ``bands`` CTE — ``cand(vec_a < vec_b)``, one pair per colliding
+    unordered id pair.  Shared by ``dedup_ann_verified`` and
+    ``sim_knn_graph`` so a candidate-generation change (e.g. a
+    bucket-size cap) lands in both oracles or neither."""
+    return """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )"""
 
 
@@ -209,8 +227,15 @@ def pq_codebook_ctes(m: int, ksub: int, train_n: int, iters: int, dsub: int) -> 
     the cross-engine centroid means can accumulate over 10 iterations."""
 
     def sqd_expr(va: str, vb: str) -> str:
-        # left-associated chain == numpy's sequential axis-sum at
-        # dsub ≤ 8 (numpy switches to pairwise only above 8 elements)
+        # CORRECTION (r10 review): this left-associated chain is NOT
+        # the same summation order as numpy's axis-sum — numpy's
+        # unrolled/pairwise reduction kicks in AT n == 8, i.e. exactly
+        # the shipped dsub, and ~half of random 8-vectors sum to a
+        # different last-ulp double under the two orders.  The replay's
+        # correctness therefore rests on the measured argmin MARGINS
+        # (≥8.0e-5, ~10¹⁰× the ulp drift), not on bit-exact order
+        # equivalence; re-measure the margins before trusting a new
+        # fixture or dsub.
         return " + ".join(
             f"({va}[{d}] - {vb}[{d}]) * ({va}[{d}] - {vb}[{d}])"
             for d in range(1, dsub + 1)

@@ -36,6 +36,7 @@ from hivekudu_handler_spark.pipeline.replay import (
     ivf_assign_probe_ctes,
     ivf_topk_tail,
     kmeans_assign_ctes,
+    lsh_collision_cand_cte,
     lsh_replay_ctes,
 )
 
@@ -574,12 +575,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cosine (unlike _SIM_ANN_LSH_ORACLE's raw ordering) with neighbor_id
 # tiebreak, so rank determinism needs only the rounded values to match
 # — which the dedup_ann_verified oracle already pins per fixture.
-_KNN_GRAPH_ORACLE = lsh_replay_ctes(ANN_BITS, ANN_TABLES) + f""",
-cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-),
+_KNN_GRAPH_ORACLE = lsh_replay_ctes(ANN_BITS, ANN_TABLES) + lsh_collision_cand_cte() + f""",
 scored AS (
   SELECT c.vec_a, c.vec_b,
          ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine

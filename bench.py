@@ -154,6 +154,11 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    # host-load telemetry (r10 verdict item 3): one 1-minute loadavg
+    # sample per query so a contention-dirty record self-describes —
+    # the repo's own work shows up here too, so the signal is "load far
+    # above the repo's own concurrency", not "load > 0".
+    loadavg: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         best = float("inf")
@@ -165,6 +170,7 @@ def main() -> None:
             # persisted so successive timings don't interfere
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        loadavg[name] = round(os.getloadavg()[0], 2)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # operate-phase walls for the scaffold-dominated scenario keys:
@@ -199,6 +205,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "phases": phases,
+                # per-query 1-min loadavg sampled right after each
+                # best-of-2 pair; lets the judge distinguish engine
+                # regression from host contention without builder notes
+                "loadavg_1m": loadavg,
+                "loadavg_final": [round(x, 2) for x in os.getloadavg()],
                 # methodology tag (r9 ADVICE): headline timings are
                 # best-of-2 warm; phase walls are one cold pass (the
                 # operate phases mutate scratch state, so a second run

@@ -197,29 +197,50 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "phases": phases,
-                # per-query 1-min loadavg sampled right after each
-                # best-of-2 pair; lets the judge distinguish engine
-                # regression from host contention without builder notes
-                "loadavg_1m": loadavg,
-                "loadavg_final": [round(x, 2) for x in os.getloadavg()],
-                # methodology tag (r9 ADVICE): headline timings are
-                # best-of-2 warm; phase walls are one cold pass (the
-                # operate phases mutate scratch state, so a second run
-                # would not repeat the same work) — don't compare the
-                # two series against each other without this caveat
-                "phases_method": "single_cold_pass",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "phases": phases,
+        # per-query 1-min loadavg sampled right after each best-of-2
+        # pair; lets the judge distinguish engine regression from host
+        # contention without builder notes
+        "loadavg_1m": loadavg,
+        "loadavg_final": [round(x, 2) for x in os.getloadavg()],
+        # methodology tag (r9 ADVICE): headline timings are best-of-2
+        # warm; phase walls are one cold pass (the operate phases mutate
+        # scratch state, so a second run would not repeat the same work)
+        # — don't compare the two series against each other without this
+        # caveat
+        "phases_method": "single_cold_pass",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Durable full record: the driver captures only the last ~2000 chars
+    # of output, and both r10 (2049-char line) and r11 (loadavg map
+    # added ~450 more) overflowed it, leaving BENCH_r{10,11}.json with
+    # parsed:null.  Write the complete record to a committed file so the
+    # official numbers are never front-truncated, and keep the stdout
+    # line under the window: compact separators, 2-decimal timings, and
+    # only metric/value/unit/queries/phases/sf (measured 1,780 chars for
+    # the 66-query suite vs the 2,000-char window).  loadavg and the
+    # methodology tag live in the file and on stderr.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(record, f)
+        f.write("\n")
+    print("loadavg_1m: " + json.dumps(loadavg), file=sys.stderr, flush=True)
+    slim = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "phases": {k: round(v, 2) for k, v in phases.items()},
+        "sf": record["sf"],
+    }
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ keeps value-hashes stable across summation orders (SURVEY.md §7.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.registry import query
@@ -158,25 +158,59 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", tags=("agg", "approx"))
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NDV via HyperLogLog++ (≈ Hive compute_stats NDV),
-    sketch-only: the plan is a single partial/final aggregate over
-    fixed-size mergeable register arrays — at 100 TB this is the whole
-    point, replacing the exact path's per-group distinct expand/shuffle.
-
-    The raw HLL++ estimate is engine-specific, so there is no SQL oracle
-    (driver rows-only check); the estimate is deterministic under any
-    partitioning (HLL registers merge by max — commutative/idempotent),
-    and ``tests/test_aggregates.py`` bounds it against the exact NDV at
-    the sketch's 2 % target error (5 % tolerance).  The oracle-backed
-    exact counterpart is ``agg_ndv_exact``.  An earlier form computed the
-    exact ``count_distinct`` in the same aggregation to be oracle-checkable
-    — which made the operator always pay the exact shuffle the sketch
-    exists to avoid (r3 ADVICE)."""
+def approx_ndv_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of approximate NDV: a single partial/final
+    aggregate over fixed-size mergeable HLL++ register arrays — at
+    100 TB this is the whole point, replacing the exact path's per-group
+    distinct expand/shuffle.  Plan-pinned sketch-only (no
+    ``count(distinct ...)`` expansion, one shuffle) in
+    ``tests/test_plans.py``.  The registered key below wraps this with
+    the exact-bounds verification certificate."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_ndv_part")
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=(
+        "SELECT l_returnflag, "
+        "       COUNT(DISTINCT l_partkey) AS exact_ndv_part, "
+        "       TRUE AS ndv_in_band "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NDV via HyperLogLog++ (≈ Hive compute_stats NDV),
+    registered in its EXACT-BOUNDS verification form (r14 verdict item
+    2, same promotion pattern as ``agg_approx_percentile`` in r9): the
+    raw HLL++ estimate is engine-specific and not SQL-reproducible, so
+    the driver-facing output carries (a) the exact per-group NDV,
+    value-checked against DuckDB, and (b) a boolean asserting the
+    sketch estimate (rsd = 0.02) lands within 5 % (≈3σ at the 2 %
+    target error) of that exact NDV — the oracle states TRUE, so a
+    drifting sketch now fails the OFFICIAL record, not just pytest.
+
+    Both aggregates are computed in ONE ``groupBy.agg`` (one logical
+    Aggregate, plan-pinned like the percentile twin).  The exact column
+    is the verification harness, not the scale path: production code
+    uses ``approx_ndv_sketch_only`` above, whose plan is pinned free of
+    the exact-distinct expand/shuffle (the r3 ADVICE concern) in
+    ``tests/test_plans.py::test_approx_distinct_is_sketch_only``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_ndv"),
+        F.count_distinct("l_partkey").alias("exact_ndv_part"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_ndv_part",
+        (
+            F.abs(F.col("approx_ndv") - F.col("exact_ndv_part"))
+            <= 0.05 * F.col("exact_ndv_part")
+        ).alias("ndv_in_band"),
     )
 
 
@@ -508,7 +542,21 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 2))
 
 
-@query("agg_sketch_mergeable", tags=("agg", "sketch"))
+@query(
+    "agg_sketch_mergeable",
+    oracle=(
+        "SELECT CAST(YEAR(o_orderdate) AS VARCHAR) AS scope, "
+        "       COUNT(DISTINCT o_custkey) AS exact_customers, "
+        "       TRUE AS approx_in_band "
+        "FROM orders GROUP BY 1 "
+        "UNION ALL "
+        "SELECT 'ALL' AS scope, "
+        "       COUNT(DISTINCT o_custkey) AS exact_customers, "
+        "       TRUE AS approx_in_band "
+        "FROM orders"
+    ),
+    tags=("agg", "sketch"),
+)
 def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches — the pre-aggregation pattern
     that makes 100 TB NDV queries cheap: per-partition (here per order
@@ -518,13 +566,21 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     a daily sketch table answers "distinct customers this quarter/year/
     ever" by unioning kilobyte sketches instead of re-scanning the fact.
 
-    Output: one row per year (estimate from the year's sketch) plus an
-    ``ALL`` row whose estimate comes from unioning the per-year sketches
-    — never from re-aggregating rows.  Rows-only key: Datasketches HLL
-    binaries are engine-specific, not SQL-replayable; pytest pins both
-    estimates within the published HLL error envelope of the exact NDVs
-    and pins the union row's plan to consume sketches, not raw rows."""
+    Registered in EXACT-BOUNDS form (r14 verdict item 2): Datasketches
+    HLL binaries are engine-specific, so the driver-facing output
+    carries the exact NDV per scope (value-checked against DuckDB) plus
+    a boolean asserting the sketch estimate sits within 5 % of it
+    (lgK = 12 default ⇒ ~1.6 % RSE; 5 % ≈ 3σ) — the oracle states TRUE.
+    The ``ALL`` row's estimate still comes from UNIONING the stored
+    per-year sketches (``hll_union_agg``, plan-pinned in
+    ``tests/test_new_surface_r7.py``), never from re-aggregating rows;
+    the exact columns are the verification harness, not the scale
+    path."""
     o = load_table(spark, sf_dir, "orders")
+
+    def in_band(est: Column, exact: Column) -> Column:
+        return (F.abs(est - exact) <= 0.05 * exact).alias("approx_in_band")
+
     # localCheckpoint, not persist: the result is lazy, so no caller
     # could ever unpersist — a cached plan would pin the sketch table in
     # the CacheManager for the session lifetime (r7 ADVICE).  Checkpoint
@@ -532,16 +588,29 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built exactly once for both branches.
     yearly = (
         o.groupBy(F.year("o_orderdate").alias("yr"))
-        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+        )
         .localCheckpoint(eager=True)
     )
     per_year = yearly.select(
         F.col("yr").cast("string").alias("scope"),
-        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "exact_customers",
+        in_band(F.hll_sketch_estimate("sk"), F.col("exact_customers")),
     )
-    merged = yearly.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
-    ).select(F.lit("ALL").alias("scope"), "approx_customers")
+    merged_est = yearly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    all_exact = o.agg(F.count_distinct("o_custkey").alias("exact_customers"))
+    # 1-row × 1-row crossJoin: the union-of-sketches estimate meets the
+    # independently-computed exact overall NDV (customers span years, so
+    # per-year exacts do NOT sum to it).
+    merged = merged_est.crossJoin(all_exact).select(
+        F.lit("ALL").alias("scope"),
+        "exact_customers",
+        in_band(F.col("est"), F.col("exact_customers")),
+    )
     return per_year.unionByName(merged).orderBy("scope")
 
 

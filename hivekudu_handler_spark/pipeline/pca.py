@@ -18,19 +18,22 @@ computePrincipalComponents builds the Gramian the same way):
    Arrow-batched map multiplies each batch once.  Scan-shaped: no
    shuffle at any point, O(d²) driver state.
 
-Rows-only key — the ONE pipeline stage the r10 replay-oracle mechanism
-(pipeline/replay.py) cannot reach: the moment pass replays in SQL
-trivially, but the eigensolver does not.  An unrolled subspace
+Oracle-backed since r15 in EXACT-BOUNDS form (r14 verdict item 2).
+The eigensolver itself stays outside SQL: an unrolled subspace
 iteration (the only SQL-expressible eigensolver shape) converges per
 component at rate |λ_{k+1}/λ_k|^n, and the fixture spectrum is
 near-flat — measured λ₉/λ₈ = 0.9863 at sf0.01 — so matching LAPACK
-``eigh`` to the digest's 6-dp margin would need ~10³ unrolled
-iterations per component with no guarantee at the near-degenerate
-pairs.  The pytest suite pins the math instead — orthonormal
-components, eigenvalue ordering, and subspace agreement with a
-single-node numpy PCA of the same data (projector-matrix comparison,
-which is invariant to the sign/rotation freedom a raw vector compare
-would trip over).
+``eigh`` to a 6-dp digest would need ~10³ unrolled iterations per
+component with no guarantee at the near-degenerate pairs.  Instead the
+registered output carries per-row exact centered norms (value-checked
+against DuckDB) plus two bound certificates computed from the real
+projections — contraction (‖proj‖² ≤ ‖x−μ‖²) and axis-dominance
+(Σ‖proj‖² ≥ best axis-aligned k-subspace) — with the oracle stating
+TRUE; see the registered query's docstring.  The pytest suite
+additionally pins the math — orthonormal components, eigenvalue
+ordering, and subspace agreement with a single-node numpy PCA of the
+same data (projector-matrix comparison, which is invariant to the
+sign/rotation freedom a raw vector compare would trip over).
 """
 
 from __future__ import annotations
@@ -87,9 +90,12 @@ def _moments(df: DataFrame, dim: int) -> tuple[int, np.ndarray, np.ndarray]:
     return n, s, ss
 
 
-def fit_pca(df: DataFrame, dim: int, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(components k×d sign-fixed eigenvalue-descending, mean d) — one
-    moment pass total."""
+def _fit_pca_full(
+    df: DataFrame, dim: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """(components k×d sign-fixed eigenvalue-descending, mean d,
+    eigenvalues descending (all d), covariance d×d, n) — one moment
+    pass total."""
     n, s, ss = _moments(df, dim)
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")
@@ -102,17 +108,23 @@ def fit_pca(df: DataFrame, dim: int, k: int) -> tuple[np.ndarray, np.ndarray]:
         j = int(np.argmax(np.abs(comps[i])))
         if comps[i, j] < 0:
             comps[i] = -comps[i]
+    return comps, mu, vals[::-1], cov, n
+
+
+def fit_pca(df: DataFrame, dim: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(components k×d sign-fixed eigenvalue-descending, mean d) — one
+    moment pass total."""
+    comps, mu, _, _, _ = _fit_pca_full(df, dim, k)
     return comps, mu
 
 
-def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Project every embedding onto its corpus's top-8 principal
-    components (centered), returning the raw ``proj`` array column.
-    Internal/test surface — the registered query wraps this with a
-    digest projection the driver verifier can hash."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    comps, mu = fit_pca(emb, dim, N_COMPONENTS)
+def _project_df(
+    spark: SparkSession, emb: DataFrame, comps: np.ndarray, mu: np.ndarray
+) -> DataFrame:
+    """Scan-shaped projection pass: broadcast (comps, mu), one Arrow
+    map over the corpus — returns the raw ``proj`` array column plus
+    the per-row exact centered squared norm ``centered_sq`` (free once
+    ``x − μ`` is materialized in the batch)."""
     bc = spark.sparkContext.broadcast((comps, mu))
 
     out_schema = T.StructType(
@@ -120,6 +132,7 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("vec_id", T.LongType()),
             T.StructField("label", T.IntegerType()),
             T.StructField("proj", T.ArrayType(T.DoubleType())),
+            T.StructField("centered_sq", T.DoubleType()),
         ]
     )
 
@@ -134,6 +147,7 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "label": pdf["label"].to_numpy(),
                     "proj": list((x @ p.T)),
+                    "centered_sq": (x * x).sum(axis=1),
                 }
             )
 
@@ -147,29 +161,95 @@ def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_pca_project", tags=("embedding",))
+def pca_project_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto its corpus's top-8 principal
+    components (centered): fit (one moment pass) + project (one
+    scan-shaped Arrow map).  Internal/test/production surface — the
+    registered query wraps this with the scalar exact-bounds
+    projection the driver verifier can hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    comps, mu = fit_pca(emb, dim, N_COMPONENTS)
+    return _project_df(spark, emb, comps, mu)
+
+
+@query(
+    "emb_pca_project",
+    oracle=(
+        "WITH ex AS (SELECT vec_id, label, unnest(embedding) AS v, "
+        "                   generate_subscripts(embedding, 1) AS i "
+        "            FROM embeddings), "
+        "exd AS (SELECT vec_id, label, CAST(v AS DOUBLE) AS v, i FROM ex), "
+        "mu AS (SELECT i, AVG(v) AS m FROM exd GROUP BY i) "
+        "SELECT exd.vec_id, exd.label, "
+        "       ROUND(SUM((exd.v - mu.m) * (exd.v - mu.m)), 4) "
+        "         AS centered_sq, "
+        "       TRUE AS proj_within_norm, "
+        "       TRUE AS captures_axis_bound "
+        "FROM exd JOIN mu USING (i) "
+        "GROUP BY exd.vec_id, exd.label"
+    ),
+    tags=("embedding",),
+)
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project every embedding onto its corpus's top-8 principal
-    components (centered).  Rows-only: eigendecomposition is not
-    SQL-expressible; the pytest suite pins the math (see module doc).
+    components (centered), registered in EXACT-BOUNDS form (r14 verdict
+    item 2).  The eigendecomposition itself is not SQL-expressible (the
+    fixture spectrum is near-degenerate — see module doc), so the
+    driver-facing output carries, per vector:
 
-    The projection array leaves as ``md5`` of its rounded comma-joined
-    form plus a numeric checksum — the driver verifier cannot hash
-    list cells (same lesson as ``emb_quantize_int8``; r6's one red row
-    was this key emitting a raw ``array<double>``).  Rounding to 6
-    decimals absorbs the float-summation jitter that partition-order
-    differences could otherwise introduce into the digest."""
+    - ``centered_sq`` — the exact centered squared norm ‖x − μ‖²,
+      value-checked against DuckDB recomputing μ and the norms from the
+      raw table.  This certifies the distributed moment pass (the part
+      of PCA that actually runs across the cluster).
+    - ``proj_within_norm`` — ‖proj‖² ≤ ‖x − μ‖², computed from the REAL
+      projection values: an orthonormal-basis projection is a
+      contraction, so any basis drift that broke orthonormality fails
+      the official record.  Oracle states TRUE.
+    - ``captures_axis_bound`` — Σᵢ‖projᵢ‖² ≥ Σ top-k per-coordinate
+      centered sums-of-squares (the captured variance of the best
+      AXIS-ALIGNED k-subspace, a feasible competitor the eigensolve's
+      optimum must dominate by Courant-Fischer; numerically the
+      Schur-Horn majorization).  Total computed from the real ``proj``
+      column via a 1-row fold crossJoined back (broadcast 1-row,
+      precedent: the z-order bounds / date-spine crossJoins); the axis
+      bound comes from the covariance diagonal already on the driver.
+      A random-orthonormal-basis "eigensolve" fails this.  Oracle
+      states TRUE.
+
+    The pytest suite (tests/test_pca.py) additionally pins component
+    orthonormality, eigenvalue ordering, and projector-matrix agreement
+    with single-node numpy SVD.  Production projection is
+    ``pca_project_vectors`` (single scan-shaped pass, zero exchanges);
+    this registered wrapper pays one extra 1-row fold for the bound
+    certificate."""
     from pyspark.sql import functions as F
 
-    proj = pca_project_vectors(spark, sf_dir)
-    rounded = F.transform(
-        "proj", lambda x: F.format_string("%.6f", x)
-    )
-    return proj.select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    comps, mu, vals, cov, n = _fit_pca_full(emb, dim, N_COMPONENTS)
+    # best axis-aligned k-subspace captured SS: top-k of the centered
+    # per-coordinate sums of squares, i.e. (n-1) * top-k diag(cov)
+    diag_ss = np.sort(np.diag(cov))[::-1][:N_COMPONENTS].sum() * (n - 1)
+
+    proj = _project_df(spark, emb, comps, mu)
+    proj_sq = F.aggregate("proj", F.lit(0.0), lambda acc, x: acc + x * x)
+    per_row = proj.select(
         "vec_id",
         "label",
-        F.md5(F.array_join(rounded, ",")).alias("proj_md5"),
-        F.round(
-            F.aggregate("proj", F.lit(0.0), lambda acc, x: acc + F.abs(x)), 4
-        ).alias("proj_abs_sum"),
+        F.round("centered_sq", 4).alias("centered_sq"),
+        (proj_sq <= F.col("centered_sq") * (1.0 + 1e-9) + 1e-9).alias(
+            "proj_within_norm"
+        ),
+        proj_sq.alias("_psq"),
+    )
+    captured = per_row.agg(F.sum("_psq").alias("_captured"))
+    return per_row.crossJoin(captured).select(
+        "vec_id",
+        "label",
+        "centered_sq",
+        "proj_within_norm",
+        (F.col("_captured") >= F.lit(float(diag_ss)) * (1.0 - 1e-9)).alias(
+            "captures_axis_bound"
+        ),
     )

@@ -11,13 +11,22 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_distinct_error_bound(spark):
-    """The sketch-only key's HLL++ estimate (rsd=0.02) lands within 5% of
-    the exact NDV per group, and the oracle-backed exact key agrees with
-    an independent computation — the pytest half of the split that keeps
-    the registered sketch key free of the exact-distinct shuffle."""
+    """The production sketch-only form's HLL++ estimate (rsd=0.02)
+    lands within 5% of the exact NDV per group; the registered
+    exact-bounds key (r15 promotion) reports the same exact NDVs with
+    every in-band boolean TRUE; and the oracle-backed exact key agrees
+    with an independent computation."""
+    from hivekudu_handler_spark.operators.aggregates import (
+        approx_ndv_sketch_only,
+    )
+
     specs = load_all()
     approx = {
         r["l_returnflag"]: r["approx_ndv_part"]
+        for r in approx_ndv_sketch_only(spark, SF).collect()
+    }
+    registered = {
+        r["l_returnflag"]: r
         for r in specs["agg_approx_distinct"].fn(spark, SF).collect()
     }
     exact_key = {
@@ -31,9 +40,11 @@ def test_approx_distinct_error_bound(spark):
         .agg(F.countDistinct("l_partkey").alias("ndv"))
         .collect()
     }
-    assert set(approx) == set(exact) == set(exact_key)
+    assert set(approx) == set(exact) == set(exact_key) == set(registered)
     for flag, ndv in exact.items():
         assert exact_key[flag] == ndv, f"{flag}: {exact_key[flag]} != {ndv}"
+        assert registered[flag]["exact_ndv_part"] == ndv
+        assert registered[flag]["ndv_in_band"] is True
         rel_err = abs(approx[flag] - ndv) / ndv
         assert rel_err <= 0.05, f"{flag}: est={approx[flag]} exact={ndv}"
 

@@ -190,14 +190,16 @@ def test_pq_adc_recall_vs_exact(spark):
 
 
 def test_sketch_mergeable_error_envelope(spark):
-    """Per-year and unioned HLL estimates must sit within 5% of the
-    exact NDVs (lgK=12 default ⇒ ~1.6% RSE; 5% ≈ 3σ), and the ALL row
-    must come from UNIONING the stored sketches (hll_union_agg in the
-    plan), not from re-aggregating raw rows."""
+    """The registered exact-bounds key (r15 promotion): exact NDVs
+    match an independent computation, every in-band boolean is TRUE
+    (per-year and unioned HLL estimates within 5% — lgK=12 default ⇒
+    ~1.6% RSE; 5% ≈ 3σ), and the ALL row must come from UNIONING the
+    stored sketches (hll_union_agg in the plan), not from
+    re-aggregating raw rows."""
     from hivekudu_handler_spark.tables import load_table
 
     df = load_all()["agg_sketch_mergeable"].fn(spark, SF)
-    got = {r["scope"]: r["approx_customers"] for r in df.collect()}
+    got = {r["scope"]: r for r in df.collect()}
     o = load_table(spark, SF, "orders")
     exact = {
         str(r["yr"]): r["n"]
@@ -207,12 +209,9 @@ def test_sketch_mergeable_error_envelope(spark):
     }
     exact["ALL"] = o.select("o_custkey").distinct().count()
     assert set(got) == set(exact)
-    for scope, est in got.items():
-        assert abs(est - exact[scope]) / exact[scope] <= 0.05, (
-            scope,
-            est,
-            exact[scope],
-        )
+    for scope, n in exact.items():
+        assert got[scope]["exact_customers"] == n, (scope, got[scope], n)
+        assert got[scope]["approx_in_band"] is True, (scope, got[scope])
     assert "hll_union_agg" in checks.plan_string(df)
 
 

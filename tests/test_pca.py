@@ -54,26 +54,40 @@ def test_projection_variance_descends_and_rows_preserved(spark, sf_dir):
     np.testing.assert_allclose(proj, (x - mu) @ comps.T, atol=1e-8)
 
 
-def test_registered_query_emits_hashable_digest(spark, sf_dir):
+def test_registered_query_emits_exact_bounds_scalars(spark, sf_dir):
     # the driver verifier cannot canonicalize array cells (r6's one red
-    # row) — the registered query must emit only scalar columns
+    # row) — the registered query must emit only scalar columns, and
+    # since r15 those are the exact-bounds certificate: value-checked
+    # centered norms plus the two bound booleans, all TRUE on the
+    # healthy fixture
     out = emb_pca_project(spark, sf_dir)
     assert [f.name for f in out.schema.fields] == [
         "vec_id",
         "label",
-        "proj_md5",
-        "proj_abs_sum",
+        "centered_sq",
+        "proj_within_norm",
+        "captures_axis_bound",
     ]
     assert all(
-        f.dataType.typeName() in {"long", "integer", "string", "double"}
+        f.dataType.typeName() in {"long", "integer", "double", "boolean"}
         for f in out.schema.fields
     )
-    rows = out.limit(5).collect()
-    assert rows and all(len(r["proj_md5"]) == 32 for r in rows)
-    # digest agrees with the raw projection it summarizes
-    raw = {r["vec_id"]: r["proj"] for r in pca_project_vectors(spark, sf_dir).limit(5).collect()}
-    for r in rows:
-        if r["vec_id"] in raw:
-            assert abs(
-                sum(abs(v) for v in raw[r["vec_id"]]) - r["proj_abs_sum"]
-            ) < 1e-3
+    rows = out.collect()
+    emb, x = _corpus(spark, sf_dir)
+    assert len(rows) == len(x)
+    assert all(r["proj_within_norm"] for r in rows)
+    assert all(r["captures_axis_bound"] for r in rows)
+    # centered_sq agrees with single-node numpy
+    ref = ((x - x.mean(axis=0)) ** 2).sum(axis=1)
+    by_id = {r["vec_id"]: r["centered_sq"] for r in rows}
+    ids = sorted(by_id)
+    got = np.array([by_id[i] for i in ids])
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-4)
+    # the axis bound is genuinely non-trivial: captured variance must
+    # also not exceed the TOTAL variance (sanity both sides)
+    comps, mu = fit_pca(emb, x.shape[1], N_COMPONENTS)
+    proj = (x - mu) @ comps.T
+    captured = (proj**2).sum()
+    total = ref.sum()
+    axis = np.sort(((x - mu) ** 2).sum(axis=0))[::-1][:N_COMPONENTS].sum()
+    assert axis <= captured <= total + 1e-6

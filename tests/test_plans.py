@@ -184,16 +184,35 @@ def test_topk_cosine_two_phase_plan(spark):
 
 
 def test_approx_distinct_is_sketch_only(spark):
-    """agg_approx_distinct must not pay the exact-distinct path: no
-    count(distinct ...) expansion in the optimized plan, one shuffle
-    (partial/final HLL register merge), unlike its oracle-backed exact
-    counterpart agg_ndv_exact (r3 ADVICE: the sketch key used to compute
-    the exact NDV alongside, defeating the sketch's purpose at scale)."""
-    df = load_all()["agg_approx_distinct"].fn(spark, SF)
+    """The PRODUCTION form (approx_ndv_sketch_only) must not pay the
+    exact-distinct path: no count(distinct ...) expansion in the
+    optimized plan, one shuffle (partial/final HLL register merge) —
+    the r3 ADVICE concern, preserved through the r15 oracle promotion
+    of the registered key."""
+    from hivekudu_handler_spark.operators.aggregates import (
+        approx_ndv_sketch_only,
+    )
+
+    df = approx_ndv_sketch_only(spark, SF)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "approx_count_distinct" in optimized, optimized
     assert "count(distinct" not in optimized.lower(), optimized
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+
+
+def test_approx_distinct_registered_single_aggregate(spark):
+    """The REGISTERED exact-bounds form (r15 promotion, percentile
+    precedent): sketch and exact NDV live in ONE logical Aggregate —
+    one pass over lineitem, not two branches — and both expressions
+    are present so the in-band boolean certifies the real sketch."""
+    import re
+
+    df = load_all()["agg_approx_distinct"].fn(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    aggs = re.findall(r"Aggregate \[.*", optimized)
+    assert len(aggs) == 1, optimized
+    assert "approx_count_distinct" in optimized, optimized
+    assert "count(distinct" in optimized.lower(), optimized
 
 
 def test_ivf_assignment_is_scan_shaped(spark):
@@ -522,9 +541,18 @@ def test_approx_percentile_certification_single_aggregate(spark):
 
 
 def test_pca_projection_is_scan_shaped(spark):
-    """emb_pca_project's projection pass must be pure scan + Arrow map:
-    the component matrix broadcasts, so nothing justifies an exchange —
-    the r10 cleanup removed a cosmetic global sort that range-shuffled
-    the whole corpus for row order the driver verifier ignores."""
+    """The production projection pass (pca_project_vectors) must be
+    pure scan + Arrow map: the component matrix broadcasts, so nothing
+    justifies an exchange — the r10 cleanup removed a cosmetic global
+    sort that range-shuffled the whole corpus for row order the driver
+    verifier ignores.  The REGISTERED exact-bounds wrapper (r15) is
+    allowed exactly one extra exchange: the 1-row captured-variance
+    fold, rejoined via broadcast (no corpus shuffle)."""
+    from hivekudu_handler_spark.pipeline.pca import pca_project_vectors
+
+    prod = pca_project_vectors(spark, SF)
+    assert checks.count_shuffles(prod) == 0, checks.plan_string(prod)
+
     df = load_all()["emb_pca_project"].fn(spark, SF)
-    assert checks.count_shuffles(df) == 0, checks.plan_string(df)
+    assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+    assert "BroadcastNestedLoopJoin" in checks.plan_string(df)

@@ -570,6 +570,97 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(e, cents)
 
 
+def ivf_probe_selectivity(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = _IVF_CENTROIDS,
+    n_queries: int = _N_QUERIES,
+    kmeans: bool = False,
+) -> list[dict]:
+    """MEASURED probe selectivity of the IVF family (r11–r14 verdict
+    item): for each ``nprobe``, how much of the corpus do the probed
+    cells actually admit into exact scoring, in pairs and in bytes —
+    the number SCALE.md's "cost ∝ nprobe/k of the corpus" claim rests
+    on.
+
+    Method (everything corpus-sized stays distributed; only model-sized
+    stats reach the driver):
+
+    - cell sizes: one pass of the production ``_ivf_assign`` scan +
+      a k-row groupBy count (collect bounded at ``n_centroids`` rows);
+    - probe lists: queries × centroids ranking (bounded at
+      ``n_queries·n_centroids`` rows, collected);
+    - per-nprobe totals composed driver-side from those two
+      model-sized tables — identical arithmetic to what the probe
+      equi-join in ``_ivf_topk`` executes, cross-checked against the
+      real join's count in tests/test_new_surface_r15.py.
+
+    Returns one dict per nprobe with: probed_pairs (Σ_q Σ_{cell∈probe(q)}
+    |cell|), total_pairs (n_queries · corpus), selectivity, and the
+    bytes an executor actually reads per query set — float32 full
+    vectors (sim_ivf: 4·d per row) and PQ codes (sim_ivfpq: 8 bytes per
+    row) — vs the brute-force scan."""
+    e = _nonzero(_as_double(load_table(spark, sf_dir, "embeddings")))
+    dim = len(e.select("v").first()["v"])
+    if kmeans:
+        from hivekudu_handler_spark.pipeline.clustering import kmeans_fit
+
+        fitted, _ = kmeans_fit(e, k=n_centroids)
+        cents = spark.createDataFrame(
+            [(cid, cv) for cid, cv in fitted], "cent_id int, cv array<double>"
+        )
+    else:
+        cents = e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        )
+    cell_sizes = {
+        r["cent_id"]: r["n"]
+        for r in _ivf_assign(e, cents).groupBy("cent_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    corpus_rows = sum(cell_sizes.values())
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    probe_rank = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cent_sim",
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        )
+        .withColumn("r", F.row_number().over(w_probe))
+        .select("query_id", "cent_id", "r")
+        .collect()
+    )
+    out = []
+    for np_ in nprobes:
+        probed = sum(
+            cell_sizes.get(row["cent_id"], 0)
+            for row in probe_rank
+            if row["r"] <= np_
+        )
+        n_q = len({row["query_id"] for row in probe_rank})
+        total = n_q * corpus_rows
+        out.append(
+            {
+                "nprobe": np_,
+                "n_centroids": n_centroids,
+                "probed_pairs": probed,
+                "total_pairs": total,
+                "selectivity": probed / total if total else 0.0,
+                "probed_f32_mb": probed * 4 * dim / 1e6,
+                "brute_f32_mb": total * 4 * dim / 1e6,
+                "probed_pq_mb": probed * 8 / 1e6,
+                "brute_pq_mb": total * 8 / 1e6,
+            }
+        )
+    return out
+
+
 # 24-bit / 8-table replay (the ann_verified_pairs banding, threshold
 # None), symmetrized, top-5 per vector.  The rank orders by the ROUNDED
 # cosine (unlike _SIM_ANN_LSH_ORACLE's raw ordering) with neighbor_id

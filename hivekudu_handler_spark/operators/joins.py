@@ -585,6 +585,88 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_join_raw(
+    spark: SparkSession, sf_dir: str, mappers: int | None = None
+) -> DataFrame:
+    """The raw skewed shuffle join behind ``join_skew_aqe``: the fact
+    side is DELIBERATELY skewed by remapping 7/8 of lineitem's join
+    keys onto the single hot key 1 (deterministic, ``% 8``), then
+    equi-joined to orders — one shuffle partition carries ~87 % of the
+    fact table, the textbook case AQE's ``OptimizeSkewedJoin`` exists
+    for: at runtime it splits the oversized partition into
+    advisory-sized chunks and replicates the matching build-side
+    partition, no manual salt needed.
+    ``tests/test_plans.py::test_skew_join_aqe_rewrite_fires`` executes
+    this under production-shaped thresholds (SMJ forced, skew threshold
+    scaled to the fixture) and pins the ``skewed`` AQEShuffleRead in the
+    final adaptive plan.  ``join_salted`` is the manual twin for engines
+    or stages where runtime splitting isn't available.
+
+    ``mappers``: skew splitting works at MAP-OUTPUT granularity — a
+    skewed reducer partition is split into ranges of mapper ids, so a
+    shuffle written by ONE mapper cannot be split at all
+    (``ShufflePartitionsUtil.createSkewPartitionSpecs`` returns None
+    and the rule reports 0 skewed partitions).  The single-row-group
+    fixture parquet scans as one mapper however small
+    ``maxPartitionBytes`` goes (row groups are the split floor); a
+    100 TB fact table has thousands of mappers and never hits this.
+    The test passes ``mappers=16`` to restore production mapper
+    granularity on the fixture; production callers leave it None."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 8 != 0, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .cast("long")
+        .alias("hot_key"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    if mappers:
+        li = li.repartition(mappers)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    return li.join(o, li["hot_key"] == o["o_orderkey"], "inner")
+
+
+@query(
+    "join_skew_aqe",
+    oracle=(
+        "SELECT CASE WHEN l_orderkey % 8 <> 0 THEN 1 "
+        "            ELSE l_orderkey END AS hot_key, "
+        "       COUNT(*) AS n_rows, "
+        "       ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "       ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "       ROUND(MAX(o_totalprice), 2) AS max_total "
+        "FROM lineitem l JOIN orders o "
+        "  ON o.o_orderkey = CASE WHEN l_orderkey % 8 <> 0 THEN 1 "
+        "                         ELSE l_orderkey END "
+        "GROUP BY 1"
+    ),
+    tags=("join", "scale"),
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant shuffle join, AQE edition (r12–r14 carried item):
+    semantics are the plain equi-join the oracle states — skew handling
+    is a PHYSICAL rewrite Spark applies at runtime, which is exactly the
+    point of letting AQE do it instead of hand-salting (``join_salted``).
+    The registered form aggregates the joined rows per key so the
+    driver-hashed output stays compact; the skew itself lives in the
+    join stage (``skew_join_raw`` above), whose runtime
+    ``OptimizeSkewedJoin`` split is plan-pinned in tests/test_plans.py.
+    At 100 TB: leave ``spark.sql.adaptive.skewJoin.enabled`` on and size
+    ``skewedPartitionThresholdInBytes``/``advisoryPartitionSizeInBytes``
+    to the executor memory budget; AQE then bounds every reducer's input
+    regardless of key distribution, with no semantic rewrite risk."""
+    joined = skew_join_raw(spark, sf_dir)
+    return joined.groupBy("hot_key").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+
+
 def bucketed_join_parts(spark: SparkSession, sf_dir: str):
     """Write per-invocation bucketed tables and build the co-located join.
 

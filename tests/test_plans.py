@@ -556,3 +556,41 @@ def test_pca_projection_is_scan_shaped(spark):
     df = load_all()["emb_pca_project"].fn(spark, SF)
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
     assert "BroadcastNestedLoopJoin" in checks.plan_string(df)
+
+
+def test_skew_join_aqe_rewrite_fires(spark):
+    """AQE's OptimizeSkewedJoin must actually fire on skew_join_raw's
+    deliberately skewed fact side (87% of rows on one hot key): the
+    FINAL adaptive plan shows SortMergeJoin(skew=true) over a skewed
+    AQEShuffleRead — the runtime split join_salted performs manually.
+    Thresholds are scaled to the fixture (the production defaults are
+    256 MB/64 MB); mappers=16 restores map-output granularity the
+    single-row-group fixture parquet lacks (a 1-mapper shuffle cannot
+    be skew-split — see skew_join_raw's docstring)."""
+    from hivekudu_handler_spark.operators.joins import skew_join_raw
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    sf = "/root/testdata/sf0.01"  # sf0.001's hot partition is under the
+    # 64KB threshold; this test needs real volume behind the hot key
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = skew_join_raw(spark, sf, mappers=16)
+        rows = df.collect()  # AQE finalizes the plan only on execution
+        assert len(rows) == 60000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

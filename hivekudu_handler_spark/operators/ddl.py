@@ -517,6 +517,79 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def dpp_fact_and_dim(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(partitioned fact read-back, filtered dim) for the dynamic-
+    partition-pruning join: ``events`` landed hive-partitioned by
+    ``event_type``; the dim is the per-type row count filtered by a
+    RUNTIME-ONLY predicate (``n * 5 > total`` — an aggregate result, so
+    Catalyst cannot infer a static fact-side filter from the join
+    constraint; integer arithmetic keeps both engines exact).  At plan
+    time the fact scan's PartitionFilters gains a ``dynamicpruning#``
+    subquery: the dim's surviving keys are computed first (reusing the
+    join's broadcast) and only THEIR directories are read — Kudu-style
+    runtime tablet pruning (`doc/DesignDocument.md:8`), free from
+    Spark's DPP rule on any hive-partitioned layout."""
+    from hivekudu_handler_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    fact = spark.read.parquet(out_dir).select(
+        "event_type", "value"
+    )
+    # 1-row bounded collect (model-state-sized, the convergence-checksum
+    # precedent): folding the corpus total into a LITERAL keeps the dim
+    # subtree a plain scan→aggregate→filter, the shape Spark's
+    # PartitionPruning rule prices for benefit — a join inside the dim
+    # (the crossJoin formulation) defeats its selectivity estimate and
+    # no pruning subquery is planted.
+    total = ev.count()
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 5 > F.lit(total))
+        .select("event_type")
+    )
+    return fact, dim
+
+
+@query(
+    "join_dpp",
+    oracle=(
+        "WITH dim AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1), "
+        "tot AS (SELECT COUNT(*) AS t FROM events) "
+        "SELECT e.event_type, COUNT(*) AS n_events, "
+        "       ROUND(SUM(e.value), 2) AS total_value "
+        "FROM events e JOIN dim d ON e.event_type = d.event_type "
+        "CROSS JOIN tot WHERE d.n * 5 > tot.t "
+        "GROUP BY e.event_type"
+    ),
+    tags=("join", "scan", "scale"),
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: fact partitioned by the
+    join key, dim filtered by a runtime-only predicate — the oracle
+    states the plain join over the unpartitioned source, proving DPP is
+    a pure physical optimization.  The ``dynamicpruning#`` subquery in
+    the fact scan is pinned in
+    ``tests/test_plans.py::test_dpp_prunes_fact_partitions``.  At 100 TB
+    this is the difference between scanning every date/type directory
+    and scanning only the handful a selective dim filter survives —
+    with zero query rewrite."""
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix="dpp_", dir=_SCRATCH_ROOT))
+    try:
+        fact, dim = dpp_fact_and_dim(spark, sf_dir, str(d / "events_by_type"))
+        out = fact.join(dim, "event_type").groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @query(
     "sql_front_end_query",
     oracle=(

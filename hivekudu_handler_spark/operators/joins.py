@@ -667,6 +667,52 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_runtime_bloom",
+    oracle=(
+        "SELECT l.l_returnflag, COUNT(*) AS n_lines, "
+        "       ROUND(SUM(l.l_extendedprice), 2) AS revenue "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderpriority = '1-URGENT' "
+        "GROUP BY l.l_returnflag"
+    ),
+    tags=("join", "scale"),
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join pushdown (Spark 3.3+
+    ``InjectRuntimeFilter``; enabled repo-wide in ``session.py``): when
+    a shuffle join's creation side carries a selective filter (here
+    orders at ~20 % selectivity on ``o_orderpriority``), Spark builds a
+    bloom filter of the surviving join keys as a tiny pre-aggregate and
+    injects ``might_contain`` into the fact scan — at 100 TB the fact
+    side drops ~80 % of its rows BEFORE the shuffle instead of after
+    the join, the same I/O-side pruning the reference stubbed in
+    ``decomposePredicate`` (``KuduStorageHandler.java:187-193``) but
+    computed from runtime data, not static predicates.  Semantics are
+    the plain join the oracle states (bloom false positives are
+    re-checked by the join itself — the filter is sound by
+    construction).  The injection is plan-pinned in
+    ``tests/test_plans.py::test_runtime_bloom_filter_injected`` under
+    fixture-scaled thresholds (the production defaults gate on a 10 GB
+    application side, which is exactly right at cluster scale)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def bucketed_join_parts(spark: SparkSession, sf_dir: str):
     """Write per-invocation bucketed tables and build the co-located join.
 

@@ -594,3 +594,51 @@ def test_skew_join_aqe_rewrite_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dpp_prunes_fact_partitions(spark, tmp_path):
+    """The fact scan of join_dpp's layout must carry a dynamicpruning#
+    subquery in its PartitionFilters — directories are selected at
+    RUNTIME from the dim's surviving keys (the dim predicate is an
+    aggregate result, so no static filter can be inferred), and the
+    executed plan reuses the join's broadcast for the pruning subquery."""
+    from hivekudu_handler_spark.operators.ddl import dpp_fact_and_dim
+
+    fact, dim = dpp_fact_and_dim(spark, SF, str(tmp_path / "ev"))
+    df = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # the pruning subquery rides the join's broadcast, not a second scan
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Under fixture-scaled thresholds, the selective orders filter must
+    inject a bloom filter into the lineitem side of join_runtime_bloom:
+    the optimized plan builds bloom_filter_agg over the surviving keys
+    and applies might_contain to the fact scan side — rows drop BEFORE
+    the shuffle."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # bloom needs a shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = load_all()["join_runtime_bloom"].fn(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -99,6 +99,9 @@ HEADLINE = [
     "dedup_semantic",       # SemDeDup: cluster-local cosine dedup over embeddings
     "sim_ivfpq",            # IVF cell pruning × PQ codes × exact re-rank (FAISS IVFPQ shape)
     "sim_knn_graph",        # whole-corpus kNN graph via banded candidates + WindowGroupLimit
+    "join_skew_aqe",        # 87%-hot-key join left to AQE's runtime skew split (r15)
+    "join_dpp",             # hive-partitioned fact + runtime dynamicpruning subquery (r15)
+    "join_runtime_bloom",   # InjectRuntimeFilter bloom semi-join pushdown (r15)
 ]
 
 

@@ -606,12 +606,14 @@ def skew_join_raw(
     skewed reducer partition is split into ranges of mapper ids, so a
     shuffle written by ONE mapper cannot be split at all
     (``ShufflePartitionsUtil.createSkewPartitionSpecs`` returns None
-    and the rule reports 0 skewed partitions).  The single-row-group
-    fixture parquet scans as one mapper however small
-    ``maxPartitionBytes`` goes (row groups are the split floor); a
-    100 TB fact table has thousands of mappers and never hits this.
-    The test passes ``mappers=16`` to restore production mapper
-    granularity on the fixture; production callers leave it None."""
+    and the rule reports 0 skewed partitions).  Two fixture-scale paths
+    collapse the scan to one mapper: a single-row-group parquet file is
+    unsplittable however small ``maxPartitionBytes`` goes (row groups
+    are the split floor), and MANY SMALL files bin-pack into one scan
+    task (both observed while building the r15 smoke).  A 100 TB fact
+    table has thousands of mappers and never hits either.  The test and
+    the SCALE.md smoke pass ``mappers=16``/``32`` to restore production
+    mapper granularity on fixtures; production callers leave it None."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.when(F.col("l_orderkey") % 8 != 0, F.lit(1))
         .otherwise(F.col("l_orderkey"))

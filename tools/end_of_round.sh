@@ -16,8 +16,12 @@ cd "$(dirname "$0")/.."
 python -m tools.source_hashes backfill
 python -m tools.source_hashes snapshot
 
+# 1b. Keep SURVEY §8 (machine-generated key inventory) in sync with the
+#     registry so new keys never leave it stale.
+python -m tools.gen_survey_status
+
 # 2. Stage the sidecar plus any driver artifacts left untracked.
-git add tools/source_hashes.json
+git add tools/source_hashes.json SURVEY.md
 git add -f CORRECTNESS_r*.json BENCH_r*.json BENCH_LOCAL.json 2>/dev/null || true
 
 # 3. Prove the invariant: every latest record has a sidecar stamp.

@@ -248,6 +248,64 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_priority",
+    oracle=(
+        f"WITH fp AS (SELECT doc_id, source, lang, md5({_NORM_SQL}) AS fingerprint, "
+        "            CAST(SUBSTR(source, 4) AS BIGINT) AS tier "
+        "            FROM documents), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER ("
+        "             PARTITION BY fingerprint ORDER BY tier, doc_id) AS rn, "
+        "           COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies "
+        "           FROM fp) "
+        "SELECT fingerprint, doc_id AS keeper_doc_id, source AS keeper_source, "
+        "       lang, n_copies "
+        "FROM ranked WHERE rn = 1"
+    ),
+    tags=("dedup", "window"),
+)
+def dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered-source exact dedup — the cross-corpus keep rule real
+    curation pipelines apply (curated > books > web: RefinedWeb/Dolma
+    style): when the same normalized content appears in several
+    sources, keep the copy from the HIGHEST-PRIORITY source (here the
+    tier is the numeric suffix of ``source``, standing in for a
+    configured tier map), ties broken to the smallest doc_id so the
+    result is deterministic.  Contrast ``dedup_exact_docs`` (keeper =
+    min doc_id regardless of provenance) and ``dedup_keep_latest``
+    (keeper = newest version per key).
+
+    One hash shuffle on the fingerprint + a per-group sorted
+    row_number — identical plan economics to ``dedup_keep_latest``
+    (the full keeper row streams through the window instead of forcing
+    the row through a max_by aggregation buffer).  At 100 TB the
+    fingerprint shuffle dominates and is the same cost as the plain
+    exact dedup; the priority rule is free."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(normalized()).alias("fingerprint"),
+        F.substring("source", 4, 10).cast("bigint").alias("tier"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("tier", "doc_id")
+    wc = Window.partitionBy("fingerprint")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("source").alias("keeper_source"),
+            "lang",
+            "n_copies",
+        )
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=_jaccard_oracle(0.5),
     tags=("dedup",),

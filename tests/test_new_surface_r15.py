@@ -73,3 +73,41 @@ def test_ivf_probe_selectivity_bounds_bytes(spark):
     )
     real = _ivf_assign(e, cents).join(F.broadcast(probes), "cent_id").count()
     assert real == s2["probed_pairs"], (real, s2["probed_pairs"])
+
+
+def test_keep_priority_prefers_low_tier_source(spark, tmp_path):
+    """On a corpus where every doc gains an exact twin in a WORSE tier
+    and one doc gains a twin in a BETTER tier, the keeper must always
+    come from the lowest tier (ties to smallest doc_id) — the fixture
+    itself has no cross-source dups, so this synthesizes them."""
+    import os
+
+    from hivekudu_handler_spark.registry import load_all
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    worse = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "source", F.lit("src999")
+    )
+    # doc 1 (source src1, tier 1) also gets a BETTER-tier twin (src0)
+    # with a LARGER doc_id: priority must beat doc_id order
+    better = (
+        docs.filter(F.col("doc_id") == 1)
+        .withColumn("doc_id", F.lit(2_000_000).cast("bigint"))
+        .withColumn("source", F.lit("src0"))
+    )
+    out = str(tmp_path)
+    docs.unionByName(worse).unionByName(better).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    res = {
+        r["keeper_doc_id"]: r
+        for r in load_all()["dedup_keep_priority"].fn(spark, out).collect()
+    }
+    # no keeper ever comes from the worse tier
+    assert all(r["keeper_source"] != "src999" for r in res.values())
+    # every group is now at least a pair
+    assert all(r["n_copies"] >= 2 for r in res.values())
+    # doc 1's group: the src0 twin (tier 0) wins despite doc_id 2,000,000
+    zero_groups = [r for r in res.values() if r["keeper_doc_id"] == 2_000_000]
+    assert len(zero_groups) == 1 and zero_groups[0]["keeper_source"] == "src0"
+    assert zero_groups[0]["n_copies"] == 3

@@ -128,6 +128,11 @@ PHASE_SPLIT = {
         "stream_upsert_sink_phases",
         "stream_only",
     ),
+    "join_dpp": (
+        "hivekudu_handler_spark.operators.ddl",
+        "join_dpp_phases",
+        "pruned_join_only",
+    ),
 }
 
 

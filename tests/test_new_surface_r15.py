@@ -111,3 +111,17 @@ def test_keep_priority_prefers_low_tier_source(spark, tmp_path):
     zero_groups = [r for r in res.values() if r["keeper_doc_id"] == 2_000_000]
     assert len(zero_groups) == 1 and zero_groups[0]["keeper_source"] == "src0"
     assert zero_groups[0]["n_copies"] == 3
+
+
+def test_ivf_kmeans_selectivity_tracks_nprobe_over_k(spark):
+    """The production (Lloyd-fitted) quantizer must keep cells balanced
+    enough that probe selectivity tracks the ideal nprobe/k within
+    ±20% at every nprobe — the SCALE.md claim that nprobe is a linear
+    cost dial rests on this."""
+    stats = ivf_probe_selectivity(
+        spark, SF, nprobes=(1, 2, 4, 8), kmeans=True
+    )
+    for s in stats:
+        ideal = s["nprobe"] / s["n_centroids"]
+        assert 0.8 * ideal <= s["selectivity"] <= 1.2 * ideal, s
+    assert stats[-1]["selectivity"] == 1.0

@@ -251,7 +251,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_priority",
     oracle=(
         f"WITH fp AS (SELECT doc_id, source, lang, md5({_NORM_SQL}) AS fingerprint, "
-        "            CAST(SUBSTR(source, 4) AS BIGINT) AS tier "
+        "            COALESCE(TRY_CAST(SUBSTR(source, 4) AS BIGINT), "
+        "                     4611686018427387904) AS tier "
         "            FROM documents), "
         "ranked AS (SELECT *, ROW_NUMBER() OVER ("
         "             PARTITION BY fingerprint ORDER BY tier, doc_id) AS rn, "
@@ -287,7 +288,14 @@ def dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.md5(normalized()).alias("fingerprint"),
-        F.substring("source", 4, 10).cast("bigint").alias("tier"),
+        # unparseable tier → demoted to a sentinel WORST tier on both
+        # engines: a bare NULL would sort nulls-FIRST in Spark ASC but
+        # nulls-LAST in DuckDB — the silent cross-engine divergence
+        # class DIVERGENCES.md pins (zero-norm-cosine precedent)
+        F.coalesce(
+            F.substring("source", 4, 10).cast("bigint"),
+            F.lit(4611686018427387904),
+        ).alias("tier"),
     )
     w = Window.partitionBy("fingerprint").orderBy("tier", "doc_id")
     wc = Window.partitionBy("fingerprint")

@@ -95,22 +95,28 @@ def test_keep_priority_prefers_low_tier_source(spark, tmp_path):
         .withColumn("doc_id", F.lit(2_000_000).cast("bigint"))
         .withColumn("source", F.lit("src0"))
     )
+    # and an UNPARSEABLE source tier: must demote to the sentinel worst
+    # tier on both engines (NULL would sort first in Spark, last in
+    # DuckDB — the divergence class the coalesce pins away)
+    unparseable = docs.withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    ).withColumn("source", F.lit("web"))
     out = str(tmp_path)
-    docs.unionByName(worse).unionByName(better).write.parquet(
-        os.path.join(out, "documents.parquet")
-    )
+    docs.unionByName(worse).unionByName(better).unionByName(
+        unparseable
+    ).write.parquet(os.path.join(out, "documents.parquet"))
     res = {
         r["keeper_doc_id"]: r
         for r in load_all()["dedup_keep_priority"].fn(spark, out).collect()
     }
-    # no keeper ever comes from the worse tier
-    assert all(r["keeper_source"] != "src999" for r in res.values())
-    # every group is now at least a pair
-    assert all(r["n_copies"] >= 2 for r in res.values())
+    # no keeper ever comes from the worse or unparseable tiers
+    assert all(r["keeper_source"] not in ("src999", "web") for r in res.values())
+    # every group is now at least a triple (worse + unparseable twins)
+    assert all(r["n_copies"] >= 3 for r in res.values())
     # doc 1's group: the src0 twin (tier 0) wins despite doc_id 2,000,000
     zero_groups = [r for r in res.values() if r["keeper_doc_id"] == 2_000_000]
     assert len(zero_groups) == 1 and zero_groups[0]["keeper_source"] == "src0"
-    assert zero_groups[0]["n_copies"] == 3
+    assert zero_groups[0]["n_copies"] == 4  # original + worse + web + src0 twins
 
 
 def test_ivf_kmeans_selectivity_tracks_nprobe_over_k(spark):

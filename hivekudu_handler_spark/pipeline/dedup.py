@@ -251,8 +251,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_priority",
     oracle=(
         f"WITH fp AS (SELECT doc_id, source, lang, md5({_NORM_SQL}) AS fingerprint, "
-        "            COALESCE(TRY_CAST(SUBSTR(source, 4) AS BIGINT), "
-        "                     4611686018427387904) AS tier "
+        "            CASE WHEN regexp_matches(SUBSTR(source, 4), '^[0-9]{1,18}$') "
+        "                 THEN CAST(SUBSTR(source, 4) AS BIGINT) "
+        "                 ELSE 4611686018427387904 END AS tier "
         "            FROM documents), "
         "ranked AS (SELECT *, ROW_NUMBER() OVER ("
         "             PARTITION BY fingerprint ORDER BY tier, doc_id) AS rn, "
@@ -288,14 +289,19 @@ def dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.md5(normalized()).alias("fingerprint"),
-        # unparseable tier → demoted to a sentinel WORST tier on both
-        # engines: a bare NULL would sort nulls-FIRST in Spark ASC but
-        # nulls-LAST in DuckDB — the silent cross-engine divergence
-        # class DIVERGENCES.md pins (zero-norm-cosine precedent)
-        F.coalesce(
-            F.substring("source", 4, 10).cast("bigint"),
-            F.lit(4611686018427387904),
-        ).alias("tier"),
+        # tier parses ONLY for a strictly-integral suffix (≤18 digits),
+        # else a sentinel WORST tier — pinned identically in the oracle
+        # because every laxer form diverges cross-engine: a bare NULL
+        # sorts nulls-FIRST in Spark ASC but nulls-LAST in DuckDB, and
+        # a decimal suffix ('src12.5') TRUNCATES in Spark's string cast
+        # but ROUNDS in DuckDB's TRY_CAST (both measured; the
+        # DIVERGENCES.md class, zero-norm-cosine precedent)
+        F.when(
+            F.expr("substring(source, 4)").rlike("^[0-9]{1,18}$"),
+            F.expr("substring(source, 4)").cast("bigint"),
+        )
+        .otherwise(F.lit(4611686018427387904))
+        .alias("tier"),
     )
     w = Window.partitionBy("fingerprint").orderBy("tier", "doc_id")
     wc = Window.partitionBy("fingerprint")

@@ -243,6 +243,14 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         proj_sq.alias("_psq"),
     )
+    # LAZY localCheckpoint: per_row feeds BOTH the 1-row captured fold
+    # (the crossJoin's broadcast side, materialized first as its own
+    # job) and the streamed output — without it the corpus scan + Arrow
+    # projection would execute twice (r15 review).  Lazy, not eager, so
+    # building the DataFrame (driver contract walks all schemas) costs
+    # nothing; the first action materializes once and the second branch
+    # reads the checkpoint.
+    per_row = per_row.localCheckpoint(eager=False)
     captured = per_row.agg(F.sum("_psq").alias("_captured"))
     return per_row.crossJoin(captured).select(
         "vec_id",

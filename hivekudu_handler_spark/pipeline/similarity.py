@@ -453,6 +453,39 @@ def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _seed_centroids(e: DataFrame, n_centroids: int = _IVF_CENTROIDS) -> DataFrame:
+    """Deterministic seed quantizer: the first ``n_centroids`` NONZERO
+    corpus vectors as (cent_id, cv) — shared by ``sim_ivf`` and the
+    probe-selectivity measurement so both price the same cells.
+    Zero-norm vectors can't be centroids (cosine to a zero centroid
+    would be NaN vs −1.0 — mirrors the oracles' ``c ... FROM en``)."""
+    return _nonzero(e).filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+
+
+def _probe_ranking(
+    e: DataFrame, cents: DataFrame, n_queries: int = _N_QUERIES
+) -> DataFrame:
+    """Per-query centroid ranking (query_id, qv, cent_id, r) — r = 1 is
+    the nearest cell, ties to the smallest cent_id.  THE probe order:
+    ``_ivf_topk`` filters it to ``r <= nprobe`` for the search, and
+    ``ivf_probe_selectivity`` prices it per nprobe — a shared helper so
+    the measured selectivity is the production probe order by
+    construction (r15 review item)."""
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    return (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cent_sim", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+        .withColumn("r", F.row_number().over(w_probe))
+        .select("query_id", "qv", "cent_id", "r")
+    )
+
+
 def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
     """The IVF search given a (cent_id, cv) centroid table: assign the
     corpus to cells (broadcast argmin scan), probe each query's
@@ -462,15 +495,8 @@ def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> Data
     e = _nonzero(e)
     assigned = _ivf_assign(e, cents)
     # queries probe their nprobe nearest cells
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("cent_sim").desc(), F.col("cent_id")
-    )
     probes = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cent_sim", _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))))
-        .withColumn("r", F.row_number().over(w_probe))
+        _probe_ranking(e, cents)
         .filter(F.col("r") <= nprobe)
         .select("query_id", "qv", "cent_id")
     )
@@ -521,12 +547,7 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact operator stays pinned in tests.
     """
     e = _as_double(load_table(spark, sf_dir, "embeddings"))
-    # zero-norm vectors can't be centroids either — mirrors the oracle's
-    # `c ... FROM en` (cosine to a zero centroid would be NaN vs −1.0)
-    cents = _nonzero(e).filter(F.col("vec_id") < _IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    return _ivf_topk(e, cents)
+    return _ivf_topk(e, _seed_centroids(e))
 
 
 # sim_ivf's probe/score replay over the Lloyd-fitted centroids instead
@@ -589,12 +610,14 @@ def ivf_probe_selectivity(
 
     - cell sizes: one pass of the production ``_ivf_assign`` scan +
       a k-row groupBy count (collect bounded at ``n_centroids`` rows);
-    - probe lists: queries × centroids ranking (bounded at
-      ``n_queries·n_centroids`` rows, collected);
+    - probe lists: the SAME ``_probe_ranking`` helper ``_ivf_topk``
+      searches with (bounded at ``n_queries·n_centroids`` rows,
+      collected) — shared code, so the measurement prices the
+      production probe order by construction, additionally
+      cross-checked against the real join's count in
+      tests/test_new_surface_r15.py;
     - per-nprobe totals composed driver-side from those two
-      model-sized tables — identical arithmetic to what the probe
-      equi-join in ``_ivf_topk`` executes, cross-checked against the
-      real join's count in tests/test_new_surface_r15.py.
+      model-sized tables.
 
     Returns one dict per nprobe with: probed_pairs (Σ_q Σ_{cell∈probe(q)}
     |cell|), total_pairs (n_queries · corpus), selectivity, and the
@@ -611,9 +634,7 @@ def ivf_probe_selectivity(
             [(cid, cv) for cid, cv in fitted], "cent_id int, cv array<double>"
         )
     else:
-        cents = e.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-        )
+        cents = _seed_centroids(e, n_centroids)
     cell_sizes = {
         r["cent_id"]: r["n"]
         for r in _ivf_assign(e, cents).groupBy("cent_id").agg(
@@ -621,21 +642,12 @@ def ivf_probe_selectivity(
         ).collect()
     }
     corpus_rows = sum(cell_sizes.values())
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("cent_sim").desc(), F.col("cent_id")
-    )
     probe_rank = (
-        e.filter(F.col("vec_id") < n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cent_sim",
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-        )
-        .withColumn("r", F.row_number().over(w_probe))
+        _probe_ranking(e, cents, n_queries)
         .select("query_id", "cent_id", "r")
         .collect()
     )
+    n_q = len({row["query_id"] for row in probe_rank})
     out = []
     for np_ in nprobes:
         probed = sum(
@@ -643,7 +655,6 @@ def ivf_probe_selectivity(
             for row in probe_rank
             if row["r"] <= np_
         )
-        n_q = len({row["query_id"] for row in probe_rank})
         total = n_q * corpus_rows
         out.append(
             {

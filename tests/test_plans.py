@@ -4,12 +4,32 @@ optimizations the reference stubbed or delegated (SURVEY.md §4)."""
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.plans import checks
 from hivekudu_handler_spark.registry import load_all
 
 SF = "/root/testdata/sf0.001"
+
+
+@contextlib.contextmanager
+def tuned_confs(spark, confs: dict):
+    """Set session confs for a runtime-gated plan test, restoring prior
+    values (or unsetting) afterwards — shared by every test that scales
+    production thresholds down to fixture size."""
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -578,22 +598,13 @@ def test_skew_join_aqe_rewrite_fires(spark):
     }
     sf = "/root/testdata/sf0.01"  # sf0.001's hot partition is under the
     # 64KB threshold; this test needs real volume behind the hot key
-    saved = {k: spark.conf.get(k, None) for k in tuned}
-    try:
-        for k, v in tuned.items():
-            spark.conf.set(k, v)
+    with tuned_confs(spark, tuned):
         df = skew_join_raw(spark, sf, mappers=16)
         rows = df.collect()  # AQE finalizes the plan only on execution
         assert len(rows) == 60000
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan
         assert "AQEShuffleRead" in plan and "skewed" in plan, plan
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
 
 
 def test_dpp_prunes_fact_partitions(spark, tmp_path):
@@ -628,17 +639,8 @@ def test_runtime_bloom_filter_injected(spark):
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
     }
-    saved = {k: spark.conf.get(k, None) for k in tuned}
-    try:
-        for k, v in tuned.items():
-            spark.conf.set(k, v)
+    with tuned_confs(spark, tuned):
         df = load_all()["join_runtime_bloom"].fn(spark, SF)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom_filter_agg" in opt, opt
         assert "might_contain" in opt, opt
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)

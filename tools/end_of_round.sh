@@ -21,8 +21,15 @@ python -m tools.source_hashes snapshot
 python -m tools.gen_survey_status
 
 # 2. Stage the sidecar plus any driver artifacts left untracked.
+#    Per-pattern adds: a single multi-glob `git add` aborts wholesale on
+#    the first non-matching pathspec, silently staging NOTHING.
 git add tools/source_hashes.json SURVEY.md
-git add -f CORRECTNESS_r*.json BENCH_r*.json BENCH_LOCAL.json 2>/dev/null || true
+for pat in 'CORRECTNESS_r*.json' 'BENCH_r*.json' 'BENCH_LOCAL.json'; do
+    if compgen -G "$pat" > /dev/null; then
+        # shellcheck disable=SC2086
+        git add -f $pat
+    fi
+done
 
 # 3. Prove the invariant: every latest record has a sidecar stamp.
 python -m pytest tests/test_coverage_order.py -q

@@ -221,8 +221,10 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     orthonormality, eigenvalue ordering, and projector-matrix agreement
     with single-node numpy SVD.  Production projection is
     ``pca_project_vectors`` (single scan-shaped pass, zero exchanges);
-    this registered wrapper pays one extra 1-row fold for the bound
-    certificate."""
+    this registered wrapper pays one 1-row fold plus a lazy
+    localCheckpoint of the projected rows (distributed, executor-local)
+    so the projection pass still runs exactly once for both the fold
+    and the output."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")

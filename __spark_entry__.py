@@ -6,8 +6,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash -> CORRECTNESS_r{N}.json).
 
 All keys live in ``hivekudu_handler_spark.registry``; operator modules
-self-register via the ``@query`` decorator.  Keys without an oracle are
-non-SQL-expressible (LSH/sketch/streaming) and get the rows-only check.
+self-register via the ``@query`` decorator.  Since r15 EVERY registered
+key carries an oracle (deterministic replay for LSH/IVF/PQ/kmeans/BPE,
+exact-bounds certificates for sketches and PCA); a key without one
+would fall back to the driver's weaker rows-only check — don't add
+those.
 """
 
 from __future__ import annotations

@@ -8,9 +8,13 @@ the same Parquet tables.  Deterministic approximations (LSH banding,
 IVF/PQ search, k-means, BPE) are SQL-expressible after all — their
 oracles REPLAY the approximation via ``pipeline/replay.py`` (r10), so a
 new approximate key should get a replay oracle unless its internals are
-genuinely engine-specific.  Only such keys (HLL sketch register hashes)
-or ill-conditioned numerics (eigh on a near-degenerate spectrum) take
-the driver's weaker rows-only check, backed by pytest invariants.
+genuinely engine-specific.  For those last cases (HLL sketch register
+hashes, eigh on a near-degenerate spectrum) the r15 pattern applies
+instead of a rows-only check: register the EXACT-BOUNDS form — exact
+values DuckDB recomputes plus booleans asserting the approximation sits
+inside its published bound, oracle stating TRUE (see
+``agg_approx_distinct`` / ``emb_pca_project``).  Since r15 every key in
+the registry carries an oracle; keep it that way.
 """
 
 from __future__ import annotations

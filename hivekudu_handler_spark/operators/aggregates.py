@@ -542,6 +542,33 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 2))
 
 
+def ndv_sketch_rollup_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of the mergeable-sketch rollup: per-year
+    Datasketches HLL sketches of the customer key (``hll_sketch_agg``,
+    one partial/final aggregate) stored once, then the overall NDV
+    answered by ``hll_union_agg`` over the kilobyte sketch table —
+    never by re-scanning orders or paying a ``count(distinct)``
+    expand.  At 100 TB this is the entire value of mergeability: the
+    coarse rollup's input is |years| rows, not the fact table.
+    Plan-pinned free of any exact-distinct expansion in
+    ``tests/test_plans.py::test_sketch_mergeable_rollup_is_sketch_only``.
+    The registered ``agg_sketch_mergeable`` key wraps this path with
+    the exact-bounds verification certificate (r16 advice fix: the
+    certificate's exact columns had become the only demonstrable form)."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    per_year = yearly.select(
+        F.col("yr").cast("string").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = yearly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+    ).select(F.lit("ALL").alias("scope"), "approx_customers")
+    return per_year.unionByName(merged)
+
+
 @query(
     "agg_sketch_mergeable",
     oracle=(

@@ -259,7 +259,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "centered_sq",
         "proj_within_norm",
-        (F.col("_captured") >= F.lit(float(diag_ss)) * (1.0 - 1e-9)).alias(
+        # 1e-6 relative slack (r16, was 1e-9): _captured is an
+        # order-sensitive distributed float64 sum, and when the corpus
+        # covariance is near-diagonal the top-k eigenvalue sum sits ON
+        # the axis-aligned bound — partition-order jitter must not flip
+        # the boolean.  The certificate's power (rejecting a random
+        # basis, which loses ~k/d of the SS) is unaffected.
+        (F.col("_captured") >= F.lit(float(diag_ss)) * (1.0 - 1e-6)).alias(
             "captures_axis_bound"
         ),
     )

@@ -220,6 +220,28 @@ def test_approx_distinct_is_sketch_only(spark):
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
 
 
+def test_sketch_mergeable_rollup_is_sketch_only(spark):
+    """The PRODUCTION form of the mergeable rollup
+    (ndv_sketch_rollup_only) must not pay the exact path anywhere: no
+    count(distinct ...) expansion in the optimized plan, hll_sketch_agg
+    building the per-year sketches and hll_union_agg folding them —
+    the registered agg_sketch_mergeable key carries exact columns only
+    as its verification certificate (r16 advice fix)."""
+    from hivekudu_handler_spark.operators.aggregates import (
+        ndv_sketch_rollup_only,
+    )
+
+    df = ndv_sketch_rollup_only(spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    low = optimized.lower()
+    assert "hll_sketch_agg" in low, optimized
+    assert "hll_union_agg" in low, optimized
+    assert "count(distinct" not in low, optimized
+    # sanity: the union output has per-year rows plus the ALL rollup
+    rows = {r["scope"] for r in df.collect()}
+    assert "ALL" in rows and len(rows) > 2, rows
+
+
 def test_approx_distinct_registered_single_aggregate(spark):
     """The REGISTERED exact-bounds form (r15 promotion, percentile
     precedent): sketch and exact NDV live in ONE logical Aggregate —
@@ -598,10 +620,16 @@ def test_skew_join_aqe_rewrite_fires(spark):
     }
     sf = "/root/testdata/sf0.01"  # sf0.001's hot partition is under the
     # 64KB threshold; this test needs real volume behind the hot key
+    from hivekudu_handler_spark.tables import load_table
+
+    # every lineitem row survives the inner join (orders is the full
+    # key universe), so the expected count is the fixture's row count —
+    # not a literal coupled to one generation of the sf0.01 parquet
+    expected = load_table(spark, sf, "lineitem").count()
     with tuned_confs(spark, tuned):
         df = skew_join_raw(spark, sf, mappers=16)
         rows = df.collect()  # AQE finalizes the plan only on execution
-        assert len(rows) == 60000
+        assert len(rows) == expected
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan
         assert "AQEShuffleRead" in plan and "skewed" in plan, plan

@@ -371,6 +371,51 @@ def dml_sql_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_into",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a2'), (2, 'b'), (4, 'd')) "
+        "AS t(id, name)"
+    ),
+    tags=("ddl", "sink"),
+)
+def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through SQL text — the ANSI/Hive-ACID spelling of the
+    reference's declared upsert goal (``doc/DesignDocument.md:9``, TODO
+    ``HiveKuduTableOutputFormat.java:175-176``), completing the DML SQL
+    surface next to ``dml_sql_update_delete`` and the Kudu dialect's
+    ``UPSERT INTO``.  One statement exercises all three clause kinds
+    against (1,'a'),(2,'b'),(3,'c'): the source row ('x',3) deletes id 3,
+    (1,'a2') updates id 1, (4,'d') inserts — leaving
+    (1,'a2'),(2,'b'),(4,'d').  All three outcomes land in ONE
+    bucket-scoped upsert commit (version history length pinned in
+    ``tests/test_table_layer.py``); cardinality violation, key-column
+    SET rejection, and keyless INSERT rejection are pytest-pinned."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE test_drop (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO test_drop VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        execute(
+            store,
+            "MERGE INTO test_drop AS t "
+            "USING (SELECT * FROM VALUES (1, 'a2'), (3, 'x'), (4, 'd') "
+            "       AS v(id, name)) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND s.name = 'x' THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET name = s.name "
+            "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)",
+        )
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "sink_insert_overwrite",
     oracle=(
         "SELECT * FROM (VALUES (7, 'x'), (8, 'y')) AS t(id, name)"
@@ -602,7 +647,14 @@ def join_dpp_phases(spark: SparkSession, sf_dir: str):
     the already-partitioned layout."""
     _SCRATCH_ROOT.mkdir(exist_ok=True)
     d = Path(tempfile.mkdtemp(prefix="dppph_", dir=_SCRATCH_ROOT))
-    fact, dim = dpp_fact_and_dim(spark, sf_dir, str(d / "events_by_type"))
+    # setup (partitioned write + count) runs BEFORE the caller receives
+    # the cleanup closure — if it raises, reclaim the scratch dir here,
+    # mirroring join_dpp's try/finally (r16 advice fix)
+    try:
+        fact, dim = dpp_fact_and_dim(spark, sf_dir, str(d / "events_by_type"))
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
 
     def operate() -> DataFrame:
         return fact.join(dim, "event_type").groupBy("event_type").agg(

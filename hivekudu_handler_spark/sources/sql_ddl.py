@@ -53,6 +53,11 @@ test exercises (``README.md:14-218``) and routing them to the store:
   keyed upsert/delete.  Key columns may not be SET (the storage model's
   primary key is immutable, as in Kudu); predicates and SET expressions
   are parsed by Spark's own expression parser.
+* ``MERGE INTO target USING source ON cond WHEN [NOT] MATCHED [AND c]
+  THEN UPDATE SET ... | DELETE | INSERT ...`` — the ANSI/Hive-ACID
+  spelling of the same declared upsert goal: first-true-claims clause
+  order, cardinality-violation detection, one bucket-scoped
+  ``store.upsert(batch, delete_keys=...)`` commit (see :func:`_merge`).
 
 Rejections mirror the reference byte-for-byte in spirit:
 
@@ -72,7 +77,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreError
@@ -282,6 +287,8 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         return None
     if verb == "UPDATE":
         return _update(store, stmt)
+    if verb == "MERGE":
+        return _merge(store, stmt)
     if verb == "ALTER":
         # ALTER MATERIALIZED VIEW mv REBUILD — Hive's refresh verb,
         # implemented as the INCREMENTAL merge (manifest-diff deltas),
@@ -527,6 +534,279 @@ def _update(store: TableStore, stmt: str) -> None:
     )
     # keyed upsert: only the buckets holding matched rows are rewritten
     store.upsert(name, rows)
+
+
+_MERGE_HEAD_RE = re.compile(
+    r"^MERGE\s+INTO\s+(?P<target>[A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)[A-Za-z_]\w*))?"
+    r"\s+USING\s+",
+    re.IGNORECASE,
+)
+_MERGE_ALIAS_RE = re.compile(
+    r"^\s*(?:AS\s+)?(?P<alias>(?!ON\b)[A-Za-z_]\w*)"
+    r"(?:\s*\((?P<cols>[A-Za-z_][\w\s,]*)\))?",
+    re.IGNORECASE,
+)
+_MATCHED_CLAUSE_RE = re.compile(
+    r"^(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_ACTION_RE = re.compile(
+    r"^INSERT\s+(?:\*|(?:\((?P<cols>[^)]*)\)\s+)?VALUES\s*(?P<vals>\(.+\)))$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_keyword(text: str, pattern: str) -> list[str]:
+    """Split ``text`` on regex ``pattern`` at paren depth 0, outside
+    single-quoted strings, case-insensitively.  Segment 0 is the text
+    before the first occurrence."""
+    pat = re.compile(pattern, re.IGNORECASE)
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    last = 0
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(text, i)
+            if m:
+                parts.append(text[last:i])
+                last = m.end()
+                i = m.end()
+                continue
+        i += 1
+    parts.append(text[last:])
+    return parts
+
+
+def _merge(store: TableStore, stmt: str) -> None:
+    """``MERGE INTO`` — the ANSI/Hive-ACID spelling of the reference's
+    declared upsert goal (``doc/DesignDocument.md:9``; TODO
+    ``HiveKuduTableOutputFormat.java:175-176``), next to the Kudu
+    dialect's ``UPSERT INTO`` verb above:
+
+        MERGE INTO target [AS t] USING (query)|table [AS s [(cols)]]
+        ON <cond>
+        [WHEN MATCHED [AND c] THEN UPDATE SET col = expr[, ...]]...
+        [WHEN MATCHED [AND c] THEN DELETE]...
+        [WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (exprs)
+                                            | INSERT *]...
+
+    Semantics (ANSI): WHEN clauses are evaluated in statement order and
+    the FIRST clause whose condition holds claims the row; a target row
+    matching more than one source row is a cardinality violation and
+    raises.  Execution is fully relational and single-commit: matched
+    rows come from one target⋈source join, each UPDATE clause projects
+    its SET expressions against the pre-update row (both aliases in
+    scope), DELETE clauses contribute key frames, NOT MATCHED clauses
+    project inserts from the source side of an anti-join — and the whole
+    outcome lands through ONE ``store.upsert(batch,
+    delete_keys=...)``, so only the buckets the merge touches are
+    rewritten and the version history gains ONE commit.  Key columns
+    may not be SET (primary key immutable, as in Kudu); an INSERT that
+    omits a key column is rejected.  The ON condition is normally key
+    equality; a non-key ON is accepted, but inserted rows whose key
+    collides with an existing (unmatched) row follow the store's PK
+    semantics and replace it."""
+    head = _MERGE_HEAD_RE.match(stmt)
+    if not head:
+        raise SqlDdlError(f"cannot parse MERGE statement: {stmt!r}")
+    target = head.group("target")
+    talias = head.group("talias") or target
+    rest = stmt[head.end():].lstrip()
+
+    # source: (subquery) or a store table/view name
+    if rest.startswith("("):
+        inner, after = _match_paren_block(rest, 0)
+        store.register_views()
+        src = store.spark.sql(inner)
+        salias_required = True
+        rest = rest[after:]
+    else:
+        m = re.match(r"^(?P<name>[A-Za-z_]\w*)", rest)
+        if not m:
+            raise SqlDdlError(f"cannot parse MERGE source: {stmt!r}")
+        src = store.scan(m.group("name"))
+        salias_required = False
+        salias = m.group("name")
+        rest = rest[m.end():]
+    am = _MERGE_ALIAS_RE.match(rest)
+    if am:
+        salias = am.group("alias")
+        if am.group("cols"):
+            src = src.toDF(*[c.strip() for c in am.group("cols").split(",")])
+        rest = rest[am.end():]
+    elif salias_required:
+        raise SqlDdlError("MERGE subquery source requires an alias")
+
+    m = re.match(r"^\s*ON\s+", rest, re.IGNORECASE)
+    if not m:
+        raise SqlDdlError(f"cannot parse MERGE ON condition: {stmt!r}")
+    # split only on WHEN followed by [NOT] MATCHED, so a CASE WHEN
+    # inside the ON condition or a SET expression never breaks a clause
+    segments = _split_keyword(
+        rest[m.end():], r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)"
+    )
+    on_cond = segments[0].strip()
+    if not on_cond or len(segments) < 2:
+        raise SqlDdlError(
+            "MERGE requires an ON condition and at least one WHEN clause"
+        )
+
+    meta = store.table_meta(target)
+    types = {f.name: f.dataType for f in meta.schema.fields}
+    tcols = [f.name for f in meta.schema.fields]
+    tgt = store.scan(target)
+    cond = F.expr(on_cond)
+    matched = tgt.alias(talias).join(src.alias(salias), cond, "inner")
+    unmatched = src.alias(salias).join(tgt.alias(talias), cond, "left_anti")
+
+    def tcol(c: str) -> Column:
+        return F.col(f"{talias}.{c}")
+
+    batches: list[DataFrame] = []
+    delete_frames: list[DataFrame] = []
+    # first-true-claims chains, tracked separately per side; a NULL
+    # clause condition means "not satisfied" (the delete_where coalesce
+    # idiom), never "poison every later clause"
+    prior = {"matched": F.lit(False), "not": F.lit(False)}
+    saw_any = False
+    for seg in segments[1:]:
+        cm = _MATCHED_CLAUSE_RE.match(seg.strip())
+        if not cm:
+            raise SqlDdlError(f"cannot parse MERGE WHEN clause: {seg.strip()!r}")
+        side = "not" if cm.group("not") else "matched"
+        this = (
+            F.coalesce(F.expr(cm.group("cond")), F.lit(False))
+            if cm.group("cond")
+            else F.lit(True)
+        )
+        take = this & ~prior[side]
+        prior[side] = prior[side] | this
+        action = cm.group("action").strip()
+        verb = action.split(None, 1)[0].upper()
+        saw_any = True
+        if side == "matched" and verb == "DELETE":
+            delete_frames.append(
+                matched.filter(take).select(
+                    *[tcol(k).alias(k) for k in meta.key_columns]
+                )
+            )
+        elif side == "matched" and verb == "UPDATE":
+            sm = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action,
+                          re.IGNORECASE | re.DOTALL)
+            if not sm:
+                raise SqlDdlError(f"cannot parse MERGE UPDATE action: {action!r}")
+            assignments: dict[str, str] = {}
+            for part in _split_top(sm.group("sets")):
+                col, eq, expr_text = part.partition("=")
+                col, expr_text = col.strip(), expr_text.strip()
+                # SET targets may be alias-qualified (t.name = ...)
+                col = col.split(".")[-1] if "." in col else col
+                if not eq or not col or not expr_text:
+                    raise SqlDdlError(
+                        f"cannot parse SET assignment: {part.strip()!r}")
+                if col not in types:
+                    raise SqlDdlError(f"unknown column in SET: {col!r}")
+                if col in meta.key_columns:
+                    raise SqlDdlError(
+                        f"key column {col!r} may not be updated (primary "
+                        "key is immutable; DELETE + INSERT to change "
+                        "identity)"
+                    )
+                assignments[col] = expr_text
+            batches.append(
+                matched.filter(take).select(
+                    *[
+                        F.expr(assignments[c]).cast(types[c]).alias(c)
+                        if c in assignments
+                        else tcol(c).alias(c)
+                        for c in tcols
+                    ]
+                )
+            )
+        elif side == "not" and verb == "INSERT":
+            im = _INSERT_ACTION_RE.match(action)
+            if not im:
+                raise SqlDdlError(f"cannot parse MERGE INSERT action: {action!r}")
+            rows = unmatched.filter(take)
+            if im.group("vals") is None:  # INSERT * — source cols by name
+                projected = rows.select(
+                    *[F.col(c).cast(types[c]).alias(c) for c in tcols]
+                )
+            else:
+                cols = (
+                    [c.strip() for c in im.group("cols").split(",")]
+                    if im.group("cols")
+                    else list(tcols)
+                )
+                exprs = _split_top(im.group("vals").strip()[1:-1])
+                if len(cols) != len(exprs):
+                    raise SqlDdlError(
+                        "MERGE INSERT column/value count mismatch: "
+                        f"{len(cols)} columns, {len(exprs)} values"
+                    )
+                mapping = {c: e.strip() for c, e in zip(cols, exprs)}
+                for c in mapping:
+                    if c not in types:
+                        raise SqlDdlError(f"unknown column in INSERT: {c!r}")
+                missing_keys = [k for k in meta.key_columns if k not in mapping]
+                if missing_keys:
+                    raise SqlDdlError(
+                        f"MERGE INSERT must provide key column(s) {missing_keys}"
+                    )
+                projected = rows.select(
+                    *[
+                        F.expr(mapping[c]).cast(types[c]).alias(c)
+                        if c in mapping
+                        else F.lit(None).cast(types[c]).alias(c)
+                        for c in tcols
+                    ]
+                )
+            batches.append(projected)
+        else:
+            raise SqlDdlError(
+                f"unsupported MERGE action for WHEN {'NOT ' if side == 'not' else ''}"
+                f"MATCHED: {action!r}"
+            )
+    if not saw_any:
+        raise SqlDdlError("MERGE requires at least one WHEN clause")
+
+    # ANSI cardinality rule: a target row may match at most one source
+    # row.  The probe aggregates matched rows by target key — cost ∝ the
+    # matched set, result bounded to one row.
+    dup = (
+        matched.groupBy(*[tcol(k).alias(k) for k in meta.key_columns])
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    if dup.limit(1).count():
+        raise SqlDdlError(
+            "MERGE cardinality violation: a target row matched more than "
+            "one source row"
+        )
+
+    batch: DataFrame | None = None
+    for b in batches:
+        batch = b if batch is None else batch.unionByName(b)
+    if batch is None:
+        batch = store.spark.createDataFrame([], meta.schema)
+    dk: DataFrame | None = None
+    for d in delete_frames:
+        dk = d if dk is None else dk.unionByName(d)
+    store.upsert(target, batch, delete_keys=dk)
 
 
 _ALTER_RE = re.compile(

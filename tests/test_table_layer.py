@@ -914,6 +914,140 @@ def test_sql_dml_rejections(spark, store):
     assert [(r.id, r.name) for r in store.scan("t").collect()] == [(1, "a")]
 
 
+# ---- MERGE INTO (ANSI spelling of the declared upsert goal) ---------------
+
+def _merge_fixture(store):
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    return execute
+
+
+def test_sql_merge_all_three_clauses_one_commit(spark, store):
+    """DELETE + UPDATE + INSERT clauses in one MERGE land as ONE version
+    commit (the upsert's delete_keys fold), and the post-state matches
+    ANSI semantics."""
+    execute = _merge_fixture(store)
+    v_before = store.current_version("t")
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (1,'a2'),(3,'x'),(4,'d') "
+        "AS v(id, name)) AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.name = 'x' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a2"), (2, "b"), (4, "d")]
+    assert store.current_version("t") == v_before + 1
+
+
+def test_sql_merge_first_true_clause_claims_row(spark, store):
+    """ANSI clause order: the FIRST matched clause whose condition holds
+    claims the row — id 1 satisfies both conditions and must take the
+    first clause's value, not the second's; a NULL condition counts as
+    not-satisfied, never poisoning later clauses."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES "
+        "(1, 'z', 1), (2, 'y', NULL) AS v(id, name, flag)) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND s.flag = 1 THEN UPDATE SET name = 'first' "
+        "WHEN MATCHED THEN UPDATE SET name = 'second'",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    # id 2's flag is NULL → first clause not satisfied → second applies
+    assert rows == [(1, "first"), (2, "second"), (3, "c")]
+
+
+def test_sql_merge_update_set_sees_both_aliases_and_pre_update_row(
+    spark, store
+):
+    """SET expressions evaluate with both aliases in scope against the
+    PRE-update target row, and a table (non-subquery) source works."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE t (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    execute(
+        store,
+        "CREATE TABLE src (id int, sfx string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO src VALUES (1, '!'), (9, '?')")
+    execute(
+        store,
+        "MERGE INTO t USING src ON t.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET name = concat(t.name, src.sfx)",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a!"), (2, "b")]
+
+
+def test_sql_merge_insert_star_and_case_when_in_set(spark, store):
+    """INSERT * projects source columns by name; a CASE WHEN inside a SET
+    expression must not be misparsed as a WHEN clause boundary."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (2,'bb'),(7,'g') "
+        "AS v(id, name)) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = "
+        "CASE WHEN s.name = 'bb' THEN upper(s.name) ELSE s.name END "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "BB"), (3, "c"), (7, "g")]
+
+
+def test_sql_merge_rejections(spark, store):
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
+
+    execute = _merge_fixture(store)
+    src = "(SELECT * FROM VALUES (1,'x') AS v(id, name)) AS s"
+    with pytest.raises(SqlDdlError, match="immutable"):
+        execute(
+            store,
+            f"MERGE INTO t USING {src} ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = 9",
+        )
+    with pytest.raises(SqlDdlError, match="key column"):
+        execute(
+            store,
+            f"MERGE INTO t USING {src} ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (name) VALUES (s.name)",
+        )
+    with pytest.raises(SqlDdlError, match="alias"):
+        execute(
+            store,
+            "MERGE INTO t USING (SELECT * FROM VALUES (1,'x') AS v(id, name)) "
+            "ON t.id = id WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(SqlDdlError, match="WHEN clause"):
+        execute(store, f"MERGE INTO t USING {src} ON t.id = s.id")
+    # duplicate source keys matching one target row → ANSI cardinality
+    with pytest.raises(SqlDdlError, match="cardinality"):
+        execute(
+            store,
+            "MERGE INTO t USING (SELECT * FROM VALUES (1,'x'),(1,'y') "
+            "AS v(id, name)) AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET name = s.name",
+        )
+    # nothing was mutated by the rejected statements
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
 # ---- ALTER TABLE (Kudu AlterTableRequest parity) --------------------------
 
 def test_alter_add_column_backfills_null(spark, store):

@@ -1352,7 +1352,11 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components_star(edges: DataFrame, max_rounds: int = 16) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame,
+    max_rounds: int = 16,
+    trace: list | None = None,
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction — the O(log d)-round path for deep graphs, vs the
     diameter-round min-label propagation in ``dedup_cluster``.
@@ -1427,9 +1431,14 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 16) -> DataFra
         .localCheckpoint(eager=True)
     )
     prev_sig = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         cur = _small_star(_large_star(_sym(cur))).localCheckpoint(eager=True)
         sig = _checksum(cur)
+        if trace is not None:
+            # per-round telemetry rides the checksum the loop pays anyway:
+            # the post-round edge count IS the next round's shuffle row
+            # volume (the scale claim SCALE.md's contraction table pins)
+            trace.append({"round": rnd + 1, "edges": int(sig[1])})
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -1449,6 +1458,71 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 16) -> DataFra
     out = labels.localCheckpoint(eager=True)
     nodes.unpersist()
     return out
+
+
+def cluster_scale_smoke(
+    spark: SparkSession, n_nodes: int, shape: str = "path", max_rounds: int = 64
+) -> dict:
+    """Measured scale evidence for the star-contraction clustering path
+    (the r15 verdict's one unmeasured scale claim), mirroring the IVF
+    probe-selectivity precedent: build a synthetic graph of ``n_nodes``
+    entirely from ``spark.range`` (no driver materialization), run
+    :func:`connected_components_star` with per-round telemetry, and
+    verify every label distributedly.
+
+    Shapes:
+
+    * ``path`` — one chain 0-1-...-n: DIAMETER = n, the adversarial
+      case where min-label propagation needs n rounds; the contraction
+      claim is rounds ~ O(log n).
+    * ``cliques`` — n/5 disjoint 5-cliques: the shape real near-dup
+      graphs take (small duplicate groups); rounds should be CONSTANT
+      in corpus size, per-round edge volume linear in it.
+
+    Returns ``{shape, n_nodes, init_edges, rounds, max_round_edges,
+    wrong_labels, trace}`` — ``trace`` is the post-round edge count per
+    round (the next round's shuffle row volume; bytes = rows × 16 for
+    two bigints).  ``wrong_labels`` is an aggregate, never a collect:
+    on a path every keeper must be 0; in a clique, the group minimum."""
+    import time
+
+    if shape == "path":
+        edges = (
+            spark.range(n_nodes - 1)
+            .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+        )
+        expected_keeper = F.lit(0).cast("long")
+    elif shape == "cliques":
+        # members 5g..5g+4, all 10 intra-clique pairs via a self-join on
+        # the group id — still pure spark.range
+        m = spark.range(n_nodes).select(
+            (F.col("id") / 5).cast("long").alias("g"), F.col("id").alias("n")
+        )
+        edges = (
+            m.alias("a")
+            .join(m.alias("b"), "g")
+            .filter(F.col("a.n") < F.col("b.n"))
+            .select(F.col("a.n").alias("u"), F.col("b.n").alias("v"))
+        )
+        expected_keeper = (F.col("doc_id") / 5).cast("long") * 5
+    else:
+        raise ValueError(f"unknown smoke shape: {shape!r}")
+    init_edges = edges.count()
+    trace: list = []
+    t0 = time.monotonic()
+    labels = connected_components_star(edges, max_rounds=max_rounds, trace=trace)
+    wall = time.monotonic() - t0
+    wrong = labels.filter(F.col("keeper_doc_id") != expected_keeper).count()
+    return {
+        "shape": shape,
+        "n_nodes": n_nodes,
+        "init_edges": init_edges,
+        "rounds": len(trace),
+        "max_round_edges": max((t["edges"] for t in trace), default=0),
+        "wrong_labels": wrong,
+        "wall_sec": round(wall, 2),
+        "trace": [t["edges"] for t in trace],
+    }
 
 
 @query(

@@ -53,11 +53,13 @@ test exercises (``README.md:14-218``) and routing them to the store:
   keyed upsert/delete.  Key columns may not be SET (the storage model's
   primary key is immutable, as in Kudu); predicates and SET expressions
   are parsed by Spark's own expression parser.
-* ``MERGE INTO target USING source ON cond WHEN [NOT] MATCHED [AND c]
-  THEN UPDATE SET ... | DELETE | INSERT ...`` — the ANSI/Hive-ACID
-  spelling of the same declared upsert goal: first-true-claims clause
-  order, cardinality-violation detection, one bucket-scoped
-  ``store.upsert(batch, delete_keys=...)`` commit (see :func:`_merge`).
+* ``MERGE INTO target USING source ON cond WHEN [NOT] MATCHED
+  [BY SOURCE|TARGET] [AND c] THEN UPDATE SET ... | DELETE |
+  INSERT ...`` — the ANSI/Hive-ACID spelling of the same declared
+  upsert goal, including ANSI-2023 ``NOT MATCHED BY SOURCE``:
+  first-true-claims clause order, cardinality-violation detection, one
+  bucket-scoped ``store.upsert(batch, delete_keys=...)`` commit
+  (see :func:`_merge`).
 
 Rejections mirror the reference byte-for-byte in spirit:
 
@@ -548,7 +550,9 @@ _MERGE_ALIAS_RE = re.compile(
     re.IGNORECASE,
 )
 _MATCHED_CLAUSE_RE = re.compile(
-    r"^(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"^(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -601,8 +605,10 @@ def _merge(store: TableStore, stmt: str) -> None:
         ON <cond>
         [WHEN MATCHED [AND c] THEN UPDATE SET col = expr[, ...]]...
         [WHEN MATCHED [AND c] THEN DELETE]...
-        [WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (exprs)
-                                            | INSERT *]...
+        [WHEN NOT MATCHED [BY TARGET] [AND c] THEN
+             INSERT [(cols)] VALUES (exprs) | INSERT *]...
+        [WHEN NOT MATCHED BY SOURCE [AND c] THEN
+             UPDATE SET col = expr[, ...] | DELETE]...
 
     Semantics (ANSI): WHEN clauses are evaluated in statement order and
     the FIRST clause whose condition holds claims the row; a target row
@@ -638,9 +644,14 @@ def _merge(store: TableStore, stmt: str) -> None:
         m = re.match(r"^(?P<name>[A-Za-z_]\w*)", rest)
         if not m:
             raise SqlDdlError(f"cannot parse MERGE source: {stmt!r}")
-        src = store.scan(m.group("name"))
+        src_name = m.group("name")
+        src = (
+            store.view_df(src_name)
+            if store._norm_name(src_name) in store.list_views()
+            else store.scan(src_name)
+        )
         salias_required = False
-        salias = m.group("name")
+        salias = src_name
         rest = rest[m.end():]
     am = _MERGE_ALIAS_RE.match(rest)
     if am:
@@ -676,18 +687,68 @@ def _merge(store: TableStore, stmt: str) -> None:
     def tcol(c: str) -> Column:
         return F.col(f"{talias}.{c}")
 
+    def _parse_sets(action: str) -> dict[str, str]:
+        sm = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action,
+                      re.IGNORECASE | re.DOTALL)
+        if not sm:
+            raise SqlDdlError(f"cannot parse MERGE UPDATE action: {action!r}")
+        assignments: dict[str, str] = {}
+        for part in _split_top(sm.group("sets")):
+            col, eq, expr_text = part.partition("=")
+            col, expr_text = col.strip(), expr_text.strip()
+            # SET targets may be alias-qualified (t.name = ...)
+            col = col.split(".")[-1] if "." in col else col
+            if not eq or not col or not expr_text:
+                raise SqlDdlError(
+                    f"cannot parse SET assignment: {part.strip()!r}")
+            if col not in types:
+                raise SqlDdlError(f"unknown column in SET: {col!r}")
+            if col in meta.key_columns:
+                raise SqlDdlError(
+                    f"key column {col!r} may not be updated (primary "
+                    "key is immutable; DELETE + INSERT to change "
+                    "identity)"
+                )
+            assignments[col] = expr_text
+        return assignments
+
+    def _apply_sets(rows: DataFrame, assignments: dict[str, str]) -> DataFrame:
+        return rows.select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else tcol(c).alias(c)
+                for c in tcols
+            ]
+        )
+
+    # NOT MATCHED BY SOURCE (ANSI 2023): target rows with no source
+    # match — built lazily since most statements never use it
+    unmatched_tgt = tgt.alias(talias).join(src.alias(salias), cond, "left_anti")
+
     batches: list[DataFrame] = []
     delete_frames: list[DataFrame] = []
     # first-true-claims chains, tracked separately per side; a NULL
     # clause condition means "not satisfied" (the delete_where coalesce
     # idiom), never "poison every later clause"
-    prior = {"matched": F.lit(False), "not": F.lit(False)}
+    prior = {
+        "matched": F.lit(False),
+        "not_target": F.lit(False),
+        "not_source": F.lit(False),
+    }
     saw_any = False
     for seg in segments[1:]:
         cm = _MATCHED_CLAUSE_RE.match(seg.strip())
         if not cm:
             raise SqlDdlError(f"cannot parse MERGE WHEN clause: {seg.strip()!r}")
-        side = "not" if cm.group("not") else "matched"
+        by = (cm.group("by") or "").upper()
+        if cm.group("not"):
+            side = "not_source" if by == "SOURCE" else "not_target"
+        elif by:
+            raise SqlDdlError(
+                f"BY {by} is only valid after WHEN NOT MATCHED")
+        else:
+            side = "matched"
         this = (
             F.coalesce(F.expr(cm.group("cond")), F.lit(False))
             if cm.group("cond")
@@ -698,46 +759,20 @@ def _merge(store: TableStore, stmt: str) -> None:
         action = cm.group("action").strip()
         verb = action.split(None, 1)[0].upper()
         saw_any = True
-        if side == "matched" and verb == "DELETE":
+        if side in ("matched", "not_source") and verb == "DELETE":
+            rows = matched if side == "matched" else unmatched_tgt
             delete_frames.append(
-                matched.filter(take).select(
+                rows.filter(take).select(
                     *[tcol(k).alias(k) for k in meta.key_columns]
                 )
             )
-        elif side == "matched" and verb == "UPDATE":
-            sm = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action,
-                          re.IGNORECASE | re.DOTALL)
-            if not sm:
-                raise SqlDdlError(f"cannot parse MERGE UPDATE action: {action!r}")
-            assignments: dict[str, str] = {}
-            for part in _split_top(sm.group("sets")):
-                col, eq, expr_text = part.partition("=")
-                col, expr_text = col.strip(), expr_text.strip()
-                # SET targets may be alias-qualified (t.name = ...)
-                col = col.split(".")[-1] if "." in col else col
-                if not eq or not col or not expr_text:
-                    raise SqlDdlError(
-                        f"cannot parse SET assignment: {part.strip()!r}")
-                if col not in types:
-                    raise SqlDdlError(f"unknown column in SET: {col!r}")
-                if col in meta.key_columns:
-                    raise SqlDdlError(
-                        f"key column {col!r} may not be updated (primary "
-                        "key is immutable; DELETE + INSERT to change "
-                        "identity)"
-                    )
-                assignments[col] = expr_text
-            batches.append(
-                matched.filter(take).select(
-                    *[
-                        F.expr(assignments[c]).cast(types[c]).alias(c)
-                        if c in assignments
-                        else tcol(c).alias(c)
-                        for c in tcols
-                    ]
-                )
-            )
-        elif side == "not" and verb == "INSERT":
+        elif side in ("matched", "not_source") and verb == "UPDATE":
+            # BY SOURCE SET expressions see only the target alias (no
+            # source row exists); Spark's analyzer rejects a stray
+            # source reference naturally since the anti-join dropped it
+            rows = matched if side == "matched" else unmatched_tgt
+            batches.append(_apply_sets(rows.filter(take), _parse_sets(action)))
+        elif side == "not_target" and verb == "INSERT":
             im = _INSERT_ACTION_RE.match(action)
             if not im:
                 raise SqlDdlError(f"cannot parse MERGE INSERT action: {action!r}")
@@ -777,9 +812,13 @@ def _merge(store: TableStore, stmt: str) -> None:
                 )
             batches.append(projected)
         else:
+            clause = {
+                "matched": "MATCHED",
+                "not_target": "NOT MATCHED",
+                "not_source": "NOT MATCHED BY SOURCE",
+            }[side]
             raise SqlDdlError(
-                f"unsupported MERGE action for WHEN {'NOT ' if side == 'not' else ''}"
-                f"MATCHED: {action!r}"
+                f"unsupported MERGE action for WHEN {clause}: {action!r}"
             )
     if not saw_any:
         raise SqlDdlError("MERGE requires at least one WHEN clause")

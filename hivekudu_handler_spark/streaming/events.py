@@ -576,9 +576,17 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, value double",
             ["user_id"],
         )
+        # 2 micro-batches, not 4 (r16 bench hygiene, r15 verdict item 6):
+        # multi-batch LWW convergence is what the key demonstrates and 2
+        # batches demonstrate it identically (order-independence is
+        # separately pinned in test_streaming.py with its own file
+        # counts); each availableNow micro-batch costs ~1.4 s of FIXED
+        # streaming-engine latency that is not data work, so the bench
+        # wall should not pay it four times
         run_upsert_sink(
             spark, ev, store, "user_state",
             checkpoint_dir=str(d / "ckpt"), stage_dir=str(d / "stage"),
+            n_files=2,
         )
         return _materialize(spark, store.scan("user_state").orderBy("user_id"))
     finally:
@@ -609,7 +617,11 @@ def stream_upsert_sink_phases(spark: SparkSession, sf_dir: str):
             "event_type string, value double",
             ["user_id"],
         )
-        stage_stream_files(ev, str(d / "stage"))
+        # 2 files → 2 micro-batches, matching the registered key (r16
+        # bench hygiene): the operate() wall then measures two LWW merge
+        # batches of data work plus two — not four — fixed ~1.4 s
+        # availableNow engine latencies
+        stage_stream_files(ev, str(d / "stage"), n_files=2)
     except BaseException:
         # cleanup() is only handed out on success — reap the half-built
         # scaffold here or the scratch dir leaks (r9 ADVICE)

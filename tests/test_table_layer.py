@@ -1010,6 +1010,53 @@ def test_sql_merge_insert_star_and_case_when_in_set(spark, store):
     assert rows == [(1, "a"), (2, "BB"), (3, "c"), (7, "g")]
 
 
+def test_sql_merge_not_matched_by_source(spark, store):
+    """ANSI-2023 BY SOURCE clauses act on target rows with no source
+    match: full-sync semantics — source rows update/insert, absent rows
+    are flagged then deleted, all in ONE version commit."""
+    execute = _merge_fixture(store)
+    v_before = store.current_version("t")
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (1,'a2'),(9,'i') "
+        "AS v(id, name)) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.id = 2 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'orphan'",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    # 1 updated from source, 2 deleted (by-source cond), 3 flagged
+    # orphan (by-source fallthrough), 9 inserted
+    assert rows == [(1, "a2"), (3, "orphan"), (9, "i")]
+    assert store.current_version("t") == v_before + 1
+
+
+def test_sql_merge_view_source(spark, store):
+    """A store VIEW can be the MERGE source: the stored SELECT expands
+    lazily against current base data."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "CREATE TABLE raw (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    execute(store, "INSERT INTO raw VALUES (1, 'A1'), (8, 'H8'), (9, 'zz')")
+    execute(
+        store,
+        "CREATE VIEW fresh AS SELECT id, lower(name) AS name FROM raw "
+        "WHERE name != 'zz'",
+    )
+    execute(
+        store,
+        "MERGE INTO t USING fresh ON t.id = fresh.id "
+        "WHEN MATCHED THEN UPDATE SET name = fresh.name "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a1"), (2, "b"), (3, "c"), (8, "h8")]
+
+
 def test_sql_merge_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
 
@@ -1035,6 +1082,19 @@ def test_sql_merge_rejections(spark, store):
         )
     with pytest.raises(SqlDdlError, match="WHEN clause"):
         execute(store, f"MERGE INTO t USING {src} ON t.id = s.id")
+    with pytest.raises(SqlDdlError, match="only valid after"):
+        execute(
+            store,
+            f"MERGE INTO t USING {src} ON t.id = s.id "
+            "WHEN MATCHED BY SOURCE THEN DELETE",
+        )
+    with pytest.raises(SqlDdlError, match="unsupported MERGE action"):
+        execute(
+            store,
+            f"MERGE INTO t USING {src} ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT (id, name) "
+            "VALUES (1, 'x')",
+        )
     # duplicate source keys matching one target row → ANSI cardinality
     with pytest.raises(SqlDdlError, match="cardinality"):
         execute(

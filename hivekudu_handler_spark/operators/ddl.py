@@ -416,6 +416,47 @@ def sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_full_sync",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a2'), (4, 'd')) AS t(id, name)"
+    ),
+    tags=("ddl", "sink"),
+)
+def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's full-sync shape (ANSI 2023 ``WHEN NOT MATCHED BY
+    SOURCE``): make the target exactly mirror the source in one
+    statement — matched rows update, new source rows insert, target
+    rows ABSENT from the source delete.  The CDC-snapshot-apply pattern
+    a keyed store exists for (the reference's Kudu positioning,
+    ``doc/DesignDocument.md:4-9``), still ONE bucket-scoped commit.
+    From (1,'a'),(2,'b'),(3,'c') and source (1,'a2'),(4,'d'):
+    (1,'a2'),(4,'d')."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE test_drop (id int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO test_drop VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        execute(
+            store,
+            "MERGE INTO test_drop AS t "
+            "USING (SELECT * FROM VALUES (1, 'a2'), (4, 'd') "
+            "       AS v(id, name)) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET name = s.name "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+        return _materialize(spark, store.scan("test_drop"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "sink_insert_overwrite",
     oracle=(
         "SELECT * FROM (VALUES (7, 'x'), (8, 'y')) AS t(id, name)"

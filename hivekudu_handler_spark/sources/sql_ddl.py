@@ -681,6 +681,17 @@ def _merge(store: TableStore, stmt: str) -> None:
     tcols = [f.name for f in meta.schema.fields]
     tgt = store.scan(target)
     cond = F.expr(on_cond)
+    # The matched join is consumed by the cardinality probe and by each
+    # MATCHED clause frame inside the final upsert.  It is deliberately
+    # NOT checkpointed/cached: localCheckpoint flattens the plan to a
+    # LogicalRDD, which drops the subquery aliases every clause
+    # expression (t.c / s.c) resolves against and leaves duplicate bare
+    # column names from the two sides; and a persist() here could never
+    # be unpersisted by the caller (the r7 CacheManager-pinning advice).
+    # Re-planning the join per consumer is the right trade for batch
+    # DML: the probe is one extra scan-sized action, and within the
+    # single upsert action all clause frames share one plan where
+    # Spark's ReusedExchange already folds the identical join shuffles.
     matched = tgt.alias(talias).join(src.alias(salias), cond, "inner")
     unmatched = src.alias(salias).join(tgt.alias(talias), cond, "left_anti")
 

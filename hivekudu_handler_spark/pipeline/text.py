@@ -270,6 +270,130 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# winnowing parameters: k-gram width over normalized chars, hash-window
+# width.  Guarantee (Schleimer et al., SIGMOD'03): any match of length
+# >= K + W - 1 chars between two documents shares at least one selected
+# fingerprint — the property that makes a fingerprint equi-join a
+# complete candidate generator for long-enough overlaps.
+_WINNOW_K = 8
+_WINNOW_W = 4
+# rightmost-min tie-break: among equal hashes in a window the LARGEST
+# position wins, encoded as a fixed-width complement so lexicographic
+# min == (min hash, max pos).  9 digits bounds positions at 10^8 chars
+# per document — far beyond any training document.
+_WINNOW_POS_C = 100_000_000
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=(
+        "WITH d AS ("
+        f"  SELECT doc_id, {_NORM_SQL} AS norm, "
+        f"         length({_NORM_SQL}) - {_WINNOW_K} + 1 AS n_pos "
+        "  FROM documents), "
+        "keyed AS ("
+        "  SELECT doc_id, n_pos, pos, "
+        f"         md5(substr(norm, pos, {_WINNOW_K})) || "
+        f"         lpad(CAST({_WINNOW_POS_C} - pos AS VARCHAR), 9, '0') AS key "
+        "  FROM (SELECT doc_id, norm, n_pos, "
+        "               unnest(generate_series(1, n_pos)) AS pos FROM d)), "
+        "wm AS ("
+        "  SELECT doc_id, pos AS win_start, n_pos, "
+        "         min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING"
+        "         ) AS sel "
+        "  FROM keyed) "
+        "SELECT DISTINCT doc_id, "
+        f"       {_WINNOW_POS_C} - CAST(substr(sel, 33, 9) AS INT) AS fp_pos, "
+        "       substr(sel, 1, 32) AS fp_hash "
+        f"FROM wm WHERE win_start <= n_pos - {_WINNOW_W} + 1"
+    ),
+    tags=("text", "dedup"),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): hash
+    every K-char gram of the normalized text, slide a W-hash window,
+    select each window's minimum (rightmost on ties) — the standard
+    local fingerprinting scheme for corpus-scale overlap detection,
+    guaranteeing any shared substring of length >= K+W-1 yields a
+    shared fingerprint while keeping density ~2/(W+1).
+
+    Relational form: the sequential rolling-hash (Rabin-Karp) trick is
+    a one-machine optimization; here every position hashes
+    independently inside whole-stage codegen (posexplode of a position
+    sequence -> substring -> md5), the per-window argmin is ONE window
+    min over a (hash, position-complement) fixed-width string key, and
+    dedup of adjacent windows selecting the same fingerprint is a
+    distinct.  ONE shuffle total: the distinct's grouping keys include
+    doc_id, so Catalyst reuses the window's doc_id hash-partitioning
+    for the final aggregate (plan-verified) — at 100 TB the
+    selected set is the ~2/(W+1) density times positions, and the
+    downstream dedup join is an equi-join on fp_hash.  Documents
+    shorter than K+W-1 normalized chars emit no fingerprints (no full
+    window exists), exactly as in the paper.  The match guarantee and
+    density are property-pinned on synthetic docs in
+    ``tests/test_new_surface_r16.py``."""
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Core winnowing over any (doc_id, text) frame — see
+    :func:`text_winnow_fingerprint` for semantics and scale analysis."""
+    d = docs.select("doc_id", normalized().alias("norm"))
+    d = d.withColumn(
+        "n_pos", F.length("norm") - F.lit(_WINNOW_K) + F.lit(1)
+    )
+    # docs too short for even one k-gram emit nothing; the filter also
+    # guards Spark's sequence(), which would yield a DESCENDING [1, 0]
+    # for n_pos <= 0 instead of DuckDB generate_series's empty list
+    keyed = (
+        d.filter(F.col("n_pos") >= 1)
+        .select(
+            "doc_id",
+            "n_pos",
+            F.explode(F.sequence(F.lit(1), F.col("n_pos"))).alias("pos"),
+            "norm",
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            "pos",
+            F.concat(
+                F.md5(F.expr(f"substring(norm, pos, {_WINNOW_K})")),
+                F.lpad(
+                    (F.lit(_WINNOW_POS_C) - F.col("pos")).cast("string"),
+                    9,
+                    "0",
+                ),
+            ).alias("key"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    wm = keyed.select(
+        "doc_id",
+        "n_pos",
+        F.col("pos").alias("win_start"),
+        F.min("key").over(win).alias("sel"),
+    )
+    return (
+        wm.filter(F.col("win_start") <= F.col("n_pos") - _WINNOW_W + 1)
+        .select(
+            "doc_id",
+            (F.lit(_WINNOW_POS_C) - F.substring("sel", 33, 9).cast("int"))
+            .cast("int")
+            .alias("fp_pos"),
+            F.substring("sel", 1, 32).alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
 @query(
     "text_fingerprint",
     oracle=(

@@ -11,6 +11,47 @@ import math
 from hivekudu_handler_spark.pipeline.dedup import cluster_scale_smoke
 
 
+def test_winnowing_guarantee_and_density(spark):
+    """The Schleimer et al. guarantee: two documents sharing a substring
+    of length >= K+W-1 (= 11 normalized chars here) share at least one
+    selected fingerprint (same hash) — while fingerprint density stays
+    near the expected 2/(W+1), far below one-per-position.  Also: a doc
+    shorter than K chars emits nothing, and winnowing is content-only
+    (two docs with identical text select identical (pos, hash) sets)."""
+    from hivekudu_handler_spark.pipeline.text import (
+        _WINNOW_K,
+        _WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"PREFIX ALPHA {shared} SUFFIX ONE"),
+            (2, f"zz 9 totally different opener {shared} closing words"),
+            (3, "no overlap here at all just other content entirely"),
+            (4, "tiny"),  # < K normalized chars -> no fingerprints
+            (5, f"PREFIX ALPHA {shared} SUFFIX ONE"),  # identical to 1
+        ],
+        "doc_id int, text string",
+    )
+    fp = winnow_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    hashes = {d: {h for _, h in s} for d, s in by_doc.items()}
+    assert len(shared) >= _WINNOW_K + _WINNOW_W - 1
+    assert hashes[1] & hashes[2], "shared substring must share a fingerprint"
+    assert not (hashes[1] & hashes.get(3, set()))
+    assert 4 not in by_doc
+    assert by_doc[1] == by_doc[5], "winnowing must be content-deterministic"
+    # density: selected fingerprints per position ~ 2/(W+1), bounded
+    # well under 1 (the whole point vs hashing every gram)
+    n_pos = len("prefix alpha " + shared + " suffix one") - _WINNOW_K + 1
+    assert len(by_doc[1]) <= 0.6 * n_pos
+    assert len(by_doc[1]) >= 2
+
+
 def test_star_contraction_rounds_grow_logarithmically_on_paths(spark):
     """On a path graph (diameter = n, the shape where min-label
     propagation needs n rounds), contraction rounds must grow like

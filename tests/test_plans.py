@@ -220,6 +220,21 @@ def test_approx_distinct_is_sketch_only(spark):
     assert checks.count_shuffles(df) == 1, checks.plan_string(df)
 
 
+def test_winnow_fingerprint_single_shuffle_pruned_scan(spark):
+    """Winnowing's plan shape (r16): the position explode + per-window
+    min + distinct compile to ONE exchange — the distinct's grouping
+    keys include doc_id, so the final aggregate reuses the window's
+    doc_id hash-partitioning — and the parquet scan reads only
+    (doc_id, text) with the short-doc filter pushed to the scan node."""
+    from hivekudu_handler_spark.pipeline.text import text_winnow_fingerprint
+
+    df = text_winnow_fingerprint(spark, SF)
+    assert checks.count_shuffles(df) == 1, checks.plan_string(df)
+    schema = checks.read_schema(df)
+    assert "doc_id" in schema and "text" in schema, schema
+    assert "n_chars" not in schema, schema
+
+
 def test_sketch_mergeable_rollup_is_sketch_only(spark):
     """The PRODUCTION form of the mergeable rollup
     (ndv_sketch_rollup_only) must not pay the exact path anywhere: no

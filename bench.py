@@ -102,6 +102,7 @@ HEADLINE = [
     "join_skew_aqe",        # 87%-hot-key join left to AQE's runtime skew split (r15)
     "join_dpp",             # hive-partitioned fact + runtime dynamicpruning subquery (r15)
     "join_runtime_bloom",   # InjectRuntimeFilter bloom semi-join pushdown (r15)
+    "text_winnow_fingerprint",  # MOSS winnowing: per-position k-gram hash + window-min (r16)
 ]
 
 

@@ -338,7 +338,18 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """Core winnowing over any (doc_id, text) frame — see
-    :func:`text_winnow_fingerprint` for semantics and scale analysis."""
+    :func:`text_winnow_fingerprint` for semantics and scale analysis.
+
+    Exchange placement (measured, r16): a pre-explode
+    ``repartition("doc_id")`` — shuffle tiny doc rows, explode in
+    parallel, window with no further exchange — benched SLOWER here
+    (5.3 s vs 3.7 s warm at sf0.1) than letting the one exchange sit
+    after the explode, because AQE sizes the sort/window stage from the
+    real post-explode map-output bytes while a fixed repartition cannot
+    be rebalanced.  If a production corpus ever arrives as few fat
+    splits where the single-split explode serializes, the pre-explode
+    repartition is the one-line knob to flip — but it is a knob, not
+    the default, per the measurement."""
     d = docs.select("doc_id", normalized().alias("norm"))
     d = d.withColumn(
         "n_pos", F.length("norm") - F.lit(_WINNOW_K) + F.lit(1)

@@ -221,6 +221,103 @@ def ngram_jaccard_pairs(
 
 # -- registered keys --------------------------------------------------------
 
+# winnowing-dedup knobs: fingerprints shared by more than CAP documents
+# are boilerplate and excluded from the index (same bound argument as
+# _cap_hot_shingles: |hot| <= sum(df)/cap, broadcast-anti forever);
+# pairs keep when shared/min(|A|,|B|) >= TAU.
+_WINNOW_DF_CAP = 50
+_WINNOW_TAU = 0.5
+
+
+def _winnow_pairs_oracle() -> str:
+    from hivekudu_handler_spark.pipeline.text import _WINNOW_FP_SQL
+
+    return (
+        f"WITH fp0 AS ({_WINNOW_FP_SQL}), "
+        "fp1 AS (SELECT DISTINCT doc_id, fp_hash FROM fp0), "
+        "hot AS (SELECT fp_hash FROM fp1 GROUP BY fp_hash "
+        f"        HAVING COUNT(*) > {_WINNOW_DF_CAP}), "
+        "fp AS (SELECT * FROM fp1 WHERE fp_hash NOT IN "
+        "       (SELECT fp_hash FROM hot)), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id), "
+        "pairs AS ("
+        "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "         COUNT(*) AS shared_fp "
+        "  FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash "
+        "                     AND a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2) "
+        "SELECT p.doc_a, p.doc_b, p.shared_fp, "
+        "       ROUND(p.shared_fp * 1.0 / LEAST(sa.n, sb.n), 6) AS overlap "
+        "FROM pairs p "
+        "JOIN sizes sa ON sa.doc_id = p.doc_a "
+        "JOIN sizes sb ON sb.doc_id = p.doc_b "
+        f"WHERE p.shared_fp * 1.0 / LEAST(sa.n, sb.n) >= {_WINNOW_TAU}"
+    )
+
+
+@query(
+    "dedup_winnow",
+    oracle=_winnow_pairs_oracle(),
+    tags=("dedup", "text"),
+)
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via shared WINNOWING fingerprints — the standard
+    consumer of :func:`...text.text_winnow_fingerprint`: documents whose
+    selected-fingerprint overlap coefficient (shared / min set size)
+    clears ``_WINNOW_TAU``.  Compared to shingle Jaccard
+    (``dedup_ngram_jaccard``), the index is the winnowed ~2/(W+1)
+    DENSITY SAMPLE of positions rather than every token shingle, so the
+    inverted index is ~3× smaller at identical guarantee strength for
+    overlaps ≥ K+W-1 chars — the scheme MOSS and large-crawl dedup
+    pipelines use.  Plan shape is the inverted-index equi-join
+    (fp_hash), never |docs|²; boilerplate fingerprints above
+    ``_WINNOW_DF_CAP`` docs leave via the broadcast anti join
+    (``_cap_hot_shingles`` bound argument).  Fixture separation is
+    sharp: the 25 true near-dup pairs all score ≈1.0 vs 0.3-grade
+    noise, so τ=0.5 is threshold-robust."""
+    from hivekudu_handler_spark.pipeline.text import winnow_fingerprints
+
+    fp = (
+        winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    fp = _cap_hot_shingles(fp, _WINNOW_DF_CAP, key="fp_hash")
+    # the fingerprint table feeds three branches (both join sides + the
+    # size lookup): persist so winnowing runs once
+    fp = fp.persist()
+    fp.count()  # materialize before the consumer branches race
+    try:
+        sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = fp.alias("a"), fp.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.fp_hash") == F.col("b.fp_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared_fp"))
+        )
+        ov = F.col("shared_fp") / F.least("na", "nb")
+        out = (
+            pairs.join(sizes.toDF("doc_a", "na"), "doc_a")
+            .join(sizes.toDF("doc_b", "nb"), "doc_b")
+            .filter(ov >= _WINNOW_TAU)
+            .select(
+                "doc_a",
+                "doc_b",
+                "shared_fp",
+                F.round(ov, 6).alias("overlap"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()
+
 
 @query(
     "dedup_exact_docs",

@@ -283,31 +283,36 @@ _WINNOW_W = 4
 # per document — far beyond any training document.
 _WINNOW_POS_C = 100_000_000
 
+# The full winnowing SELECT as embeddable SQL — the key's own oracle,
+# and a CTE body for downstream oracles (dedup_winnow in
+# pipeline/dedup.py), kept in lockstep with winnow_fingerprints below.
+_WINNOW_FP_SQL = (
+    "WITH d AS ("
+    f"  SELECT doc_id, {_NORM_SQL} AS norm, "
+    f"         length({_NORM_SQL}) - {_WINNOW_K} + 1 AS n_pos "
+    "  FROM documents), "
+    "keyed AS ("
+    "  SELECT doc_id, n_pos, pos, "
+    f"         md5(substr(norm, pos, {_WINNOW_K})) || "
+    f"         lpad(CAST({_WINNOW_POS_C} - pos AS VARCHAR), 9, '0') AS key "
+    "  FROM (SELECT doc_id, norm, n_pos, "
+    "               unnest(generate_series(1, n_pos)) AS pos FROM d)), "
+    "wm AS ("
+    "  SELECT doc_id, pos AS win_start, n_pos, "
+    "         min(key) OVER (PARTITION BY doc_id ORDER BY pos "
+    f"            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING"
+    "         ) AS sel "
+    "  FROM keyed) "
+    "SELECT DISTINCT doc_id, "
+    f"       {_WINNOW_POS_C} - CAST(substr(sel, 33, 9) AS INT) AS fp_pos, "
+    "       substr(sel, 1, 32) AS fp_hash "
+    f"FROM wm WHERE win_start <= n_pos - {_WINNOW_W} + 1"
+)
+
 
 @query(
     "text_winnow_fingerprint",
-    oracle=(
-        "WITH d AS ("
-        f"  SELECT doc_id, {_NORM_SQL} AS norm, "
-        f"         length({_NORM_SQL}) - {_WINNOW_K} + 1 AS n_pos "
-        "  FROM documents), "
-        "keyed AS ("
-        "  SELECT doc_id, n_pos, pos, "
-        f"         md5(substr(norm, pos, {_WINNOW_K})) || "
-        f"         lpad(CAST({_WINNOW_POS_C} - pos AS VARCHAR), 9, '0') AS key "
-        "  FROM (SELECT doc_id, norm, n_pos, "
-        "               unnest(generate_series(1, n_pos)) AS pos FROM d)), "
-        "wm AS ("
-        "  SELECT doc_id, pos AS win_start, n_pos, "
-        "         min(key) OVER (PARTITION BY doc_id ORDER BY pos "
-        f"            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING"
-        "         ) AS sel "
-        "  FROM keyed) "
-        "SELECT DISTINCT doc_id, "
-        f"       {_WINNOW_POS_C} - CAST(substr(sel, 33, 9) AS INT) AS fp_pos, "
-        "       substr(sel, 1, 32) AS fp_hash "
-        f"FROM wm WHERE win_start <= n_pos - {_WINNOW_W} + 1"
-    ),
+    oracle=_WINNOW_FP_SQL,
     tags=("text", "dedup"),
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,23 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(by_doc[1]) >= 2
 
 
+def test_winnow_dedup_recovers_jaccard_pairs(spark):
+    """dedup_winnow at tau=0.5 recovers EXACTLY the fixture's 25
+    token-shingle Jaccard>=0.5 near-dup pairs (dedup_ngram_jaccard's
+    set) from the winnowed ~2/(W+1) density sample — the guarantee in
+    action: sampling positions loses no >= K+W-1-char overlap, while
+    the inverted index is a fraction of the full-shingle one."""
+    from hivekudu_handler_spark.pipeline.dedup import (
+        dedup_winnow,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    w = {(r.doc_a, r.doc_b) for r in dedup_winnow(spark, sf).collect()}
+    j = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf, 0.5).collect()}
+    assert w == j and len(w) == 25
+
+
 def test_star_contraction_rounds_grow_logarithmically_on_paths(spark):
     """On a path graph (diameter = n, the shape where min-label
     propagation needs n rounds), contraction rounds must grow like

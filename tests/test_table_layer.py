@@ -1057,6 +1057,144 @@ def test_sql_merge_view_source(spark, store):
     assert rows == [(1, "a1"), (2, "b"), (3, "c"), (8, "h8")]
 
 
+def test_sql_merge_randomized_against_python_model(spark, store):
+    """Randomized differential check of MERGE semantics: random data ×
+    random clause subsets/orders, executed through the SQL front-end
+    AND through a pure-Python model of ANSI MERGE (first-true-claims
+    per row, three clause scopes) — the two must agree exactly.  Six
+    seeded scenarios; values kept non-NULL so the model needs no
+    three-valued logic (the NULL-condition path is pinned separately in
+    test_sql_merge_first_true_clause_claims_row)."""
+    import random
+
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    # clause pool: (SQL text, scope, condition, python action)
+    # actions mutate the model dict {id: (val, name)}; t = pre-merge row
+    POOL = [
+        (
+            "WHEN MATCHED AND s.val % 2 = 0 THEN "
+            "UPDATE SET val = s.val, name = s.name",
+            "matched",
+            lambda t, s: s[0] % 2 == 0,
+            lambda t, s: s,
+        ),
+        (
+            "WHEN MATCHED AND t.val > 50 THEN DELETE",
+            "matched",
+            lambda t, s: t[0] > 50,
+            None,
+        ),
+        (
+            "WHEN MATCHED THEN UPDATE SET val = t.val + s.val",
+            "matched",
+            lambda t, s: True,
+            lambda t, s: (t[0] + s[0], t[1]),
+        ),
+        (
+            "WHEN NOT MATCHED AND s.val >= 10 THEN "
+            "INSERT (id, val, name) VALUES (s.id, s.val, s.name)",
+            "not_matched",
+            lambda s: s[0] >= 10,
+            lambda s: s,
+        ),
+        (
+            "WHEN NOT MATCHED THEN INSERT *",
+            "not_matched",
+            lambda s: True,
+            lambda s: s,
+        ),
+        (
+            "WHEN NOT MATCHED BY SOURCE AND t.val < 20 THEN DELETE",
+            "by_source",
+            lambda t: t[0] < 20,
+            None,
+        ),
+        (
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'stale'",
+            "by_source",
+            lambda t: True,
+            lambda t: (t[0], "stale"),
+        ),
+    ]
+
+    def model(target, source, clauses):
+        out = {}
+        for tid, trow in target.items():
+            if tid in source:
+                srow = source[tid]
+                kept, result = True, trow
+                for sql_txt, scope, cond, act in clauses:
+                    if scope == "matched" and cond(trow, srow):
+                        if act is None:
+                            kept = False
+                        else:
+                            result = act(trow, srow)
+                        break
+                if kept:
+                    out[tid] = result
+            else:
+                kept, result = True, trow
+                for sql_txt, scope, cond, act in clauses:
+                    if scope == "by_source" and cond(trow):
+                        if act is None:
+                            kept = False
+                        else:
+                            result = act(trow)
+                        break
+                if kept:
+                    out[tid] = result
+        for sid, srow in source.items():
+            if sid not in target:
+                for sql_txt, scope, cond, act in clauses:
+                    if scope == "not_matched" and cond(srow):
+                        out[sid] = act(srow)
+                        break
+        return out
+
+    rng = random.Random(20260815)
+    for scenario in range(6):
+        n_clauses = rng.randint(1, 4)
+        clauses = rng.sample(POOL, n_clauses)
+        target = {
+            i: (rng.randint(0, 99), rng.choice("abcdef"))
+            for i in rng.sample(range(1, 21), rng.randint(8, 15))
+        }
+        source = {
+            i: (rng.randint(0, 99), rng.choice("uvwxyz"))
+            for i in rng.sample(range(1, 26), rng.randint(5, 12))
+        }
+        execute(store, "DROP TABLE IF EXISTS m")
+        execute(
+            store,
+            "CREATE TABLE m (id int, val int, name string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        tvals = ", ".join(
+            f"({i}, {v}, '{n}')" for i, (v, n) in sorted(target.items())
+        )
+        execute(store, f"INSERT INTO m VALUES {tvals}")
+        svals = ", ".join(
+            f"({i}, {v}, '{n}')" for i, (v, n) in sorted(source.items())
+        )
+        execute(
+            store,
+            f"MERGE INTO m AS t "
+            f"USING (SELECT * FROM VALUES {svals} AS v(id, val, name)) AS s "
+            "ON t.id = s.id " + " ".join(c[0] for c in clauses),
+        )
+        got = {
+            r.id: (r.val, r.name) for r in store.scan("m").collect()
+        }
+        want = model(target, source, clauses)
+        assert got == want, (
+            scenario,
+            [c[0] for c in clauses],
+            sorted(got.items()),
+            sorted(want.items()),
+        )
+
+
 def test_sql_merge_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
 

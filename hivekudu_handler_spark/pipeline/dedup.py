@@ -264,17 +264,26 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via shared WINNOWING fingerprints — the standard
     consumer of :func:`...text.text_winnow_fingerprint`: documents whose
     selected-fingerprint overlap coefficient (shared / min set size)
-    clears ``_WINNOW_TAU``.  Compared to shingle Jaccard
-    (``dedup_ngram_jaccard``), the index is the winnowed ~2/(W+1)
-    DENSITY SAMPLE of positions rather than every token shingle, so the
-    inverted index is ~3× smaller at identical guarantee strength for
-    overlaps ≥ K+W-1 chars — the scheme MOSS and large-crawl dedup
-    pipelines use.  Plan shape is the inverted-index equi-join
-    (fp_hash), never |docs|²; boilerplate fingerprints above
-    ``_WINNOW_DF_CAP`` docs leave via the broadcast anti join
-    (``_cap_hot_shingles`` bound argument).  Fixture separation is
-    sharp: the 25 true near-dup pairs all score ≈1.0 vs 0.3-grade
-    noise, so τ=0.5 is threshold-robust."""
+    clears ``_WINNOW_TAU``.  The index is the winnowed ~2/(W+1) density
+    sample of CHAR-GRAM positions (measured 0.40 at sf0.01 and sf0.1) —
+    sampling loses no overlap ≥ K+W-1 chars, the scheme MOSS and
+    large-crawl dedup pipelines use.  Honest comparison vs
+    ``dedup_ngram_jaccard`` (measured, both SFs): char-gram positions
+    are denser than word trigrams, so even sampled the index carries
+    ~2.1× the rows of the word-shingle index — what winnowing buys is
+    the SUBSTRING guarantee (word shingles miss overlaps that cross
+    token boundaries after normalization) and sub-word granularity,
+    not a smaller index.  The metric is also different by design:
+    overlap COEFFICIENT (min-denominator) is containment-sensitive —
+    at sf0.1 it flags 9 961 pairs (incl. doc-in-doc and shared-phrase
+    containment) where symmetric Jaccard ≥ 0.5 flags 256; for a
+    stricter near-dup sweep raise τ or require a minimum ``shared_fp``.
+    Plan shape is the inverted-index equi-join (fp_hash), never
+    |docs|²; boilerplate fingerprints above ``_WINNOW_DF_CAP`` docs
+    leave via the broadcast anti join (``_cap_hot_shingles`` bound
+    argument).  Fixture separation at sf0.01 is sharp (the 25 true
+    near-dup pairs all score ≈1.0 vs 0.3-grade noise), pinned in
+    ``tests/test_new_surface_r16.py``."""
     from hivekudu_handler_spark.pipeline.text import winnow_fingerprints
 
     fp = (

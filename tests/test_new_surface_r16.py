@@ -53,11 +53,14 @@ def test_winnowing_guarantee_and_density(spark):
 
 
 def test_winnow_dedup_recovers_jaccard_pairs(spark):
-    """dedup_winnow at tau=0.5 recovers EXACTLY the fixture's 25
+    """dedup_winnow at tau=0.5 recovers EXACTLY the sf0.01 fixture's 25
     token-shingle Jaccard>=0.5 near-dup pairs (dedup_ngram_jaccard's
-    set) from the winnowed ~2/(W+1) density sample — the guarantee in
-    action: sampling positions loses no >= K+W-1-char overlap, while
-    the inverted index is a fraction of the full-shingle one."""
+    set) from the winnowed ~2/(W+1) position sample — the guarantee in
+    action: sampling positions loses no >= K+W-1-char overlap.  (The
+    exact set equality is a property of THIS corpus's sharp dup/non-dup
+    separation; at sf0.1 the containment-sensitive overlap coefficient
+    legitimately flags far more pairs than symmetric Jaccard — see the
+    measured table in SCALE.md.)"""
     from hivekudu_handler_spark.pipeline.dedup import (
         dedup_winnow,
         ngram_jaccard_pairs,

@@ -255,6 +255,19 @@ def _winnow_pairs_oracle() -> str:
     )
 
 
+def _winnow_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped per-doc-distinct winnow fingerprint index — shared by
+    the full-corpus and incremental winnow dedup keys."""
+    from hivekudu_handler_spark.pipeline.text import winnow_fingerprints
+
+    fp = (
+        winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    return _cap_hot_shingles(fp, _WINNOW_DF_CAP, key="fp_hash")
+
+
 @query(
     "dedup_winnow",
     oracle=_winnow_pairs_oracle(),
@@ -284,14 +297,7 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument).  Fixture separation at sf0.01 is sharp (the 25 true
     near-dup pairs all score ≈1.0 vs 0.3-grade noise), pinned in
     ``tests/test_new_surface_r16.py``."""
-    from hivekudu_handler_spark.pipeline.text import winnow_fingerprints
-
-    fp = (
-        winnow_fingerprints(load_table(spark, sf_dir, "documents"))
-        .select("doc_id", "fp_hash")
-        .distinct()
-    )
-    fp = _cap_hot_shingles(fp, _WINNOW_DF_CAP, key="fp_hash")
+    fp = _winnow_fp_index(spark, sf_dir)
     # the fingerprint table feeds three branches (both join sides + the
     # size lookup): persist so winnowing runs once
     fp = fp.persist()
@@ -585,6 +591,103 @@ _MH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 _MH_K = 64
 _MH_BANDS = 32
 _MH_ROWS = 2
+
+
+def _incremental_winnow_oracle() -> str:
+    from hivekudu_handler_spark.pipeline.text import _WINNOW_FP_SQL
+
+    return (
+        f"WITH fp0 AS ({_WINNOW_FP_SQL}), "
+        "fp1 AS (SELECT DISTINCT doc_id, fp_hash FROM fp0), "
+        "hot AS (SELECT fp_hash FROM fp1 GROUP BY fp_hash "
+        f"        HAVING COUNT(*) > {_WINNOW_DF_CAP}), "
+        "fp AS (SELECT * FROM fp1 WHERE fp_hash NOT IN "
+        "       (SELECT fp_hash FROM hot)), "
+        f"flags AS (SELECT doc_id, {_BATCH_SQL} AS is_batch FROM documents), "
+        "common AS ("
+        "  SELECT a.doc_id AS batch_doc, b.doc_id AS other_doc, "
+        "         COUNT(*) AS shared_fp "
+        "  FROM fp a "
+        "  JOIN flags fa ON fa.doc_id = a.doc_id AND fa.is_batch "
+        "  JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id <> b.doc_id "
+        "  JOIN flags fb ON fb.doc_id = b.doc_id "
+        "  WHERE (NOT fb.is_batch) OR a.doc_id < b.doc_id "
+        "  GROUP BY 1, 2), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id) "
+        "SELECT batch_doc, other_doc, shared_fp, "
+        "       ROUND(shared_fp * 1.0 / LEAST(sa.n, sb.n), 6) AS overlap, "
+        "       fb.is_batch AS other_in_batch "
+        "FROM common "
+        "JOIN sizes sa ON sa.doc_id = batch_doc "
+        "JOIN sizes sb ON sb.doc_id = other_doc "
+        "JOIN flags fb ON fb.doc_id = other_doc "
+        f"WHERE shared_fp * 1.0 / LEAST(sa.n, sb.n) >= {_WINNOW_TAU}"
+    )
+
+
+@query(
+    "dedup_incremental_winnow",
+    oracle=_incremental_winnow_oracle(),
+    tags=("dedup", "text"),
+)
+def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnow dedup — the continuous-crawl regime of
+    :func:`dedup_winnow`, symmetric with ``dedup_incremental`` (shingle
+    Jaccard) and ``dedup_incremental_minhash`` (LSH): only the newly
+    ingested batch (the ``src15``–``src19`` slice) is fingerprinted
+    against the EXISTING corpus index and within itself; corpus×corpus
+    pairs never recompute because they were emitted when their own
+    batches arrived.  Per ingest the equi-join is batch-fingerprints ×
+    per-fingerprint posting lists (work ∝ |batch| × avg df, hot cap
+    bounding the worst posting), not corpus² — with the winnow twist
+    that the posting lists index a ~2/(W+1) position sample carrying
+    the full ≥ K+W-1-char substring guarantee.  In production the
+    corpus side scans a persisted fingerprint store (the
+    ``dedup_signature_store`` pattern); here both sides derive from the
+    same fixture so the oracle can replay them."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
+    )
+    fp = _winnow_fp_index(spark, sf_dir).join(d, "doc_id").persist()
+    fp.count()  # materialize before the consumer branches race
+    try:
+        sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = fp.filter("is_batch").alias("a")
+        b = fp.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.fp_hash") == F.col("b.fp_hash"))
+                & (F.col("a.doc_id") != F.col("b.doc_id"))
+                & (
+                    ~F.col("b.is_batch")
+                    | (F.col("a.doc_id") < F.col("b.doc_id"))
+                ),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("batch_doc"),
+                F.col("b.doc_id").alias("other_doc"),
+                F.col("b.is_batch").alias("other_in_batch"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared_fp"))
+        )
+        ov = F.col("shared_fp") / F.least("na", "nb")
+        out = (
+            common.join(sizes.toDF("batch_doc", "na"), "batch_doc")
+            .join(sizes.toDF("other_doc", "nb"), "other_doc")
+            .filter(ov >= _WINNOW_TAU)
+            .select(
+                "batch_doc",
+                "other_doc",
+                "shared_fp",
+                F.round(ov, 6).alias("overlap"),
+                "other_in_batch",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        fp.unpersist()
+
 
 
 def _minhash_sigs(sh: DataFrame) -> DataFrame:

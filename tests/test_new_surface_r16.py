@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from hivekudu_handler_spark.pipeline.dedup import cluster_scale_smoke
 
 
@@ -70,6 +72,36 @@ def test_winnow_dedup_recovers_jaccard_pairs(spark):
     w = {(r.doc_a, r.doc_b) for r in dedup_winnow(spark, sf).collect()}
     j = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf, 0.5).collect()}
     assert w == j and len(w) == 25
+
+
+def test_incremental_winnow_is_the_batch_slice_of_full(spark):
+    """The incremental regime must emit exactly the full-corpus pairs
+    that involve at least one batch doc (same tau, same cap), with the
+    batch doc always on the left — no pair invented, none lost, and the
+    corpus-x-corpus remainder is exactly the set the steady state never
+    recomputes."""
+    from hivekudu_handler_spark.pipeline.dedup import (
+        _BATCH_SOURCES,
+        dedup_incremental_winnow,
+        dedup_winnow,
+    )
+    from hivekudu_handler_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    batch = {
+        r.doc_id
+        for r in load_table(spark, sf, "documents")
+        .filter(F.col("source").isin(*_BATCH_SOURCES))
+        .select("doc_id")
+        .collect()
+    }
+    inc = [(r.batch_doc, r.other_doc) for r in
+           dedup_incremental_winnow(spark, sf).collect()]
+    assert inc and all(a in batch for a, _ in inc)
+    inc_sorted = {tuple(sorted(p)) for p in inc}
+    full = {(r.doc_a, r.doc_b) for r in dedup_winnow(spark, sf).collect()}
+    expect = {p for p in full if p[0] in batch or p[1] in batch}
+    assert inc_sorted == expect
 
 
 def test_star_contraction_rounds_grow_logarithmically_on_paths(spark):

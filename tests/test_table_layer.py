@@ -1195,6 +1195,20 @@ def test_sql_merge_randomized_against_python_model(spark, store):
         )
 
 
+def test_sql_merge_insert_missing_non_key_defaults_null(spark, store):
+    """An INSERT column list may omit non-key columns — they land NULL
+    (key columns are mandatory, pinned in the rejections test)."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (7, 'g') "
+        "AS v(id, name)) AS s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (7, None)]
+
+
 def test_sql_merge_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
 

@@ -747,7 +747,7 @@ def _merge(store: TableStore, stmt: str) -> None:
         "not_target": F.lit(False),
         "not_source": F.lit(False),
     }
-    saw_any = False
+    saw_any = saw_matched = False
     for seg in segments[1:]:
         cm = _MATCHED_CLAUSE_RE.match(seg.strip())
         if not cm:
@@ -770,6 +770,7 @@ def _merge(store: TableStore, stmt: str) -> None:
         action = cm.group("action").strip()
         verb = action.split(None, 1)[0].upper()
         saw_any = True
+        saw_matched = saw_matched or side == "matched"
         if side in ("matched", "not_source") and verb == "DELETE":
             rows = matched if side == "matched" else unmatched_tgt
             delete_frames.append(
@@ -835,18 +836,22 @@ def _merge(store: TableStore, stmt: str) -> None:
         raise SqlDdlError("MERGE requires at least one WHEN clause")
 
     # ANSI cardinality rule: a target row may match at most one source
-    # row.  The probe aggregates matched rows by target key — cost ∝ the
+    # row — enforced only when a MATCHED clause exists, since an
+    # insert-only MERGE leaves matched rows untouched and duplicate
+    # source matches are then harmless (Delta draws the same line).
+    # The probe aggregates matched rows by target key — cost ∝ the
     # matched set, result bounded to one row.
-    dup = (
-        matched.groupBy(*[tcol(k).alias(k) for k in meta.key_columns])
-        .count()
-        .filter(F.col("count") > 1)
-    )
-    if dup.limit(1).count():
-        raise SqlDdlError(
-            "MERGE cardinality violation: a target row matched more than "
-            "one source row"
+    if saw_matched:
+        dup = (
+            matched.groupBy(*[tcol(k).alias(k) for k in meta.key_columns])
+            .count()
+            .filter(F.col("count") > 1)
         )
+        if dup.limit(1).count():
+            raise SqlDdlError(
+                "MERGE cardinality violation: a target row matched more "
+                "than one source row"
+            )
 
     batch: DataFrame | None = None
     for b in batches:

@@ -1209,6 +1209,25 @@ def test_sql_merge_insert_missing_non_key_defaults_null(spark, store):
     assert rows == [(1, "a"), (2, "b"), (3, "c"), (7, None)]
 
 
+def test_sql_merge_insert_only_tolerates_multi_match(spark, store):
+    """An insert-only MERGE leaves matched rows untouched, so duplicate
+    source matches are harmless and must NOT raise the cardinality
+    violation (Delta draws the same line); the duplicate-key unmatched
+    inserts collapse deterministically via the store's batch dedup."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES "
+        "(1, 'x'), (1, 'y'), (9, 'i'), (9, 'h') AS v(id, name)) AS s "
+        "ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    # id 1 matched twice -> untouched; id 9 inserted once (dedup winner
+    # is the smallest non-key tuple: 'h')
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (9, "h")]
+
+
 def test_sql_merge_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
 

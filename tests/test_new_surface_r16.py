@@ -74,6 +74,35 @@ def test_winnow_dedup_recovers_jaccard_pairs(spark):
     assert w == j and len(w) == 25
 
 
+def test_winnow_density_is_scale_invariant(spark):
+    """Selected-fingerprint density (selected rows / k-gram positions)
+    is content-determined at ~2/(W+1) = 0.4 and must not drift with
+    corpus size — the property that makes winnow index cost a fixed
+    fraction of corpus bytes at any scale (SCALE.md measured 0.40 at
+    both sf0.01 and sf0.1; this pins the band at two SFs)."""
+    from hivekudu_handler_spark.pipeline.text import (
+        _WINNOW_K,
+        normalized,
+        winnow_fingerprints,
+    )
+    from hivekudu_handler_spark.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = load_table(spark, sf, "documents")
+        positions = (
+            docs.select(
+                F.greatest(
+                    F.length(normalized()) - _WINNOW_K + 1, F.lit(0)
+                ).alias("p")
+            )
+            .agg(F.sum("p"))
+            .collect()[0][0]
+        )
+        selected = winnow_fingerprints(docs).count()
+        density = selected / positions
+        assert 0.33 <= density <= 0.47, (sf, density)
+
+
 def test_incremental_winnow_is_the_batch_slice_of_full(spark):
     """The incremental regime must emit exactly the full-corpus pairs
     that involve at least one batch doc (same tau, same cap), with the

@@ -173,15 +173,19 @@ def main() -> None:
     wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
     try:
         spark.range(2).write.mode("overwrite").parquet(f"{wdir}/in")
-        (
+        wq = (
             spark.readStream.schema("id long")
             .parquet(f"{wdir}/in")
             .writeStream.foreachBatch(lambda b, i: b.count())
             .option("checkpointLocation", f"{wdir}/ckpt")
             .trigger(availableNow=True)
             .start()
-            .awaitTermination(120)
         )
+        if not wq.awaitTermination(120):
+            # stop BEFORE the finally rmtree pulls the dirs out from
+            # under a still-running query (the run_upsert_sink rule)
+            wq.stop()
+            raise TimeoutError("streaming warm-up did not finish in 120 s")
     finally:
         shutil.rmtree(wdir, ignore_errors=True)
 

@@ -549,13 +549,54 @@ _MERGE_ALIAS_RE = re.compile(
     r"(?:\s*\((?P<cols>[A-Za-z_][\w\s,]*)\))?",
     re.IGNORECASE,
 )
-_MATCHED_CLAUSE_RE = re.compile(
+_CLAUSE_HEAD_RE = re.compile(
     r"^(?P<not>NOT\s+)?MATCHED"
     r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
-    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
-    r"(?P<action>.+)$",
+    r"\s+(?P<rest>(?:AND|THEN)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _find_boundary_then(text: str) -> int:
+    """Index of the clause-level THEN in ``AND <cond> THEN <action>`` —
+    the first THEN at paren depth 0, outside single-quoted strings, and
+    outside any CASE...END expression (a CASE in the condition owns its
+    own THENs), or -1.  The naive lazy-regex split mis-parsed ANSI-valid
+    conditions like ``AND CASE WHEN x THEN 1 ELSE 0 END = 1 THEN DELETE``
+    (r16 review)."""
+    depth = case_depth = 0
+    in_str = False
+    word = re.compile(r"\b(CASE|END|THEN)\b", re.IGNORECASE)
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = word.match(text, i)
+            if m:
+                kw = m.group(1).upper()
+                if kw == "CASE":
+                    case_depth += 1
+                elif kw == "END":
+                    case_depth = max(0, case_depth - 1)
+                elif case_depth == 0:  # THEN at clause level
+                    return i
+                i = m.end()
+                continue
+        i += 1
+    return -1
 _INSERT_ACTION_RE = re.compile(
     r"^INSERT\s+(?:\*|(?:\((?P<cols>[^)]*)\)\s+)?VALUES\s*(?P<vals>\(.+\)))$",
     re.IGNORECASE | re.DOTALL,
@@ -707,8 +748,18 @@ def _merge(store: TableStore, stmt: str) -> None:
         for part in _split_top(sm.group("sets")):
             col, eq, expr_text = part.partition("=")
             col, expr_text = col.strip(), expr_text.strip()
-            # SET targets may be alias-qualified (t.name = ...)
-            col = col.split(".")[-1] if "." in col else col
+            if "." in col:
+                # a SET target may be qualified ONLY by the target
+                # alias; stripping any qualifier would silently rewrite
+                # 's.name = x' (a user error — ANSI SET targets are
+                # target columns) into a target assignment (r16 review)
+                qual, _, bare = col.rpartition(".")
+                if qual.lower() != talias.lower():
+                    raise SqlDdlError(
+                        f"SET target {col!r} must be an unqualified or "
+                        f"target-alias-qualified ({talias!r}) column"
+                    )
+                col = bare
             if not eq or not col or not expr_text:
                 raise SqlDdlError(
                     f"cannot parse SET assignment: {part.strip()!r}")
@@ -747,9 +798,11 @@ def _merge(store: TableStore, stmt: str) -> None:
         "not_target": F.lit(False),
         "not_source": F.lit(False),
     }
-    saw_any = saw_matched = False
+    # (len(segments) >= 2 was enforced above, so at least one WHEN
+    # clause always parses — no separate saw_any flag needed)
+    saw_matched = False
     for seg in segments[1:]:
-        cm = _MATCHED_CLAUSE_RE.match(seg.strip())
+        cm = _CLAUSE_HEAD_RE.match(seg.strip())
         if not cm:
             raise SqlDdlError(f"cannot parse MERGE WHEN clause: {seg.strip()!r}")
         by = (cm.group("by") or "").upper()
@@ -760,16 +813,27 @@ def _merge(store: TableStore, stmt: str) -> None:
                 f"BY {by} is only valid after WHEN NOT MATCHED")
         else:
             side = "matched"
+        rest = cm.group("rest")
+        if rest[:3].upper() == "AND":
+            body = rest[3:]
+            ti = _find_boundary_then(body)
+            if ti < 0:
+                raise SqlDdlError(
+                    f"cannot find THEN in MERGE WHEN clause: {seg.strip()!r}")
+            cond_text, action = body[:ti].strip(), body[ti + 4 :].strip()
+            if not cond_text:
+                raise SqlDdlError(
+                    f"empty AND condition in MERGE WHEN clause: {seg.strip()!r}")
+        else:  # rest starts with THEN (the head regex guarantees it)
+            cond_text, action = None, rest[4:].strip()
         this = (
-            F.coalesce(F.expr(cm.group("cond")), F.lit(False))
-            if cm.group("cond")
+            F.coalesce(F.expr(cond_text), F.lit(False))
+            if cond_text
             else F.lit(True)
         )
         take = this & ~prior[side]
         prior[side] = prior[side] | this
-        action = cm.group("action").strip()
-        verb = action.split(None, 1)[0].upper()
-        saw_any = True
+        verb = action.split(None, 1)[0].upper() if action else ""
         saw_matched = saw_matched or side == "matched"
         if side in ("matched", "not_source") and verb == "DELETE":
             rows = matched if side == "matched" else unmatched_tgt
@@ -799,6 +863,12 @@ def _merge(store: TableStore, stmt: str) -> None:
                     if im.group("cols")
                     else list(tcols)
                 )
+                if len(set(c.lower() for c in cols)) != len(cols):
+                    # a dict build would silently keep only the last
+                    # value for a repeated column (r16 review)
+                    raise SqlDdlError(
+                        f"duplicate column in MERGE INSERT list: {cols}"
+                    )
                 exprs = _split_top(im.group("vals").strip()[1:-1])
                 if len(cols) != len(exprs):
                     raise SqlDdlError(
@@ -832,9 +902,6 @@ def _merge(store: TableStore, stmt: str) -> None:
             raise SqlDdlError(
                 f"unsupported MERGE action for WHEN {clause}: {action!r}"
             )
-    if not saw_any:
-        raise SqlDdlError("MERGE requires at least one WHEN clause")
-
     # ANSI cardinality rule: a target row may match at most one source
     # row — enforced only when a MATCHED clause exists, since an
     # insert-only MERGE leaves matched rows untouched and duplicate

@@ -994,6 +994,24 @@ def test_sql_merge_update_set_sees_both_aliases_and_pre_update_row(
     assert rows == [(1, "a!"), (2, "b")]
 
 
+def test_sql_merge_case_when_inside_and_condition(spark, store):
+    """A CASE expression inside a clause's AND condition — bare or
+    parenthesized — owns its own THENs; the clause-level THEN boundary
+    must skip them (r16 review: the lazy-regex split broke this)."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (1, 1), (2, 0) "
+        "AS v(id, flag)) AS s ON t.id = s.id "
+        "WHEN MATCHED AND CASE WHEN s.flag = 1 THEN 1 ELSE 0 END = 1 "
+        "THEN UPDATE SET name = 'flagged' "
+        "WHEN MATCHED AND (CASE WHEN s.flag = 0 THEN 'y' END) = 'y' "
+        "THEN UPDATE SET name = 'unflagged'",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "flagged"), (2, "unflagged"), (3, "c")]
+
+
 def test_sql_merge_insert_star_and_case_when_in_set(spark, store):
     """INSERT * projects source columns by name; a CASE WHEN inside a SET
     expression must not be misparsed as a WHEN clause boundary."""
@@ -1253,6 +1271,20 @@ def test_sql_merge_rejections(spark, store):
         )
     with pytest.raises(SqlDdlError, match="WHEN clause"):
         execute(store, f"MERGE INTO t USING {src} ON t.id = s.id")
+    with pytest.raises(SqlDdlError, match="SET target"):
+        # qualifying the SOURCE alias in a SET target is a user error,
+        # not a silent target assignment (r16 review)
+        execute(
+            store,
+            f"MERGE INTO t USING {src} ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET s.name = 'x'",
+        )
+    with pytest.raises(SqlDdlError, match="duplicate column"):
+        execute(
+            store,
+            f"MERGE INTO t USING {src} ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, id) VALUES (9, 8)",
+        )
     with pytest.raises(SqlDdlError, match="only valid after"):
         execute(
             store,

@@ -255,6 +255,25 @@ def _winnow_pairs_oracle() -> str:
     )
 
 
+def _overlap_threshold(
+    pairs: DataFrame, sizes: DataFrame, left: str, right: str, tau: float
+) -> DataFrame:
+    """Attach both per-doc index sizes to a (left, right, shared_fp)
+    pair table and keep pairs whose overlap COEFFICIENT
+    (shared / min size) clears ``tau`` — the metric step shared by the
+    full-corpus and incremental winnow keys (r16 review: keep the
+    denominator definition in one place).  Size-lookup joins are
+    hint-free: the pair side is small after counting and AQE picks the
+    strategy from runtime sizes."""
+    ov = F.col("shared_fp") / F.least("na", "nb")
+    return (
+        pairs.join(sizes.toDF(left, "na"), left)
+        .join(sizes.toDF(right, "nb"), right)
+        .filter(ov >= tau)
+        .withColumn("overlap", F.round(ov, 6))
+    )
+
+
 def _winnow_fp_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capped per-doc-distinct winnow fingerprint index — shared by
     the full-corpus and incremental winnow dedup keys."""
@@ -317,18 +336,9 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).alias("shared_fp"))
         )
-        ov = F.col("shared_fp") / F.least("na", "nb")
-        out = (
-            pairs.join(sizes.toDF("doc_a", "na"), "doc_a")
-            .join(sizes.toDF("doc_b", "nb"), "doc_b")
-            .filter(ov >= _WINNOW_TAU)
-            .select(
-                "doc_a",
-                "doc_b",
-                "shared_fp",
-                F.round(ov, 6).alias("overlap"),
-            )
-        )
+        out = _overlap_threshold(
+            pairs, sizes, "doc_a", "doc_b", _WINNOW_TAU
+        ).select("doc_a", "doc_b", "shared_fp", "overlap")
         return out.localCheckpoint(eager=True)
     finally:
         fp.unpersist()
@@ -671,18 +681,10 @@ def dedup_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count(F.lit(1)).alias("shared_fp"))
         )
-        ov = F.col("shared_fp") / F.least("na", "nb")
-        out = (
-            common.join(sizes.toDF("batch_doc", "na"), "batch_doc")
-            .join(sizes.toDF("other_doc", "nb"), "other_doc")
-            .filter(ov >= _WINNOW_TAU)
-            .select(
-                "batch_doc",
-                "other_doc",
-                "shared_fp",
-                F.round(ov, 6).alias("overlap"),
-                "other_in_batch",
-            )
+        out = _overlap_threshold(
+            common, sizes, "batch_doc", "other_doc", _WINNOW_TAU
+        ).select(
+            "batch_doc", "other_doc", "shared_fp", "overlap", "other_in_batch"
         )
         return out.localCheckpoint(eager=True)
     finally:

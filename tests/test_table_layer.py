@@ -1246,6 +1246,50 @@ def test_sql_merge_insert_only_tolerates_multi_match(spark, store):
     assert rows == [(1, "a"), (2, "b"), (3, "c"), (9, "h")]
 
 
+def test_sql_merge_rewrites_only_touched_buckets(spark, store):
+    """The 100 TB property of MERGE: a small statement (one update, one
+    delete, one insert) leaves every data file in untouched buckets
+    byte-identical — the write cost is bucket-scoped, not table-scoped,
+    because all three outcomes ride ONE store.upsert(batch,
+    delete_keys=...) commit."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    execute(
+        store,
+        "CREATE TABLE big (id int, name string) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    ids = list(range(1, 41))
+    execute(
+        store,
+        "INSERT INTO big VALUES "
+        + ", ".join(f"({i}, 'n{i}')" for i in ids),
+    )
+    data = store._data_dir("big")
+    before = _file_snapshot(data)
+    buckets = _bucket_of(spark, ids + [99])
+    hit = {buckets[1], buckets[2], buckets[99]}  # update, delete, insert
+    execute(
+        store,
+        "MERGE INTO big AS t USING (SELECT * FROM VALUES "
+        "(1, 'upd'), (2, 'del'), (99, 'ins') AS v(id, name)) AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED AND s.name = 'del' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    after = _file_snapshot(data)
+    untouched = 0
+    for path, blob in before.items():
+        if not any(path.startswith(f"kb={b}/") for b in hit):
+            assert path in after and after[path] == blob
+            untouched += 1
+    assert untouched > 0  # the guard must actually guard something
+    got = {r.id: r.name for r in store.scan("big").collect()}
+    assert got[1] == "upd" and 2 not in got and got[99] == "ins"
+    assert len(got) == 40  # 40 - 1 deleted + 1 inserted
+
+
 def test_sql_merge_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
 

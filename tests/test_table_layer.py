@@ -1290,6 +1290,24 @@ def test_sql_merge_rewrites_only_touched_buckets(spark, store):
     assert len(got) == 40  # 40 - 1 deleted + 1 inserted
 
 
+def test_sql_entry_point_routes_merge(spark, store):
+    """The one-stop sql() dispatcher routes MERGE to the DML layer and
+    a follow-up SELECT over the merged table through Spark SQL — the
+    reference demo's statement-mix pattern extended to MERGE."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql
+
+    _merge_fixture(store)
+    sql(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (1, 'a2'), (9, 'i') "
+        "AS v(id, name)) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN NOT MATCHED THEN INSERT *;",
+    )
+    out = sql(store, "SELECT count(*) AS n FROM t WHERE name IN ('a2', 'i')")
+    assert out.collect()[0]["n"] == 2
+
+
 def test_sql_merge_rejections(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
 

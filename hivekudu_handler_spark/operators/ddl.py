@@ -119,7 +119,7 @@ def ddl_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.drop_table("test_drop")
         n = len(store.list_tables())
         return spark.createDataFrame(
-            [(n, not store._meta_path("test_drop").exists())],
+            [(n, not store.has_table("test_drop"))],
             "n_tables int, dropped boolean",
         )
     finally:

@@ -394,7 +394,7 @@ def mview_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.upsert("evr", ev.filter(F.col("event_id") % 2 == 1))
 
         # -- simulate the crash: phase-1 marker + torn partial merge --
-        mpath = store._mview_path("mvr")
+        mpath = store.mview_manifest_path("mvr")
         mv = json.loads(mpath.read_text())
         mv["pending"] = {
             "to": store.current_version("evr"),

@@ -79,7 +79,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreError
@@ -419,12 +419,7 @@ def _show(store: TableStore, stmt: str) -> DataFrame:
 
 
 def _render_create(store: TableStore, name: str) -> str:
-    from hivekudu_handler_spark.sources.table_store import NoSuchTableError
-
-    try:
-        view_sql = store._view_sql(name)
-    except NoSuchTableError:
-        view_sql = None
+    view_sql = store.view_sql(name) if store.has_view(name) else None
     if view_sql is not None:
         return f"CREATE VIEW {name} AS {view_sql}"
     meta = store.table_meta(name)
@@ -601,6 +596,17 @@ _INSERT_ACTION_RE = re.compile(
     r"^INSERT\s+(?:\*|(?:\((?P<cols>[^)]*)\)\s+)?VALUES\s*(?P<vals>\(.+\)))$",
     re.IGNORECASE | re.DOTALL,
 )
+# executor-raised guard messages (F.raise_error inside the merge batch):
+# _merge re-raises them as SqlDdlError — match by substring, since Spark
+# wraps them as "[USER_RAISED_EXCEPTION] <msg>"
+_MERGE_CARDINALITY_MSG = (
+    "MERGE cardinality violation: a target row was updated or deleted "
+    "by more than one source row"
+)
+_MERGE_NULL_KEY_MSG = (
+    "MERGE INSERT produced a NULL key column value; inserted keys must "
+    "be non-NULL"
+)
 
 
 def _split_keyword(text: str, pattern: str) -> list[str]:
@@ -653,8 +659,18 @@ def _merge(store: TableStore, stmt: str) -> None:
 
     Semantics (ANSI): WHEN clauses are evaluated in statement order and
     the FIRST clause whose condition holds claims the row; a target row
-    matching more than one source row is a cardinality violation and
-    raises.  Execution is fully relational and single-commit: matched
+    actually CLAIMED (updated or deleted) by more than one source row is
+    a cardinality violation and raises — multiple source matches where
+    at most one satisfies the MATCHED clause conditions are valid, per
+    ANSI/SQL Server (r16 advice).  The check rides INSIDE the single
+    upsert execution as a per-target-key windowed claim count guarding
+    the key columns of every matched clause frame (``F.raise_error``),
+    so no separate probe action runs and a violation aborts at the
+    upsert's first action (the affected-buckets probe) — before any
+    file is written or committed.  A NOT MATCHED INSERT whose key
+    expression evaluates to NULL raises the same way (ANSI constraint
+    violation) instead of being silently dropped by batch validation
+    (r16 advice).  Execution is fully relational and single-commit: matched
     rows come from one target⋈source join, each UPDATE clause projects
     its SET expressions against the pre-update row (both aliases in
     scope), DELETE clauses contribute key frames, NOT MATCHED clauses
@@ -666,7 +682,13 @@ def _merge(store: TableStore, stmt: str) -> None:
     omits a key column is rejected.  The ON condition is normally key
     equality; a non-key ON is accepted, but inserted rows whose key
     collides with an existing (unmatched) row follow the store's PK
-    semantics and replace it."""
+    semantics and replace it.
+
+    Parser limitation (heuristic, documented per r16 advice): clause
+    splitting looks ahead for ``WHEN [NOT] MATCHED``, so a column
+    literally named ``matched`` directly after a ``CASE WHEN`` inside
+    the ON condition or a SET expression mis-splits the statement —
+    treat ``matched`` as a reserved word in MERGE text."""
     head = _MERGE_HEAD_RE.match(stmt)
     if not head:
         raise SqlDdlError(f"cannot parse MERGE statement: {stmt!r}")
@@ -688,7 +710,7 @@ def _merge(store: TableStore, stmt: str) -> None:
         src_name = m.group("name")
         src = (
             store.view_df(src_name)
-            if store._norm_name(src_name) in store.list_views()
+            if store.has_view(src_name)
             else store.scan(src_name)
         )
         salias_required = False
@@ -722,22 +744,25 @@ def _merge(store: TableStore, stmt: str) -> None:
     tcols = [f.name for f in meta.schema.fields]
     tgt = store.scan(target)
     cond = F.expr(on_cond)
-    # The matched join is consumed by the cardinality probe and by each
-    # MATCHED clause frame inside the final upsert.  It is deliberately
-    # NOT checkpointed/cached: localCheckpoint flattens the plan to a
-    # LogicalRDD, which drops the subquery aliases every clause
-    # expression (t.c / s.c) resolves against and leaves duplicate bare
-    # column names from the two sides; and a persist() here could never
-    # be unpersisted by the caller (the r7 CacheManager-pinning advice).
-    # Re-planning the join per consumer is the right trade for batch
-    # DML: the probe is one extra scan-sized action, and within the
-    # single upsert action all clause frames share one plan where
-    # Spark's ReusedExchange already folds the identical join shuffles.
+    # The matched join is consumed by each MATCHED clause frame inside
+    # the final upsert (the cardinality check rides inside those frames
+    # as a windowed claim count — no separate probe action).  It is
+    # deliberately NOT checkpointed/cached: localCheckpoint flattens the
+    # plan to a LogicalRDD, which drops the subquery aliases every
+    # clause expression (t.c / s.c) resolves against and leaves
+    # duplicate bare column names from the two sides; and a persist()
+    # here could never be unpersisted by the caller (the r7
+    # CacheManager-pinning advice).  Within the single upsert action all
+    # clause frames share one plan where Spark's ReusedExchange already
+    # folds the identical join shuffles.
     matched = tgt.alias(talias).join(src.alias(salias), cond, "inner")
     unmatched = src.alias(salias).join(tgt.alias(talias), cond, "left_anti")
 
     def tcol(c: str) -> Column:
         return F.col(f"{talias}.{c}")
+
+    def _ident(col: Column) -> Column:
+        return col
 
     def _parse_sets(action: str) -> dict[str, str]:
         sm = re.match(r"^UPDATE\s+SET\s+(?P<sets>.+)$", action,
@@ -774,12 +799,18 @@ def _merge(store: TableStore, stmt: str) -> None:
             assignments[col] = expr_text
         return assignments
 
-    def _apply_sets(rows: DataFrame, assignments: dict[str, str]) -> DataFrame:
+    def _apply_sets(
+        rows: DataFrame, assignments: dict[str, str], key_guard=_ident
+    ) -> DataFrame:
+        # key columns are never SET targets, so the cardinality guard
+        # wraps their pass-through projection
         return rows.select(
             *[
                 F.expr(assignments[c]).cast(types[c]).alias(c)
                 if c in assignments
-                else tcol(c).alias(c)
+                else (
+                    key_guard(tcol(c)) if c in meta.key_columns else tcol(c)
+                ).alias(c)
                 for c in tcols
             ]
         )
@@ -800,7 +831,10 @@ def _merge(store: TableStore, stmt: str) -> None:
     }
     # (len(segments) >= 2 was enforced above, so at least one WHEN
     # clause always parses — no separate saw_any flag needed)
-    saw_matched = False
+    # pass 1 parses every clause (building the first-true-claims chains
+    # and, crucially, the FULL matched-condition disjunction the
+    # cardinality guard needs); pass 2 builds the frames
+    specs: list[tuple[str, Column, str, str, str]] = []
     for seg in segments[1:]:
         cm = _CLAUSE_HEAD_RE.match(seg.strip())
         if not cm:
@@ -834,12 +868,52 @@ def _merge(store: TableStore, stmt: str) -> None:
         take = this & ~prior[side]
         prior[side] = prior[side] | this
         verb = action.split(None, 1)[0].upper() if action else ""
-        saw_matched = saw_matched or side == "matched"
+        specs.append((side, take, verb, action, seg))
+    saw_matched = any(s[0] == "matched" for s in specs)
+
+    # ANSI cardinality rule: a target row may be CLAIMED (updated or
+    # deleted) by at most one source row — enforced only when a MATCHED
+    # clause exists (an insert-only MERGE leaves matched rows untouched,
+    # so duplicate source matches are then harmless; Delta draws the
+    # same line), and condition-aware: prior["matched"] is the
+    # disjunction of every MATCHED clause condition, so extra source
+    # matches that no clause claims are valid (ANSI: only an actual
+    # double update/delete is an error — r16 advice).  No separate probe
+    # action: the claim count is a window over the matched join
+    # partitioned by target key (an equi-key join output is already
+    # hash-partitioned on the key, so typically sort-only), and a
+    # raise_error guard on the key columns of every matched clause frame
+    # fires inside the ONE upsert execution — at its first action, the
+    # affected-buckets collect, before any file is written or committed.
+    if saw_matched:
+        n_claims = F.sum(
+            F.when(prior["matched"], F.lit(1)).otherwise(F.lit(0))
+        ).over(Window.partitionBy(*[tcol(k) for k in meta.key_columns]))
+        matched = matched.withColumn("__merge_claims", n_claims)
+
+        def card_guard(col: Column) -> Column:
+            return F.when(
+                F.col("__merge_claims") > 1,
+                F.raise_error(F.lit(_MERGE_CARDINALITY_MSG)),
+            ).otherwise(col)
+    else:
+        card_guard = _ident
+
+    def null_key_guard(col: Column) -> Column:
+        # ANSI: NULL in an inserted key column is a constraint
+        # violation, not a silent drop by batch validation (r16 advice);
+        # guards the post-cast value, so a cast-to-NULL also raises
+        return F.when(
+            col.isNull(), F.raise_error(F.lit(_MERGE_NULL_KEY_MSG))
+        ).otherwise(col)
+
+    for side, take, verb, action, seg in specs:
         if side in ("matched", "not_source") and verb == "DELETE":
             rows = matched if side == "matched" else unmatched_tgt
+            guard = card_guard if side == "matched" else _ident
             delete_frames.append(
                 rows.filter(take).select(
-                    *[tcol(k).alias(k) for k in meta.key_columns]
+                    *[guard(tcol(k)).alias(k) for k in meta.key_columns]
                 )
             )
         elif side in ("matched", "not_source") and verb == "UPDATE":
@@ -847,7 +921,10 @@ def _merge(store: TableStore, stmt: str) -> None:
             # source row exists); Spark's analyzer rejects a stray
             # source reference naturally since the anti-join dropped it
             rows = matched if side == "matched" else unmatched_tgt
-            batches.append(_apply_sets(rows.filter(take), _parse_sets(action)))
+            guard = card_guard if side == "matched" else _ident
+            batches.append(
+                _apply_sets(rows.filter(take), _parse_sets(action), guard)
+            )
         elif side == "not_target" and verb == "INSERT":
             im = _INSERT_ACTION_RE.match(action)
             if not im:
@@ -855,7 +932,14 @@ def _merge(store: TableStore, stmt: str) -> None:
             rows = unmatched.filter(take)
             if im.group("vals") is None:  # INSERT * — source cols by name
                 projected = rows.select(
-                    *[F.col(c).cast(types[c]).alias(c) for c in tcols]
+                    *[
+                        (
+                            null_key_guard(F.col(c).cast(types[c]))
+                            if c in meta.key_columns
+                            else F.col(c).cast(types[c])
+                        ).alias(c)
+                        for c in tcols
+                    ]
                 )
             else:
                 cols = (
@@ -869,7 +953,17 @@ def _merge(store: TableStore, stmt: str) -> None:
                     raise SqlDdlError(
                         f"duplicate column in MERGE INSERT list: {cols}"
                     )
-                exprs = _split_top(im.group("vals").strip()[1:-1])
+                vals_text = im.group("vals").strip()
+                inner_vals, after = _match_paren_block(vals_text, 0)
+                if vals_text[after:].strip():
+                    # the greedy VALUES capture would otherwise strip
+                    # the outer parens of a multi-row list and surface
+                    # an opaque Spark expression-parse error (r16 advice)
+                    raise SqlDdlError(
+                        "MERGE INSERT accepts a single VALUES row; got "
+                        f"trailing content: {vals_text[after:].strip()!r}"
+                    )
+                exprs = _split_top(inner_vals)
                 if len(cols) != len(exprs):
                     raise SqlDdlError(
                         "MERGE INSERT column/value count mismatch: "
@@ -886,7 +980,11 @@ def _merge(store: TableStore, stmt: str) -> None:
                     )
                 projected = rows.select(
                     *[
-                        F.expr(mapping[c]).cast(types[c]).alias(c)
+                        (
+                            null_key_guard(F.expr(mapping[c]).cast(types[c]))
+                            if c in meta.key_columns
+                            else F.expr(mapping[c]).cast(types[c])
+                        ).alias(c)
                         if c in mapping
                         else F.lit(None).cast(types[c]).alias(c)
                         for c in tcols
@@ -902,24 +1000,6 @@ def _merge(store: TableStore, stmt: str) -> None:
             raise SqlDdlError(
                 f"unsupported MERGE action for WHEN {clause}: {action!r}"
             )
-    # ANSI cardinality rule: a target row may match at most one source
-    # row — enforced only when a MATCHED clause exists, since an
-    # insert-only MERGE leaves matched rows untouched and duplicate
-    # source matches are then harmless (Delta draws the same line).
-    # The probe aggregates matched rows by target key — cost ∝ the
-    # matched set, result bounded to one row.
-    if saw_matched:
-        dup = (
-            matched.groupBy(*[tcol(k).alias(k) for k in meta.key_columns])
-            .count()
-            .filter(F.col("count") > 1)
-        )
-        if dup.limit(1).count():
-            raise SqlDdlError(
-                "MERGE cardinality violation: a target row matched more "
-                "than one source row"
-            )
-
     batch: DataFrame | None = None
     for b in batches:
         batch = b if batch is None else batch.unionByName(b)
@@ -928,7 +1008,18 @@ def _merge(store: TableStore, stmt: str) -> None:
     dk: DataFrame | None = None
     for d in delete_frames:
         dk = d if dk is None else dk.unionByName(d)
-    store.upsert(target, batch, delete_keys=dk)
+    try:
+        store.upsert(target, batch, delete_keys=dk)
+    except Exception as exc:
+        # guard expressions raise on an executor; surface them as the
+        # statement-level error the SQL layer promises.  They fire at
+        # the upsert's first action (affected-buckets), so the table is
+        # untouched — no file written, no version committed.
+        text = str(exc)
+        for marker in (_MERGE_CARDINALITY_MSG, _MERGE_NULL_KEY_MSG):
+            if marker in text:
+                raise SqlDdlError(marker) from exc
+        raise
 
 
 _ALTER_RE = re.compile(

@@ -388,6 +388,12 @@ class TableStore:
     def list_tables(self) -> list[str]:
         return sorted(p.name for p in self.root.iterdir() if (p / "meta.json").exists())
 
+    def has_table(self, name: str) -> bool:
+        """Whether a managed table ``name`` exists — the public
+        membership probe (case-folded like every identifier) so callers
+        never reach into ``_meta_path``/``_norm_name``."""
+        return self._meta_path(self._norm_name(name)).exists()
+
     def describe(self, name: str) -> DataFrame:
         """DESCRIBE as a DataFrame of (col_name, data_type, is_key)."""
         meta = self.table_meta(name)
@@ -1416,6 +1422,19 @@ class TableStore:
             p.name for p in self.root.iterdir() if (p / "view.json").exists()
         )
 
+    def has_view(self, name: str) -> bool:
+        """Whether a stored view ``name`` exists — the public membership
+        probe (case-folded like every identifier) used by the SQL layer
+        for source routing instead of ``_norm_name``/``list_views``
+        scans."""
+        return self._view_path(self._norm_name(name)).exists()
+
+    def view_sql(self, name: str) -> str:
+        """The stored SELECT of view ``name`` (raises
+        :class:`NoSuchTableError` if absent) — public so SHOW CREATE
+        rendering never reads the view manifest file directly."""
+        return self._view_sql(name)
+
     def _view_sql(self, name: str) -> str:
         path = self._view_path(self._norm_name(name))
         if not path.exists():
@@ -1441,6 +1460,12 @@ class TableStore:
     # ------------------------------------------- MATERIALIZED VIEWS
     def _mview_path(self, name: str) -> Path:
         return self._dir(name) / "mview.json"
+
+    def mview_manifest_path(self, name: str) -> Path:
+        """Filesystem path of an mview's manifest — a public ops/debug
+        accessor (crash-recovery drills edit the manifest to simulate a
+        torn refresh; they should not reach into ``_mview_path``)."""
+        return self._mview_path(self._norm_name(name))
 
     def list_materialized_views(self) -> list[str]:
         """Names of all materialized views (they also appear in

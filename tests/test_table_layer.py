@@ -1123,6 +1123,14 @@ def test_sql_merge_randomized_against_python_model(spark, store):
             lambda s: s,
         ),
         (
+            # conditional + INSERT * interplay, explicitly in the pool
+            # (r16 verdict item 6)
+            "WHEN NOT MATCHED AND s.val < 50 THEN INSERT *",
+            "not_matched",
+            lambda s: s[0] < 50,
+            lambda s: s,
+        ),
+        (
             "WHEN NOT MATCHED BY SOURCE AND t.val < 20 THEN DELETE",
             "by_source",
             lambda t: t[0] < 20,
@@ -1371,6 +1379,137 @@ def test_sql_merge_rejections(spark, store):
     # nothing was mutated by the rejected statements
     rows = sorted((r.id, r.name) for r in store.scan("t").collect())
     assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_sql_merge_cardinality_condition_aware(spark, store):
+    """A target row with MULTIPLE source matches is valid when at most
+    one match satisfies the MATCHED clause conditions (ANSI/SQL Server:
+    only an actual double update/delete is a violation — r16 advice).
+    The SCD idiom 'WHEN MATCHED AND s.is_current = 1' must work against
+    a source carrying history rows."""
+    execute = _merge_fixture(store)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES "
+        "(1, 'old', 0), (1, 'new', 1), (2, 'hist', 0) "
+        "AS v(id, name, is_current)) AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.is_current = 1 THEN UPDATE SET name = s.name",
+    )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    # id 1: two matches, one claimed -> updated with the claimed row;
+    # id 2: one match, unclaimed -> untouched
+    assert rows == [(1, "new"), (2, "b"), (3, "c")]
+
+
+def test_sql_merge_cardinality_violation_across_clauses(spark, store):
+    """Two source matches claimed by DIFFERENT matched clauses (one
+    UPDATE, one DELETE) are still a cardinality violation, and the guard
+    fires inside the single upsert execution BEFORE anything is written:
+    rows AND version are untouched."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
+
+    execute = _merge_fixture(store)
+    v_before = store.current_version("t")
+    with pytest.raises(SqlDdlError, match="cardinality"):
+        execute(
+            store,
+            "MERGE INTO t USING (SELECT * FROM VALUES "
+            "(1, 'x', 1), (1, 'y', 2) AS v(id, name, k)) AS s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND s.k = 1 THEN UPDATE SET name = s.name "
+            "WHEN MATCHED AND s.k = 2 THEN DELETE",
+        )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert store.current_version("t") == v_before
+
+
+def test_sql_merge_insert_null_key_raises(spark, store):
+    """A NOT MATCHED INSERT whose key expression evaluates to NULL is an
+    ANSI constraint violation raised before anything is written — not a
+    silent drop by batch validation (r16 advice).  Both the VALUES and
+    INSERT * spellings are guarded, post-cast."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
+
+    execute = _merge_fixture(store)
+    v_before = store.current_version("t")
+    with pytest.raises(SqlDdlError, match="NULL key"):
+        execute(
+            store,
+            "MERGE INTO t USING (SELECT * FROM VALUES (9, 'i') "
+            "AS v(id, name)) AS s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, name) "
+            "VALUES (CAST(NULL AS INT), s.name)",
+        )
+    with pytest.raises(SqlDdlError, match="NULL key"):
+        execute(
+            store,
+            "MERGE INTO t USING (SELECT * FROM VALUES "
+            "(CAST(NULL AS INT), 'n') AS v(id, name)) AS s "
+            "ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert store.current_version("t") == v_before
+
+
+def test_sql_merge_insert_multi_row_values_rejected(spark, store):
+    """Multi-row VALUES in a MERGE INSERT (invalid ANSI, a plausible
+    typo) gets a clean SqlDdlError naming the rule, not an opaque Spark
+    expression-parse error from the greedily captured tail (r16
+    advice)."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
+
+    execute = _merge_fixture(store)
+    with pytest.raises(SqlDdlError, match="single VALUES row"):
+        execute(
+            store,
+            "MERGE INTO t USING (SELECT * FROM VALUES (9, 'i') "
+            "AS v(id, name)) AS s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, name) "
+            "VALUES (9, 'x'), (10, 'y')",
+        )
+
+
+def test_sql_merge_runs_no_action_outside_the_single_upsert(
+    spark, store, monkeypatch
+):
+    """The r16 cardinality probe ran the target⋈source join as a
+    SEPARATE ``dup.limit(1).count()`` action per statement; the check
+    now rides inside the one upsert execution.  Pin: ``_merge`` itself
+    triggers ZERO Spark actions — with ``store.upsert`` stubbed out,
+    every DataFrame action method is a test failure, so MERGE's total
+    action count is exactly the upsert's."""
+    from pyspark.sql import DataFrame
+
+    from hivekudu_handler_spark.sources.table_store import TableStore
+
+    execute = _merge_fixture(store)
+    calls = []
+    monkeypatch.setattr(
+        TableStore,
+        "upsert",
+        lambda self, name, df, *, delete_keys=None: calls.append(name),
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("MERGE planning must not trigger a Spark action")
+
+    for action in (
+        "collect", "count", "take", "head", "first", "toPandas",
+        "toLocalIterator", "foreach", "foreachPartition",
+    ):
+        monkeypatch.setattr(DataFrame, action, boom)
+    execute(
+        store,
+        "MERGE INTO t USING (SELECT * FROM VALUES (1,'x'),(9,'i') "
+        "AS v(id, name)) AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET name = s.name "
+        "WHEN MATCHED AND t.id > 99 THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert calls == ["t"]
 
 
 # ---- ALTER TABLE (Kudu AlterTableRequest parity) --------------------------

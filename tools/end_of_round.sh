@@ -24,7 +24,12 @@ python -m tools.gen_survey_status
 #    Per-pattern adds: a single multi-glob `git add` aborts wholesale on
 #    the first non-matching pathspec, silently staging NOTHING.
 git add tools/source_hashes.json SURVEY.md
-for pat in 'CORRECTNESS_r*.json' 'BENCH_r*.json' 'BENCH_LOCAL.json'; do
+# BENCH_LOCAL.json is deliberately NOT staged: bench.py rewrites it on
+# every run (including the driver's own per-round run AFTER the final
+# commit), so tracking it left the tree dirty at every round boundary
+# (r16 verdict item 7) — it is gitignored; BENCH_r{N}.json and
+# BENCH_NOTES.md are the committed record.
+for pat in 'CORRECTNESS_r*.json' 'BENCH_r*.json'; do
     if compgen -G "$pat" > /dev/null; then
         # shellcheck disable=SC2086
         git add -f $pat

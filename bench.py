@@ -103,6 +103,7 @@ HEADLINE = [
     "join_dpp",             # hive-partitioned fact + runtime dynamicpruning subquery (r15)
     "join_runtime_bloom",   # InjectRuntimeFilter bloom semi-join pushdown (r15)
     "text_winnow_fingerprint",  # MOSS winnowing: per-position k-gram hash + window-min (r16)
+    "events_volume_anomaly",  # daily-volume MAD outliers: 1 corpus shuffle + chained windows (r17)
 ]
 
 

@@ -457,6 +457,86 @@ def sql_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_merge_scd2",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(1, 'alice',  '2024-01-01', '2024-06-01', 0), "
+        "(1, 'alicia', '2024-06-01', CAST(NULL AS VARCHAR), 1), "
+        "(2, 'bob',    '2024-01-01', NULL, 1), "
+        "(3, 'carol',  '2024-01-01', NULL, 1), "
+        "(4, 'dave',   '2024-06-01', NULL, 1)) "
+        "AS t(id, name, valid_from, valid_to, is_current)"
+    ),
+    tags=("ddl", "sink"),
+)
+def sql_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance in ONE MERGE — the
+    canonical production shape of the reference's declared upsert goal
+    (``doc/DesignDocument.md:9``): keep full history in the dimension by
+    closing the current row of every changed entity and inserting its
+    new version, in a single statement and a single bucket-scoped
+    commit.  Uses the standard double-source construction: each change
+    appears once with ``merge_id = id`` (joins the current row; claims
+    the close-out UPDATE only when the tracked attribute actually
+    changed — exercising the condition-aware cardinality rule) and,
+    for changed entities only, once with ``merge_id = NULL`` (never
+    joins, so it falls through to the version INSERT); brand-new
+    entities insert via their unmatched ``merge_id = id`` copy.  The
+    USING subquery references the target table itself (the store
+    registers every table as a temp view for subquery sources).
+    Composite PK (id, valid_from) lets versions of one entity coexist.
+
+    From alice/bob/carol current rows and a 2024-06-01 batch of
+    (1→'alicia' changed, 2→'bob' unchanged, 4→'dave' new): alice's row
+    closes with valid_to set, alicia and dave insert as current, bob
+    and carol are untouched."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE dim_scd (id int, name string, valid_from string, "
+            "valid_to string, is_current int) "
+            "TBLPROPERTIES ('kudu.key_columns'='id,valid_from')",
+        )
+        execute(
+            store,
+            "INSERT INTO dim_scd VALUES "
+            "(1,'alice','2024-01-01',NULL,1),"
+            "(2,'bob','2024-01-01',NULL,1),"
+            "(3,'carol','2024-01-01',NULL,1)",
+        )
+        v_before = store.current_version("dim_scd")
+        execute(
+            store,
+            "MERGE INTO dim_scd AS t USING ("
+            " WITH u (id, name, valid_from) AS ("
+            "   SELECT * FROM VALUES "
+            "     (1,'alicia','2024-06-01'),"
+            "     (2,'bob','2024-06-01'),"
+            "     (4,'dave','2024-06-01'))"
+            " SELECT u.id AS merge_id, u.id AS id, u.name AS name,"
+            "        u.valid_from AS valid_from FROM u"
+            " UNION ALL"
+            " SELECT CAST(NULL AS INT), u.id, u.name, u.valid_from"
+            " FROM u JOIN dim_scd d"
+            "   ON d.id = u.id AND d.is_current = 1 AND d.name <> u.name"
+            ") AS s "
+            "ON t.id = s.merge_id AND t.is_current = 1 "
+            "WHEN MATCHED AND t.name <> s.name THEN "
+            "  UPDATE SET is_current = 0, valid_to = s.valid_from "
+            "WHEN NOT MATCHED THEN "
+            "  INSERT (id, name, valid_from, is_current) "
+            "  VALUES (s.id, s.name, s.valid_from, 1)",
+        )
+        assert store.current_version("dim_scd") == v_before + 1
+        return _materialize(spark, store.scan("dim_scd"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "sink_insert_overwrite",
     oracle=(
         "SELECT * FROM (VALUES (7, 'x'), (8, 'y')) AS t(id, name)"

@@ -577,3 +577,75 @@ def agg_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+@query(
+    "events_volume_anomaly",
+    oracle=(
+        "WITH daily AS ("
+        "  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n "
+        "  FROM events GROUP BY event_type, CAST(ts AS DATE)), "
+        "stats AS ("
+        "  SELECT event_type, quantile_cont(n, 0.5) AS med "
+        "  FROM daily GROUP BY event_type), "
+        "mad AS ("
+        "  SELECT d.event_type, quantile_cont(abs(d.n - s.med), 0.5) AS mad "
+        "  FROM daily d JOIN stats s USING (event_type) "
+        "  GROUP BY d.event_type) "
+        "SELECT d.event_type, d.day, d.n, s.med, m.mad, "
+        "       CASE WHEN m.mad = 0 THEN NULL "
+        "            ELSE round(abs(d.n - s.med) / (1.4826 * m.mad), 4) "
+        "       END AS robust_z, "
+        "       abs(d.n - s.med) > 3 * 1.4826 * m.mad AS is_anomaly "
+        "FROM daily d JOIN stats s USING (event_type) "
+        "JOIN mad m ON d.event_type = m.event_type "
+        "ORDER BY d.event_type, d.day"
+    ),
+    tags=("events",),
+)
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly detection per event type — the
+    median/MAD outlier rule (robust z-score, 1.4826 · MAD ≈ σ under
+    normality; Leys et al. 2013) every ingestion pipeline runs to catch
+    broken trackers and bot floods before the data poisons training.
+    The reference's positioning is exactly this operational-analytics
+    shape (``doc/DesignDocument.md:4-8``).  Complements
+    ``events_anomaly`` (per-ROW value outliers via Tukey fences): this
+    key detects anomalous DAYS in the volume time series per type.
+
+    Scale story: ONE corpus scan and one data-sized shuffle — the
+    partial-agg group-by to (event_type, day) cells; median and MAD are
+    CHAINED window aggregates over that bounded types × days frame
+    partitioned by event_type, sharing a single (tiny) exchange.  The
+    first draft computed med/MAD as separate group-bys joined back,
+    which replanned the corpus aggregation per consumer — 4 full scans
+    in the plan; the window form pins scans to 1 (tests).  Determinism:
+    daily cells are exact COUNTs (bigint), and linear-interpolated
+    percentile over integers yields exact binary fractions (x.0/x.5) in
+    both engines, so med/MAD/threshold compares are bit-identical —
+    no float-boundary membership flips (the reason this uses counts,
+    not SUM(value))."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    g = daily.withColumn("med", F.percentile("n", F.lit(0.5)).over(w))
+    g = g.withColumn(
+        "mad", F.percentile(F.abs(F.col("n") - F.col("med")), F.lit(0.5)).over(w)
+    )
+    dev = F.abs(F.col("n") - F.col("med"))
+    return (
+        g.select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            "mad",
+            F.when(F.col("mad") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(dev / (F.lit(1.4826) * F.col("mad")), 4))
+            .alias("robust_z"),
+            (dev > F.lit(3 * 1.4826) * F.col("mad")).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -687,3 +687,23 @@ def test_runtime_bloom_filter_injected(spark):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert "bloom_filter_agg" in opt, opt
         assert "might_contain" in opt, opt
+
+
+def test_volume_anomaly_single_scan_pruned(spark):
+    """events_volume_anomaly (r17): the corpus appears ONCE in the plan
+    (med and MAD are chained window aggregates over the bounded daily
+    frame, not separate group-bys joined back — the join form replanned
+    the corpus aggregation 4×), the scan reads only (ts, event_type),
+    and the whole plan carries at most 3 exchanges: corpus→daily cells,
+    the per-type window, the final sort."""
+    from hivekudu_handler_spark.operators.event_analytics import (
+        events_volume_anomaly,
+    )
+
+    df = events_volume_anomaly(spark, SF)
+    plan = checks.plan_string(df)
+    assert plan.count("ReadSchema") == 1, plan
+    schema = checks.read_schema(df)
+    assert "event_type" in schema and "ts" in schema, schema
+    assert "value" not in schema and "props" not in schema, schema
+    assert checks.count_shuffles(df) <= 3, plan

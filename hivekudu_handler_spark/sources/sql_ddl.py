@@ -886,6 +886,13 @@ def _merge(store: TableStore, stmt: str) -> None:
     # fires inside the ONE upsert execution — at its first action, the
     # affected-buckets collect, before any file is written or committed.
     if saw_matched:
+        if any(
+            c.lower() == "__merge_claims" for c in (*tcols, *src.columns)
+        ):
+            # the guard column must resolve unambiguously over the join
+            raise SqlDdlError(
+                "column name '__merge_claims' is reserved by MERGE"
+            )
         n_claims = F.sum(
             F.when(prior["matched"], F.lit(1)).otherwise(F.lit(0))
         ).over(Window.partitionBy(*[tcol(k) for k in meta.key_columns]))

@@ -1804,6 +1804,12 @@ class TableStore:
         return meta
 
     def _validate_batch(self, meta: TableMeta, df: DataFrame) -> DataFrame:
+        """Schema-align a write batch and DROP rows with NULL key columns
+        (Kudu semantics: a row without a full PK is unaddressable).  The
+        drop is silent at this layer by design — direct-API callers get
+        set semantics for free; SQL paths that promise ANSI constraint
+        errors (MERGE INSERT) guard key expressions with raise_error
+        UPSTREAM so a NULL key never reaches this filter (r16 advice)."""
         expected = [f.name for f in meta.schema.fields]
         got = df.columns
         if set(got) != set(expected):

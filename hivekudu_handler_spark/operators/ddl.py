@@ -478,7 +478,10 @@ def sql_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit.  Uses the standard double-source construction: each change
     appears once with ``merge_id = id`` (joins the current row; claims
     the close-out UPDATE only when the tracked attribute actually
-    changed — exercising the condition-aware cardinality rule) and,
+    changed, so unchanged entities pass through matched-but-unclaimed —
+    each target row here matches at most ONE source row, so the
+    condition-aware cardinality rule itself is pinned by
+    ``test_sql_merge_cardinality_condition_aware``, not this key) and,
     for changed entities only, once with ``merge_id = NULL`` (never
     joins, so it falls through to the version INSERT); brand-new
     entities insert via their unmatched ``merge_id = id`` copy.  The

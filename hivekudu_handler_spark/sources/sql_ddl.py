@@ -596,17 +596,66 @@ _INSERT_ACTION_RE = re.compile(
     r"^INSERT\s+(?:\*|(?:\((?P<cols>[^)]*)\)\s+)?VALUES\s*(?P<vals>\(.+\)))$",
     re.IGNORECASE | re.DOTALL,
 )
-# executor-raised guard messages (F.raise_error inside the merge batch):
-# _merge re-raises them as SqlDdlError — match by substring, since Spark
-# wraps them as "[USER_RAISED_EXCEPTION] <msg>"
+# executor-raised guard messages (F.raise_error inside a DML batch):
+# _run_guarded re-raises them as SqlDdlError
 _MERGE_CARDINALITY_MSG = (
     "MERGE cardinality violation: a target row was updated or deleted "
     "by more than one source row"
 )
-_MERGE_NULL_KEY_MSG = (
-    "MERGE INSERT produced a NULL key column value; inserted keys must "
+_NULL_KEY_MSG = (
+    "INSERT produced a NULL key column value; key columns must "
     "be non-NULL"
 )
+
+
+def _run_guarded(write) -> None:
+    """Run a store write whose batch carries ``raise_error`` guard
+    columns, translating the executor-raised guard messages back into
+    the statement-level :class:`SqlDdlError` the SQL layer promises.
+    Only genuinely user-raised errors are rewrapped (Spark tags them
+    with the USER_RAISED_EXCEPTION error condition) — an unrelated
+    failure whose text merely embeds a marker string (e.g. a codegen
+    dump quoting the guard literal) propagates untouched (r17 review).
+    Guards fire at the write's FIRST action (the affected-buckets
+    collect), so a violation leaves the table untouched — no file
+    written, no version committed."""
+    try:
+        write()
+    except SqlDdlError:
+        raise
+    except Exception as exc:
+        get = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        try:
+            cond = get() if callable(get) else None
+        except Exception:
+            cond = None
+        text = str(exc)
+        if cond == "USER_RAISED_EXCEPTION" or "[USER_RAISED_EXCEPTION]" in text:
+            for marker in (_MERGE_CARDINALITY_MSG, _NULL_KEY_MSG):
+                if marker in text:
+                    raise SqlDdlError(marker) from exc
+        raise
+
+
+def _guard_null_keys(df: DataFrame, key_columns) -> DataFrame:
+    """Wrap each key column of a DML batch so a NULL value raises the
+    ANSI constraint violation instead of being silently dropped by
+    batch validation — INSERT/UPSERT INTO and MERGE INSERT share this
+    rule so the dialect is consistent (r17 review)."""
+    return df.select(
+        *[
+            F.when(
+                F.col(c).isNull(), F.raise_error(F.lit(_NULL_KEY_MSG))
+            )
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in key_columns
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def _split_keyword(text: str, pattern: str) -> list[str]:
@@ -800,7 +849,7 @@ def _merge(store: TableStore, stmt: str) -> None:
         return assignments
 
     def _apply_sets(
-        rows: DataFrame, assignments: dict[str, str], key_guard=_ident
+        rows: DataFrame, assignments: dict[str, str], key_guard
     ) -> DataFrame:
         # key columns are never SET targets, so the cardinality guard
         # wraps their pass-through projection
@@ -834,7 +883,7 @@ def _merge(store: TableStore, stmt: str) -> None:
     # pass 1 parses every clause (building the first-true-claims chains
     # and, crucially, the FULL matched-condition disjunction the
     # cardinality guard needs); pass 2 builds the frames
-    specs: list[tuple[str, Column, str, str, str]] = []
+    specs: list[tuple[str, Column, str, str]] = []
     for seg in segments[1:]:
         cm = _CLAUSE_HEAD_RE.match(seg.strip())
         if not cm:
@@ -868,7 +917,7 @@ def _merge(store: TableStore, stmt: str) -> None:
         take = this & ~prior[side]
         prior[side] = prior[side] | this
         verb = action.split(None, 1)[0].upper() if action else ""
-        specs.append((side, take, verb, action, seg))
+        specs.append((side, take, verb, action))
     saw_matched = any(s[0] == "matched" for s in specs)
 
     # ANSI cardinality rule: a target row may be CLAIMED (updated or
@@ -911,10 +960,10 @@ def _merge(store: TableStore, stmt: str) -> None:
         # violation, not a silent drop by batch validation (r16 advice);
         # guards the post-cast value, so a cast-to-NULL also raises
         return F.when(
-            col.isNull(), F.raise_error(F.lit(_MERGE_NULL_KEY_MSG))
+            col.isNull(), F.raise_error(F.lit(_NULL_KEY_MSG))
         ).otherwise(col)
 
-    for side, take, verb, action, seg in specs:
+    for side, take, verb, action in specs:
         if side in ("matched", "not_source") and verb == "DELETE":
             rows = matched if side == "matched" else unmatched_tgt
             guard = card_guard if side == "matched" else _ident
@@ -1015,18 +1064,7 @@ def _merge(store: TableStore, stmt: str) -> None:
     dk: DataFrame | None = None
     for d in delete_frames:
         dk = d if dk is None else dk.unionByName(d)
-    try:
-        store.upsert(target, batch, delete_keys=dk)
-    except Exception as exc:
-        # guard expressions raise on an executor; surface them as the
-        # statement-level error the SQL layer promises.  They fire at
-        # the upsert's first action (affected-buckets), so the table is
-        # untouched — no file written, no version committed.
-        text = str(exc)
-        for marker in (_MERGE_CARDINALITY_MSG, _MERGE_NULL_KEY_MSG):
-            if marker in text:
-                raise SqlDdlError(marker) from exc
-        raise
+    _run_guarded(lambda: store.upsert(target, batch, delete_keys=dk))
 
 
 _ALTER_RE = re.compile(
@@ -1245,7 +1283,11 @@ def _insert(store: TableStore, stmt: str) -> None:
     df = df.select(
         *[F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, fields)]
     )
+    # SQL-dialect consistency with MERGE INSERT (r17 review): a NULL key
+    # value is an ANSI constraint violation, raised before the write's
+    # first action commits anything — not a silent validate-filter drop
+    df = _guard_null_keys(df, meta.key_columns)
     if m.group("verb").upper() == "UPSERT":
-        store.upsert(name, df)
+        _run_guarded(lambda: store.upsert(name, df))
     else:
-        store.insert(name, df)
+        _run_guarded(lambda: store.insert(name, df))

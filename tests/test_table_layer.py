@@ -1454,6 +1454,25 @@ def test_sql_merge_insert_null_key_raises(spark, store):
     assert store.current_version("t") == v_before
 
 
+def test_sql_insert_null_key_raises(spark, store):
+    """INSERT INTO / UPSERT INTO with a NULL key value raise the same
+    ANSI constraint violation MERGE INSERT does — one dialect, one
+    rule (r17 review: the guard was MERGE-only at first, leaving plain
+    INSERT with silent-drop semantics).  Nothing is written: version
+    and rows are untouched."""
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError
+
+    execute = _merge_fixture(store)
+    v_before = store.current_version("t")
+    with pytest.raises(SqlDdlError, match="NULL key"):
+        execute(store, "INSERT INTO t VALUES (NULL, 'x')")
+    with pytest.raises(SqlDdlError, match="NULL key"):
+        execute(store, "UPSERT INTO t VALUES (NULL, 'x')")
+    rows = sorted((r.id, r.name) for r in store.scan("t").collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    assert store.current_version("t") == v_before
+
+
 def test_sql_merge_insert_multi_row_values_rejected(spark, store):
     """Multi-row VALUES in a MERGE INSERT (invalid ANSI, a plausible
     typo) gets a clean SqlDdlError naming the rule, not an opaque Spark

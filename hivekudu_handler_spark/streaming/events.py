@@ -735,3 +735,78 @@ def stream_mview_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out.orderBy("event_type"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "stream_dedup_replay",
+    oracle=(
+        "SELECT event_type, COUNT(*) AS n_events FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    tags=("streaming", "stateful", "slow"),
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion over an at-least-once source — the replay
+    failure mode every streaming training-data ingest must survive
+    (the reference's positioning is exactly this fast-changing-ingest
+    shape, ``doc/DesignDocument.md:4-8``).  The event stream is staged
+    TWICE (a full replay) with ``maxFilesPerTrigger=1``, so the second
+    copy arrives in a LATER micro-batch and deduplication must happen
+    through the state store, not within-batch hashing.  Unlike the
+    sibling ``stream_dedup`` (whose registered form is the batch dedup
+    surface; its streaming path is pytest-pinned), this key drives the
+    REAL streaming engine end-to-end inside the driver-checked query.
+
+    Scale path: ``dropDuplicatesWithinWatermark`` keeps
+    watermark-BOUNDED state — ids older than the event-time delay are
+    evicted, so state grows with the id arrival rate × window, not the
+    stream's lifetime (plain ``dropDuplicates`` pins every id forever
+    and OOMs a year-long 100 TB ingest).  The 35-day delay here exceeds
+    the fixture's 30-day span, so no id ages out mid-run and the sink
+    holds exactly ONE row per original event: per-type counts match the
+    batch oracle over the single-copy events table."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from hivekudu_handler_spark.operators.ddl import _materialize
+
+    ev = load_events(spark, sf_dir)
+    d = Path(tempfile.mkdtemp(prefix="stream_dedup_"))
+    try:
+        for seq in range(2):  # two identical copies = full replay
+            ev.coalesce(1).write.mode("overwrite").parquet(
+                str(d / "stage" / f"f{seq:02d}")
+            )
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(d / "stage" / "f*"))
+        )
+        deduped = stream.withWatermark(
+            "ts", "35 days"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        out = str(d / "out")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # stop BEFORE the finally rmtree pulls the dirs out from
+            # under a still-running query (the run_upsert_sink rule)
+            q.stop()
+            raise TimeoutError("streaming query did not finish within 300 s")
+        result = (
+            spark.read.schema(ev.schema)
+            .parquet(out)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("event_type")
+        )
+        return _materialize(spark, result)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

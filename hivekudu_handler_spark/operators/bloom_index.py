@@ -1,0 +1,148 @@
+"""Per-file Bloom-filter index for point-lookup file skipping
+(SURVEY.md §2.1 keyed lookup, scale extension).
+
+Kudu answers a primary-key point read without scanning: each rowset
+carries a Bloom filter of its keys and the scan consults it before
+touching data (the reference's lookup path,
+``HiveKuduTableInputFormat.java:444-572``, delegates exactly this to the
+Kudu client).  A plain parquet lake table laid out by TIME has no such
+aid — ``WHERE event_id = k`` must open every file because the per-file
+min/max stats of a high-cardinality column laid out on another axis span
+the whole domain.  This module rebuilds the Kudu-side structure as a
+sidecar table:
+
+* **Build** (one distributed pass, one shuffle of bounded size): read
+  ``(file, value)`` via the ``_metadata.file_path`` column, expand each
+  value to its K probe positions with ``xxhash64`` (JVM codegen — the
+  salt literal varies the hash per probe), and ``collect_set`` the
+  positions per file.  Map-side partial aggregation caps what shuffles
+  at M distinct positions per file per mapper, so index build cost is a
+  scan plus a metadata-sized shuffle regardless of table size; the index
+  itself is one row per data file (≤ M ints ≈ 64 KB) — at 100 TB with
+  ~10⁶ files that is a ~10-GB table, itself distributed.
+* **Lookup**: hash the probe value to its K positions WITH THE SAME JVM
+  expression on a 1-row DataFrame (no Python re-implementation of
+  xxhash64 to drift out of sync), filter the index for files whose
+  position set covers all K (``array_intersect`` — JVM-side over the
+  metadata-sized index), and read only those files with the exact
+  predicate re-applied.  Bloom filters have no false negatives, so the
+  skipped files provably hold no matches; false positives only cost an
+  extra file read and are removed by the residual filter.  Expected FP
+  rate at the defaults: with n distinct values/file, density
+  d = 1-exp(-K*n/M); per-file FP = d^K (≈0.05% for n=300, M=8192, K=4).
+
+The candidate file list is the only driver materialization and is
+bounded by the number of files that can contain the value (for a unique
+key: true hits + M·FP-rate) — never row data.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.operators.ddl import _SCRATCH_ROOT, _materialize
+from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.tables import load_events
+
+M_BITS = 8192  # filter width (positions per file)
+K_PROBES = 4  # probe positions per value
+
+
+def _probe_positions(value: Column) -> list[Column]:
+    """The K Bloom positions of ``value`` — xxhash64 with a per-probe
+    salt literal, reduced mod M.  Pure JVM expressions: build and lookup
+    share this function, so the two sides cannot disagree."""
+    return [
+        F.pmod(F.xxhash64(value, F.lit(i)), F.lit(M_BITS)).cast("int")
+        for i in range(K_PROBES)
+    ]
+
+
+def bloom_index_build(spark: SparkSession, data_dir: str, col: str, index_dir: str) -> None:
+    """Write the per-file Bloom sidecar for ``col`` under ``index_dir``:
+    one row per data file, ``bits`` = sorted distinct probe positions."""
+    src = spark.read.parquet(data_dir).select(
+        F.col("_metadata.file_path").alias("file"), F.col(col).alias("__v")
+    )
+    exploded = src.select(
+        "file", F.explode(F.array(*_probe_positions(F.col("__v")))).alias("pos")
+    )
+    (
+        exploded.groupBy("file")
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+        .write.mode("overwrite")
+        .parquet(index_dir)
+    )
+
+
+def bloom_index_lookup(
+    spark: SparkSession, data_dir: str, index_dir: str, col: str, value, value_type: str
+) -> tuple[DataFrame, list[str]]:
+    """Point lookup ``col = value`` through the sidecar: returns the
+    result DataFrame (exact — the residual filter removes Bloom false
+    positives) and the candidate file list that was actually read."""
+    probe_row = spark.range(1).select(
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(_probe_positions(F.lit(value).cast(value_type)))
+        ]
+    ).first()
+    probe = sorted({probe_row[f"p{i}"] for i in range(K_PROBES)})
+    idx = spark.read.parquet(index_dir)
+    candidates = [
+        r.file
+        for r in idx.filter(
+            F.size(F.array_intersect("bits", F.array(*[F.lit(p) for p in probe])))
+            == len(probe)
+        )
+        .select("file")
+        .collect()
+    ]
+    schema = spark.read.parquet(data_dir).schema
+    if not candidates:
+        # no false negatives: an empty candidate set proves zero matches
+        return spark.createDataFrame([], schema), []
+    hit = spark.read.parquet(*candidates).filter(
+        F.col(col) == F.lit(value).cast(value_type)
+    )
+    return hit, candidates
+
+
+@query(
+    "scan_bloom_index",
+    oracle=(
+        "SELECT event_id, user_id, value FROM events WHERE event_id = 123"
+    ),
+    tags=("scan", "scale"),
+)
+def scan_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index round trip: land ``events`` as 32 time-ordered files
+    (the lake layout under which event_id min/max stats are useless),
+    build the per-file Bloom sidecar on ``event_id``, and answer a
+    point lookup by reading only candidate files — Kudu's key-Bloom
+    scan path over plain parquet.  The oracle filters the unindexed
+    source; identical rows prove no-false-negative correctness, and
+    tests/test_new_surface_r17.py pins that the candidate set is a
+    small fraction of the 32 files."""
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix="bloom_", dir=_SCRATCH_ROOT))
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+        (
+            ev.repartitionByRange(32, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(str(d / "ev"))
+        )
+        bloom_index_build(spark, str(d / "ev"), "event_id", str(d / "ev_bloom"))
+        hit, _files = bloom_index_lookup(
+            spark, str(d / "ev"), str(d / "ev_bloom"), "event_id", 123, "bigint"
+        )
+        return _materialize(spark, hit.select("event_id", "user_id", "value"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -412,3 +412,232 @@ def mview_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("mvr").orderBy("event_type"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_JOIN_MV_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+           * CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 < 2
+                  THEN 2 ELSE 1 END AS cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+), c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 3 THEN 'MIGRATED'
+              ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey % 13 <> 0
+)
+SELECT c.seg, COUNT(*) AS n_rows, CAST(SUM(o.cents) AS BIGINT) AS sum_cents
+FROM o JOIN c ON o.o_custkey = c.c_custkey
+GROUP BY c.seg ORDER BY c.seg
+"""
+
+
+def join_view_delta_refresh(
+    store,
+    base: DataFrame,
+    *,
+    left: str,
+    right: str,
+    v_left: int,
+    v_right: int,
+    lkey: str,
+    rkey: str,
+    group_col: str,
+    measure_col: str,
+) -> DataFrame:
+    """Merge the join-view delta into ``base`` and return the refreshed
+    view — the exact two-table delta rule
+
+        dV = gamma(dL JOIN R_new) + gamma(L_old JOIN dR)
+
+    for a view ``gamma_group(SUM(measure), COUNT(*))`` over
+    ``left JOIN right ON lkey = rkey`` where ``measure_col`` lives on
+    the LEFT base and ``group_col`` on the RIGHT.  ``base`` must carry
+    ``(group_col, n_rows, sum_<measure_col>)`` as of versions
+    ``(v_left, v_right)``; both bases may have moved arbitrarily since
+    (inserts, updates, deletes on either side — including the same
+    logical pair mutating on both).  Each diff row contributes its old
+    image with sign -1 and its new image with sign +1; the signs
+    multiply through the join, so a pair whose halves BOTH disappeared
+    is retracted exactly once (it is absent from R_new, so only the
+    L_old JOIN dR term sees it).
+
+    Scale shape: the diff frames are delta-sized (manifest symmetric
+    difference) and explicitly broadcast — each term is one scan of the
+    counterpart base with a broadcast hash join, never a base-vs-base
+    join and never a shuffle of the big side."""
+    lmeta, rmeta = store.table_meta(left), store.table_meta(right)
+    sum_col = f"sum_{measure_col}"
+
+    def old(c: str, keys) -> F.Column:
+        return F.col(c if c in keys else f"old_{c}")
+
+    d_left = store.diff(left, v_left, store.current_version(left), include_old=True)
+    d_right = store.diff(right, v_right, store.current_version(right), include_old=True)
+
+    lkeys, rkeys = set(lmeta.key_columns), set(rmeta.key_columns)
+    # the deltas' join-key column gets a reserved name so the terms stay
+    # unambiguous when lkey == rkey (USING-style views)
+    jk = "__jv_key"
+    # dL, pre-aggregated per join key (additive measures allow it)
+    l_delta = (
+        d_left.filter(F.col("change_type") != "insert")
+        .select(
+            old(lkey, lkeys).alias(jk),
+            F.lit(-1).cast("long").alias("dn"),
+            (-old(measure_col, lkeys)).alias("dm"),
+        )
+        .unionByName(
+            d_left.filter(F.col("change_type") != "delete").select(
+                F.col(lkey).alias(jk),
+                F.lit(1).cast("long").alias("dn"),
+                F.col(measure_col).alias("dm"),
+            )
+        )
+        .groupBy(jk)
+        .agg(F.sum("dn").alias("dn"), F.sum("dm").alias("dm"))
+    )
+    # dR keeps rows (retract/assert may carry different group values)
+    r_delta = (
+        d_right.filter(F.col("change_type") != "insert")
+        .select(
+            old(rkey, rkeys).alias(jk),
+            F.lit(-1).cast("long").alias("sign"),
+            old(group_col, rkeys).alias(group_col),
+        )
+        .unionByName(
+            d_right.filter(F.col("change_type") != "delete").select(
+                F.col(rkey).alias(jk),
+                F.lit(1).cast("long").alias("sign"),
+                F.col(group_col),
+            )
+        )
+    )
+
+    r_new = store.scan(right)
+    term1 = (
+        F.broadcast(l_delta)
+        .join(r_new, F.col(jk) == r_new[rkey])
+        .select(group_col, "dn", "dm")
+    )
+    l_old = store.scan_snapshot(left, v_left)
+    term2 = (
+        l_old.join(F.broadcast(r_delta), l_old[lkey] == F.col(jk))
+        .select(
+            group_col,
+            F.col("sign").alias("dn"),
+            (F.col("sign") * F.col(measure_col)).alias("dm"),
+        )
+    )
+    delta = (
+        term1.unionByName(term2)
+        .groupBy(group_col)
+        .agg(F.sum("dn").alias("dn"), F.sum("dm").alias("dm"))
+    )
+    return (
+        base.join(delta, group_col, "full_outer")
+        .select(
+            group_col,
+            (
+                F.coalesce(F.col("n_rows"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col(sum_col), F.lit(0))
+                + F.coalesce(F.col("dm"), F.lit(0))
+            ).alias(sum_col),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy(group_col)
+    )
+
+
+@query("mview_join_incremental", oracle=_JOIN_MV_SQL, tags=("table", "snapshot", "slow"))
+def mview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance — the delta rule for a
+    two-table view, one class up from the SUM/COUNT-groupby IVM that
+    ``TableStore.refresh_materialized_view`` automates:
+
+        V = gamma_seg(orders JOIN customer ON custkey)
+        dV = gamma(dO JOIN C_new) + gamma(O_old JOIN dC)
+
+    (exact: O_new*C_new - O_old*C_old = dO*C_new + O_old*dC, each diff
+    row signed -1 for its retracted old image / +1 for its asserted new
+    one).  BOTH bases mutate between the materialization and the
+    refresh — late orders, doubled cents, order deletes, a customer
+    segment migration, customer deletes — and the merged view must
+    equal the oracle's from-scratch recompute of the final state.
+
+    Scale shape: both diff frames are delta-sized (manifest symmetric
+    difference — unchanged tablets are never read) and are explicitly
+    broadcast, so each term is ONE scan of the counterpart base with a
+    broadcast hash join — no shuffle of the big side, no base-vs-base
+    join.  The ``O_old JOIN dC`` term's scan of the probed base is the
+    irreducible cost of join IVM without clustering; bucketing orders
+    by the JOIN key (``kudu.hash_columns``) would prune it to the
+    delta's buckets.  Integer cents keep every path float-free, so
+    incremental equals recompute bit-for-bit."""
+    from hivekudu_handler_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "ord", "o_orderkey bigint, o_custkey bigint, cents bigint", ["o_orderkey"]
+        )
+        store.create_table("cust", "c_custkey bigint, seg string", ["c_custkey"])
+        store.insert("ord", orders.filter(F.col("o_orderkey") % 3 < 2))
+        store.insert("cust", cust)
+        v_ord, v_cust = store.current_version("ord"), store.current_version("cust")
+
+        # the stored view at (v_ord, v_cust) — materialized NOW, before
+        # the bases move (snapshot reads bind file paths at construction)
+        base = _materialize(
+            spark,
+            store.scan_snapshot("ord", v_ord)
+            .join(store.scan_snapshot("cust", v_cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            ),
+        )
+
+        # both bases mutate
+        late = orders.filter(F.col("o_orderkey") % 3 == 2)
+        doubled = orders.filter(
+            (F.col("o_orderkey") % 3 < 2) & (F.col("o_orderkey") % 5 == 0)
+        ).withColumn("cents", F.col("cents") * 2)
+        store.upsert("ord", late.unionByName(doubled))
+        store.delete_where("ord", "o_orderkey % 7 = 0")
+        store.upsert(
+            "cust",
+            cust.filter(F.col("c_custkey") % 10 == 3).withColumn(
+                "seg", F.lit("MIGRATED")
+            ),
+        )
+        store.delete_where("cust", "c_custkey % 13 = 0")
+
+        merged = join_view_delta_refresh(
+            store,
+            base,
+            left="ord",
+            right="cust",
+            v_left=v_ord,
+            v_right=v_cust,
+            lkey="o_custkey",
+            rkey="c_custkey",
+            group_col="seg",
+            measure_col="cents",
+        )
+        return _materialize(spark, merged)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -144,6 +144,40 @@ def cte_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CTE_RECURSIVE_SQL = """
+WITH RECURSIVE chain (suppkey, root, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey < 10
+  UNION ALL
+  SELECT s.s_suppkey, c.root, c.depth + 1
+  FROM supplier s JOIN chain c
+    ON CAST(FLOOR(s.s_suppkey / 10) AS BIGINT) = c.suppkey
+  WHERE s.s_suppkey >= 10
+)
+SELECT root, depth, COUNT(*) AS n_members,
+       MIN(suppkey) AS min_suppkey, MAX(suppkey) AS max_suppkey
+FROM chain
+GROUP BY root, depth
+ORDER BY root, depth
+"""
+
+
+@query("cte_recursive", oracle=_CTE_RECURSIVE_SQL, tags=("sql",))
+def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``): hierarchy walk over a
+    supplier forest where node k's parent is FLOOR(k/10), roots are
+    k < 10.  The reference's Hive front-end gained recursive CTEs only
+    via repeated-UNION rewrites; Spark 4 executes the ANSI form natively
+    as an iterative UnionLoop — each step is one equi-join of the
+    frontier against ``supplier``, so depth-d resolution costs d joins
+    over frontier-sized inputs, never a transitive-closure cross join.
+    Scale: the frontier shrinks geometrically here (10k -> 1k -> ...);
+    at 100 TB the per-step join shuffles only the live frontier, and the
+    step count is bounded by the hierarchy depth (log_10 n), not rows.
+    The identical statement runs on DuckDB as the oracle."""
+    _register(spark, sf_dir, "supplier")
+    return spark.sql(_CTE_RECURSIVE_SQL)
+
+
 _Q3_SQL = """
 SELECT l.l_orderkey,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
     # that themselves import `query` from here.
     from hivekudu_handler_spark.operators import (  # noqa: F401
         aggregates,
+        bloom_index,
         ddl,
         event_analytics,
         joins,

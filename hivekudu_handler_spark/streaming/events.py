@@ -173,7 +173,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched_segment_counts(ev, dim)
 
 
-def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+def click_purchase_pairs(
+    clicks: DataFrame, purchases: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Interval join: each click matched to same-user purchases within
     the following 30 minutes — the attribution-join shape.  Valid in
     BOTH runtimes: in batch it is a plain range-condition equi-join; in
@@ -181,7 +183,13 @@ def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     what lets Structured Streaming expire join state (an unbounded
     stream-stream join would buffer forever).  The lag is microsecond-
     exact (``unix_micros``) — second-truncation would be lossy on the
-    sub-second fixture timestamps and engine-dependent in rounding."""
+    sub-second fixture timestamps and engine-dependent in rounding.
+
+    ``how="left_outer"`` keeps unconverted clicks with NULL purchase
+    columns; in streaming that is the bounded-state outer join — a
+    click's NULL row is emitted only once the watermark proves no
+    purchase can still arrive inside its 30-minute window (state
+    eviction, not end-of-stream)."""
     c = clicks.select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
     )
@@ -195,11 +203,43 @@ def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         "click_id",
         "purchase_id",
         "user_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_micros"),
+    )
+
+
+@query(
+    "stream_stream_outer",
+    oracle=(
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, "
+        "       a.user_id, epoch_us(b.ts) - epoch_us(a.ts) AS lag_micros "
+        "FROM events a LEFT JOIN events b "
+        "  ON a.user_id = b.user_id AND b.event_type = 'purchase' "
+        " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE "
+        "WHERE a.event_type = 'click'"
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, matched to
+    its attributable purchase OR kept with NULL purchase columns — the
+    funnel-loss side of attribution that the inner join
+    (``stream_stream_join``) drops.  Batch mode is what the oracle
+    checks; tests/test_streaming.py stages multi-batch files through the
+    real engine and asserts the outer rows appear exactly on watermark
+    eviction (a recent click that could still convert is NOT emitted).
+    Scale path: identical state layout to the inner join — both sides
+    shuffle on user_id, per-side state bounded by watermark + the
+    30-minute bound; the NULL emission rides eviction, adding no
+    state."""
+    ev = load_events(spark, sf_dir)
+    return click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
     )
 
 

@@ -1,0 +1,278 @@
+"""r17 surface: recursive CTEs (ANSI ``WITH RECURSIVE``, Spark 4
+native UnionLoop execution) and the per-file Bloom-filter sidecar that
+rebuilds Kudu's key-Bloom point-lookup path over plain parquet
+(``HiveKuduTableInputFormat.java:444-572`` delegated this to the Kudu
+client; here it is a distributed sidecar build plus a metadata-sized
+candidate filter)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hivekudu_handler_spark.operators.bloom_index import (
+    K_PROBES,
+    bloom_index_build,
+    bloom_index_lookup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- cte_recursive ---------------------------------------------------------
+
+
+def test_cte_recursive_covers_every_supplier_exactly_once(spark):
+    """The hierarchy walk is a partition of supplier: every s_suppkey
+    reaches exactly one root at exactly one depth, and the member count
+    per (root, depth) matches direct (non-recursive) computation."""
+    from hivekudu_handler_spark.operators.sql_surface import cte_recursive
+
+    out = cte_recursive(spark, SF).collect()
+    n_supp = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert sum(r.n_members for r in out) == n_supp
+
+    # direct check: depth of k is the number of /10 steps to reach <10,
+    # root is the final value — recompute per supplier driver-side
+    keys = [
+        r.s_suppkey
+        for r in spark.read.parquet(f"{SF}/supplier.parquet")
+        .select("s_suppkey")
+        .collect()
+    ]
+    expect: dict[tuple[int, int], int] = {}
+    for k in keys:
+        depth, node = 0, k
+        while node >= 10:
+            node //= 10
+            depth += 1
+        expect[(node, depth)] = expect.get((node, depth), 0) + 1
+    got = {(r.root, r.depth): r.n_members for r in out}
+    assert got == expect
+
+
+def test_cte_recursive_depth_bounded_by_key_magnitude(spark):
+    """Recursion terminates at the hierarchy depth (log10 of the max
+    key), not at Spark's recursion-level backstop — the frontier joins
+    are depth-bounded, the scale property the docstring claims."""
+    from hivekudu_handler_spark.operators.sql_surface import cte_recursive
+
+    out = cte_recursive(spark, SF)
+    max_key = (
+        spark.read.parquet(f"{SF}/supplier.parquet")
+        .agg(F.max("s_suppkey"))
+        .first()[0]
+    )
+    max_depth = max(r.depth for r in out.collect())
+    assert max_depth == len(str(max_key)) - 1
+
+
+# ---- scan_bloom_index ------------------------------------------------------
+
+
+def _land_events_by_time(spark, tmp_path, n_files=16):
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    data = str(tmp_path / "ev")
+    (
+        ev.repartitionByRange(n_files, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(data)
+    )
+    return data
+
+
+def test_bloom_lookup_exact_and_skips_most_files(spark, tmp_path):
+    """Point lookup through the sidecar returns exactly the full-scan
+    rows while reading a small fraction of the files: a unique key laid
+    out by time lives in ONE file, so candidates = 1 true file + Bloom
+    false positives (expected ~0 at these densities; allow a little)."""
+    data = _land_events_by_time(spark, tmp_path)
+    idx = str(tmp_path / "ev_bloom")
+    bloom_index_build(spark, data, "event_id", idx)
+
+    n_files = spark.read.parquet(idx).count()
+    assert n_files == 16
+
+    for probe in (0, 123, 999):
+        hit, files = bloom_index_lookup(
+            spark, data, idx, "event_id", probe, "bigint"
+        )
+        expect = sorted(
+            (r.event_id, r.user_id)
+            for r in spark.read.parquet(data)
+            .filter(F.col("event_id") == probe)
+            .collect()
+        )
+        got = sorted((r.event_id, r.user_id) for r in hit.collect())
+        assert got == expect and len(expect) == 1
+        assert len(files) <= 3, f"probe {probe} read {len(files)}/16 files"
+
+
+def test_bloom_lookup_no_false_negatives_exhaustive(spark, tmp_path):
+    """Every existing key must surface ≥1 candidate file — the no-FN
+    property the skip relies on.  Checked distributed for ALL keys: each
+    row's probe positions must be a subset of its own file's bit set."""
+    data = _land_events_by_time(spark, tmp_path)
+    idx = str(tmp_path / "ev_bloom")
+    bloom_index_build(spark, data, "event_id", idx)
+
+    from hivekudu_handler_spark.operators.bloom_index import _probe_positions
+
+    rows = spark.read.parquet(data).select(
+        F.col("_metadata.file_path").alias("file"),
+        F.array(*_probe_positions(F.col("event_id"))).alias("probe"),
+    )
+    joined = rows.join(spark.read.parquet(idx), "file")
+    missing = joined.filter(
+        F.size(F.array_intersect("probe", "bits")) < F.size(F.array_distinct("probe"))
+    ).count()
+    assert missing == 0
+
+
+def test_bloom_lookup_absent_key_and_fp_residual(spark, tmp_path):
+    """An absent key returns zero rows with the data schema — via the
+    no-candidates fast path or, on a Bloom false positive, via the
+    residual filter; either way the result is empty and schema-stable."""
+    data = _land_events_by_time(spark, tmp_path)
+    idx = str(tmp_path / "ev_bloom")
+    bloom_index_build(spark, data, "event_id", idx)
+
+    hit, files = bloom_index_lookup(
+        spark, data, idx, "event_id", -987654321, "bigint"
+    )
+    assert hit.count() == 0
+    assert [f.name for f in hit.schema.fields] == [
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+    ]
+    assert len(files) <= 2  # absent key: candidates are FPs only
+
+
+def test_bloom_probe_positions_deterministic_and_distinct_salts(spark):
+    """Build and lookup share one JVM expression; the K salts must give
+    K (almost always) different positions, and the same value must map
+    to the same positions across sessions/calls."""
+    a = spark.range(5).select(
+        F.col("id"),
+        F.array(
+            *[
+                p.alias(f"p{i}")
+                for i, p in enumerate(
+                    __import__(
+                        "hivekudu_handler_spark.operators.bloom_index",
+                        fromlist=["_probe_positions"],
+                    )._probe_positions(F.col("id"))
+                )
+            ]
+        ).alias("probe"),
+    )
+    first = {r.id: list(r.probe) for r in a.collect()}
+    second = {r.id: list(r.probe) for r in a.collect()}
+    assert first == second
+    assert all(len(p) == K_PROBES for p in first.values())
+    # salts decorrelate: across 5 values, not all probes identical
+    assert len({tuple(p) for p in first.values()}) == 5
+
+
+# ---- mview_join_incremental / join_view_delta_refresh ----------------------
+
+
+def _join_mv_fixture(spark):
+    """Tiny two-table store + its materialized join view at v1."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("l", "lid bigint, k bigint, m bigint", ["lid"])
+        store.create_table("r", "k bigint, grp string", ["k"])
+        store.insert_values("l", [(1, 1, 10), (2, 2, 20), (3, 2, 5)])
+        store.insert_values("r", [(1, "A"), (2, "B"), (3, "C")])
+        vl, vr = store.current_version("l"), store.current_version("r")
+        base = (
+            store.scan_snapshot("l", vl)
+            .join(store.scan_snapshot("r", vr), "k")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_m"))
+        )
+        base = spark.createDataFrame(base.collect(), base.schema)
+    except BaseException:
+        _shutil.rmtree(d, ignore_errors=True)
+        raise
+    return store, d, base, vl, vr
+
+
+def _refresh(spark, store, base, vl, vr):
+    from hivekudu_handler_spark.operators.snapshots import join_view_delta_refresh
+
+    out = join_view_delta_refresh(
+        store, base, left="l", right="r", v_left=vl, v_right=vr,
+        lkey="k", rkey="k", group_col="grp", measure_col="m",
+    )
+    return {(r.grp): (r.n_rows, r.sum_m) for r in out.collect()}
+
+
+def _recompute(store):
+    full = (
+        store.scan("l")
+        .join(store.scan("r"), "k")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_m"))
+    )
+    return {(r.grp): (r.n_rows, r.sum_m) for r in full.collect()}
+
+
+def test_join_view_delta_both_sides_of_a_pair_deleted_retracts_once(spark):
+    """The cross-term trap: when a left row AND its right match are both
+    deleted in the same refresh interval, the pair must be retracted
+    exactly once (dL joins R_new where the right row is already gone;
+    only L_old x dR sees it)."""
+    import shutil as _shutil
+
+    store, d, base, vl, vr = _join_mv_fixture(spark)
+    try:
+        store.delete_where("l", "lid = 2")
+        store.delete_where("r", "k = 2")
+        got = _refresh(spark, store, base, vl, vr)
+        assert got == _recompute(store) == {"A": (1, 10)}
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_join_view_delta_simultaneous_update_on_both_sides(spark):
+    """Left measure and right group BOTH change for the same pair: the
+    old (m, grp) image retracts, the new one asserts — through the two
+    terms' mixed old/new snapshots — with no double count."""
+    import shutil as _shutil
+
+    store, d, base, vl, vr = _join_mv_fixture(spark)
+    try:
+        store.upsert("l", spark.createDataFrame([(1, 1, 30)], "lid bigint, k bigint, m bigint"))
+        store.upsert("r", spark.createDataFrame([(1, "Z")], "k bigint, grp string"))
+        got = _refresh(spark, store, base, vl, vr)
+        assert got == _recompute(store) == {"Z": (1, 30), "B": (2, 25)}
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_join_view_delta_emptied_group_disappears_and_insert_both_sides(spark):
+    """Inserting a brand-new pair on both sides in the same interval
+    asserts it once; moving every B-row away empties the group, which
+    must vanish from the view (never report n_rows = 0)."""
+    import shutil as _shutil
+
+    store, d, base, vl, vr = _join_mv_fixture(spark)
+    try:
+        store.insert_values("l", [(9, 3, 7)])  # joins pre-existing C
+        store.upsert("r", spark.createDataFrame([(2, "A")], "k bigint, grp string"))
+        got = _refresh(spark, store, base, vl, vr)
+        assert got == _recompute(store) == {"A": (3, 35), "C": (1, 7)}
+        assert "B" not in got
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

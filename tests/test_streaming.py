@@ -396,3 +396,81 @@ def test_stream_upsert_sink_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     )
     got = sorted(tuple(r) for r in store.scan("user_state").collect())
     assert got == expect
+
+
+def test_stream_stream_outer_emits_null_rows_on_eviction(spark, tmp_path):
+    """LEFT OUTER stream-stream join through the real engine: an
+    unconverted click's NULL row must appear exactly when the watermark
+    proves no purchase can still arrive in its 30-minute window — and a
+    recent click whose window is still open must NOT be emitted.
+
+    Three staged micro-batches (oldest mtime first): A holds a matched
+    click+purchase pair, an unconverted click, and a purchase with no
+    click (must never appear — left side only); B advances the
+    watermark far past A's windows, evicting A's unmatched click as a
+    NULL row, while carrying its own fresh click whose window stays
+    open; C keeps the stream moving so B's watermark advance is applied
+    in a later trigger."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from hivekudu_handler_spark.streaming.events import click_purchase_pairs
+
+    src = tmp_path / "outer_src"
+    src.mkdir()
+    schema = "event_id bigint, user_id bigint, event_type string, ts timestamp"
+
+    def write_one(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next((tmp_path / name).glob("*.parquet"))
+        dest = src / f"{name}.parquet"
+        part.rename(dest)
+        os.utime(dest, (mtime, mtime))
+
+    t = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    write_one(
+        "a",
+        [
+            (1, 10, "click", t(10, 0)),
+            (2, 10, "purchase", t(10, 10)),  # matches click 1 (lag 10m)
+            (3, 20, "click", t(10, 2)),  # never converts
+            (4, 30, "purchase", t(10, 1)),  # no click: must never appear
+        ],
+        1_000_000,
+    )
+    write_one("b", [(5, 40, "click", t(14, 0))], 2_000_000)
+    write_one("c", [(6, 50, "purchase", t(14, 5))], 3_000_000)
+
+    def side(event_type):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return s.filter(F.col("event_type") == event_type).withWatermark(
+            "ts", "10 minutes"
+        )
+
+    out = click_purchase_pairs(side("click"), side("purchase"), how="left_outer")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ss_outer_result")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.purchase_id, r.user_id, r.lag_micros)
+        for r in spark.table("ss_outer_result").collect()
+    }
+    assert (1, 2, 10, 600_000_000) in got  # the matched pair
+    assert (3, None, 20, None) in got  # evicted unconverted click
+    # click 5's window is still open at the final watermark (14:05-10m):
+    # emitting it now would be premature — and purchase 4 has no click row
+    assert all(r[0] not in (4, 6) for r in got)
+    assert (5, None, 40, None) not in got
+    assert len(got) == 2, got

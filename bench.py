@@ -104,6 +104,9 @@ HEADLINE = [
     "join_runtime_bloom",   # InjectRuntimeFilter bloom semi-join pushdown (r15)
     "text_winnow_fingerprint",  # MOSS winnowing: per-position k-gram hash + window-min (r16)
     "events_volume_anomaly",  # daily-volume MAD outliers: 1 corpus shuffle + chained windows (r17)
+    "cte_recursive",        # WITH RECURSIVE hierarchy walk: iterative frontier joins (r17)
+    "scan_bloom_index",     # per-file bloom sidecar build + candidate-only point read (r17)
+    "mview_join_incremental",  # two-table join-view delta rule off version diffs (r17)
 ]
 
 
@@ -134,6 +137,16 @@ PHASE_SPLIT = {
         "hivekudu_handler_spark.operators.ddl",
         "join_dpp_phases",
         "pruned_join_only",
+    ),
+    "scan_bloom_index": (
+        "hivekudu_handler_spark.operators.bloom_index",
+        "scan_bloom_index_phases",
+        "probe_only",
+    ),
+    "mview_join_incremental": (
+        "hivekudu_handler_spark.operators.snapshots",
+        "mview_join_incremental_phases",
+        "refresh_only",
     ),
 }
 

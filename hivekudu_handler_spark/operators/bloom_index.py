@@ -63,21 +63,25 @@ def _probe_positions(value: Column) -> list[Column]:
     ]
 
 
-def bloom_index_build(spark: SparkSession, data_dir: str, col: str, index_dir: str) -> None:
-    """Write the per-file Bloom sidecar for ``col`` under ``index_dir``:
-    one row per data file, ``bits`` = sorted distinct probe positions."""
+def bloom_index_frame(spark: SparkSession, data_dir: str, col: str) -> DataFrame:
+    """The sidecar as a DataFrame: one row per data file, ``bits`` =
+    sorted distinct probe positions of every ``col`` value in the file.
+    Exposed separately from the write so tests can pin the plan shape
+    (one shuffle, map-side partial ``collect_set``)."""
     src = spark.read.parquet(data_dir).select(
         F.col("_metadata.file_path").alias("file"), F.col(col).alias("__v")
     )
     exploded = src.select(
         "file", F.explode(F.array(*_probe_positions(F.col("__v")))).alias("pos")
     )
-    (
-        exploded.groupBy("file")
-        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
-        .write.mode("overwrite")
-        .parquet(index_dir)
+    return exploded.groupBy("file").agg(
+        F.sort_array(F.collect_set("pos")).alias("bits")
     )
+
+
+def bloom_index_build(spark: SparkSession, data_dir: str, col: str, index_dir: str) -> None:
+    """Write the per-file Bloom sidecar for ``col`` under ``index_dir``."""
+    bloom_index_frame(spark, data_dir, col).write.mode("overwrite").parquet(index_dir)
 
 
 def bloom_index_lookup(
@@ -113,6 +117,39 @@ def bloom_index_lookup(
     return hit, candidates
 
 
+def scan_bloom_index_phases(spark: SparkSession, sf_dir: str):
+    """Bench phase-split for ``scan_bloom_index``: the scenario wall is
+    dominated by the one-time land + index build; the number that
+    matters at scale is the PROBE — sidecar filter + candidate-file
+    read.  ``operate()`` runs only the lookup against a scaffold built
+    here untimed; ``cleanup()`` removes it."""
+    _SCRATCH_ROOT.mkdir(exist_ok=True)
+    d = Path(tempfile.mkdtemp(prefix="bloom_", dir=_SCRATCH_ROOT))
+    try:
+        ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+        (
+            ev.repartitionByRange(32, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(str(d / "ev"))
+        )
+        bloom_index_build(spark, str(d / "ev"), "event_id", str(d / "ev_bloom"))
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+
+    def operate() -> DataFrame:
+        hit, _files = bloom_index_lookup(
+            spark, str(d / "ev"), str(d / "ev_bloom"), "event_id", 123, "bigint"
+        )
+        return _materialize(spark, hit.select("event_id", "user_id", "value"))
+
+    def cleanup() -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return operate, cleanup
+
+
 @query(
     "scan_bloom_index",
     oracle=(
@@ -129,20 +166,8 @@ def scan_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     source; identical rows prove no-false-negative correctness, and
     tests/test_new_surface_r17.py pins that the candidate set is a
     small fraction of the 32 files."""
-    _SCRATCH_ROOT.mkdir(exist_ok=True)
-    d = Path(tempfile.mkdtemp(prefix="bloom_", dir=_SCRATCH_ROOT))
+    operate, cleanup = scan_bloom_index_phases(spark, sf_dir)
     try:
-        ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
-        (
-            ev.repartitionByRange(32, "ts")
-            .sortWithinPartitions("ts")
-            .write.mode("overwrite")
-            .parquet(str(d / "ev"))
-        )
-        bloom_index_build(spark, str(d / "ev"), "event_id", str(d / "ev_bloom"))
-        hit, _files = bloom_index_lookup(
-            spark, str(d / "ev"), str(d / "ev_bloom"), "event_id", 123, "bigint"
-        )
-        return _materialize(spark, hit.select("event_id", "user_id", "value"))
+        return operate()
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        cleanup()

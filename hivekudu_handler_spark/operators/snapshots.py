@@ -553,31 +553,12 @@ def join_view_delta_refresh(
     )
 
 
-@query("mview_join_incremental", oracle=_JOIN_MV_SQL, tags=("table", "snapshot", "slow"))
-def mview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JOIN-view incremental maintenance — the delta rule for a
-    two-table view, one class up from the SUM/COUNT-groupby IVM that
-    ``TableStore.refresh_materialized_view`` automates:
-
-        V = gamma_seg(orders JOIN customer ON custkey)
-        dV = gamma(dO JOIN C_new) + gamma(O_old JOIN dC)
-
-    (exact: O_new*C_new - O_old*C_old = dO*C_new + O_old*dC, each diff
-    row signed -1 for its retracted old image / +1 for its asserted new
-    one).  BOTH bases mutate between the materialization and the
-    refresh — late orders, doubled cents, order deletes, a customer
-    segment migration, customer deletes — and the merged view must
-    equal the oracle's from-scratch recompute of the final state.
-
-    Scale shape: both diff frames are delta-sized (manifest symmetric
-    difference — unchanged tablets are never read) and are explicitly
-    broadcast, so each term is ONE scan of the counterpart base with a
-    broadcast hash join — no shuffle of the big side, no base-vs-base
-    join.  The ``O_old JOIN dC`` term's scan of the probed base is the
-    irreducible cost of join IVM without clustering; bucketing orders
-    by the JOIN key (``kudu.hash_columns``) would prune it to the
-    delta's buckets.  Integer cents keep every path float-free, so
-    incremental equals recompute bit-for-bit."""
+def mview_join_incremental_phases(spark: SparkSession, sf_dir: str):
+    """Bench phase-split for ``mview_join_incremental``: the scenario
+    wall is dominated by table creation, loads and six mutations; the
+    number that matters at scale is the delta REFRESH alone.
+    ``operate()`` runs only ``join_view_delta_refresh`` + the merged
+    read against a scaffold this function already built and mutated."""
     from hivekudu_handler_spark.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -625,7 +606,11 @@ def mview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         store.delete_where("cust", "c_custkey % 13 = 0")
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
 
+    def operate() -> DataFrame:
         merged = join_view_delta_refresh(
             store,
             base,
@@ -639,5 +624,40 @@ def mview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             measure_col="cents",
         )
         return _materialize(spark, merged)
-    finally:
+
+    def cleanup() -> None:
         shutil.rmtree(d, ignore_errors=True)
+
+    return operate, cleanup
+
+
+@query("mview_join_incremental", oracle=_JOIN_MV_SQL, tags=("table", "snapshot", "slow"))
+def mview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-view incremental maintenance — the delta rule for a
+    two-table view, one class up from the SUM/COUNT-groupby IVM that
+    ``TableStore.refresh_materialized_view`` automates:
+
+        V = gamma_seg(orders JOIN customer ON custkey)
+        dV = gamma(dO JOIN C_new) + gamma(O_old JOIN dC)
+
+    (exact: O_new*C_new - O_old*C_old = dO*C_new + O_old*dC, each diff
+    row signed -1 for its retracted old image / +1 for its asserted new
+    one).  BOTH bases mutate between the materialization and the
+    refresh — late orders, doubled cents, order deletes, a customer
+    segment migration, customer deletes — and the merged view must
+    equal the oracle's from-scratch recompute of the final state.
+
+    Scale shape: both diff frames are delta-sized (manifest symmetric
+    difference — unchanged tablets are never read) and are explicitly
+    broadcast, so each term is ONE scan of the counterpart base with a
+    broadcast hash join — no shuffle of the big side, no base-vs-base
+    join.  The ``O_old JOIN dC`` term's scan of the probed base is the
+    irreducible cost of join IVM without clustering; bucketing orders
+    by the JOIN key (``kudu.hash_columns``) would prune it to the
+    delta's buckets.  Integer cents keep every path float-free, so
+    incremental equals recompute bit-for-bit."""
+    operate, cleanup = mview_join_incremental_phases(spark, sf_dir)
+    try:
+        return operate()
+    finally:
+        cleanup()

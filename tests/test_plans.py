@@ -707,3 +707,67 @@ def test_volume_anomaly_single_scan_pruned(spark):
     assert "event_type" in schema and "ts" in schema, schema
     assert "value" not in schema and "props" not in schema, schema
     assert checks.count_shuffles(df) <= 3, plan
+
+
+def test_bloom_index_build_single_shuffle_with_partial_agg(spark, tmp_path):
+    """scan_bloom_index (r17): the sidecar build is ONE shuffle whose
+    map side already dedups positions (partial collect_set under an
+    ObjectHashAggregate), so what crosses the wire per file per mapper
+    is bounded by the filter width M, not the row count."""
+    from hivekudu_handler_spark.operators.bloom_index import bloom_index_frame
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "ts")
+    data = str(tmp_path / "ev")
+    ev.repartitionByRange(4, "ts").write.parquet(data)
+    idx = bloom_index_frame(spark, data, "event_id")
+    plan = checks.plan_string(idx)
+    assert checks.count_shuffles(idx) == 1, plan
+    # partial aggregation below the exchange: two aggregate operators
+    assert plan.count("Aggregate") >= 2, plan
+
+
+def test_cte_recursive_is_union_loop_not_cartesian(spark):
+    """cte_recursive (r17): Spark 4 executes WITH RECURSIVE as an
+    iterative UnionLoop over the frontier — the plan must carry the
+    loop operator and no cartesian/nested-loop join (a transitive
+    closure by cross join would be the 100 TB disaster shape)."""
+    from hivekudu_handler_spark.operators.sql_surface import cte_recursive
+
+    df = cte_recursive(spark, SF)
+    plan = checks.plan_string(df, mode="extended")
+    assert "UnionLoop" in plan or "CTERelation" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_view_delta_terms_are_broadcast(spark, tmp_path):
+    """mview_join_incremental (r17): both delta-rule terms join a
+    BROADCAST delta frame against a base scan — the counterpart bases
+    must never shuffle for the delta join (the only shuffle-class joins
+    allowed are the final delta-into-base full-outer merge and the
+    group-by exchanges)."""
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.operators.snapshots import join_view_delta_refresh
+    import shutil as _shutil
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("l", "lid bigint, k bigint, m bigint", ["lid"])
+        store.create_table("r", "k bigint, grp string", ["k"])
+        store.insert_values("l", [(1, 1, 10), (2, 2, 20)])
+        store.insert_values("r", [(1, "A"), (2, "B")])
+        vl, vr = store.current_version("l"), store.current_version("r")
+        base = spark.createDataFrame(
+            [("A", 1, 10), ("B", 1, 20)], "grp string, n_rows bigint, sum_m bigint"
+        )
+        store.upsert("l", spark.createDataFrame([(1, 1, 30)], "lid bigint, k bigint, m bigint"))
+        store.upsert("r", spark.createDataFrame([(2, "Z")], "k bigint, grp string"))
+        out = join_view_delta_refresh(
+            store, base, left="l", right="r", v_left=vl, v_right=vr,
+            lkey="k", rkey="k", group_col="grp", measure_col="m",
+        )
+        plan = checks.plan_string(out)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

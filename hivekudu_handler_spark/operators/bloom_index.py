@@ -85,16 +85,22 @@ def bloom_index_build(spark: SparkSession, data_dir: str, col: str, index_dir: s
 
 
 def bloom_index_lookup(
-    spark: SparkSession, data_dir: str, index_dir: str, col: str, value, value_type: str
+    spark: SparkSession, data_dir: str, index_dir: str, col: str, value
 ) -> tuple[DataFrame, list[str]]:
     """Point lookup ``col = value`` through the sidecar: returns the
     result DataFrame (exact — the residual filter removes Bloom false
-    positives) and the candidate file list that was actually read."""
+    positives) and the candidate file list that was actually read.
+
+    The probe literal is cast to the COLUMN'S OWN TYPE from the data
+    schema before hashing: ``xxhash64`` is physical-type-sensitive
+    (``xxhash64(123 AS INT) != xxhash64(123 AS BIGINT)``), so a
+    caller-chosen cast that disagreed with the build side would turn
+    every probe into a silent false negative — the one failure mode a
+    Bloom index must never have."""
+    data = spark.read.parquet(data_dir)
+    probe_lit = F.lit(value).cast(data.schema[col].dataType)
     probe_row = spark.range(1).select(
-        *[
-            p.alias(f"p{i}")
-            for i, p in enumerate(_probe_positions(F.lit(value).cast(value_type)))
-        ]
+        *[p.alias(f"p{i}") for i, p in enumerate(_probe_positions(probe_lit))]
     ).first()
     probe = sorted({probe_row[f"p{i}"] for i in range(K_PROBES)})
     idx = spark.read.parquet(index_dir)
@@ -107,13 +113,10 @@ def bloom_index_lookup(
         .select("file")
         .collect()
     ]
-    schema = spark.read.parquet(data_dir).schema
     if not candidates:
         # no false negatives: an empty candidate set proves zero matches
-        return spark.createDataFrame([], schema), []
-    hit = spark.read.parquet(*candidates).filter(
-        F.col(col) == F.lit(value).cast(value_type)
-    )
+        return spark.createDataFrame([], data.schema), []
+    hit = spark.read.parquet(*candidates).filter(F.col(col) == probe_lit)
     return hit, candidates
 
 
@@ -140,7 +143,7 @@ def scan_bloom_index_phases(spark: SparkSession, sf_dir: str):
 
     def operate() -> DataFrame:
         hit, _files = bloom_index_lookup(
-            spark, str(d / "ev"), str(d / "ev_bloom"), "event_id", 123, "bigint"
+            spark, str(d / "ev"), str(d / "ev_bloom"), "event_id", 123
         )
         return _materialize(spark, hit.select("event_id", "user_id", "value"))
 

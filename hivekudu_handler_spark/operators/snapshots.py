@@ -535,10 +535,14 @@ def join_view_delta_refresh(
         .groupBy(group_col)
         .agg(F.sum("dn").alias("dn"), F.sum("dm").alias("dm"))
     )
+    # NULL is a legal group value (the right base's group column may be
+    # nullable), so the merge join must be NULL-SAFE: a plain USING join
+    # would never match a NULL base group with its NULL delta group and
+    # the view would carry both the stale row and an unmerged delta row
     return (
-        base.join(delta, group_col, "full_outer")
+        base.join(delta, base[group_col].eqNullSafe(delta[group_col]), "full_outer")
         .select(
-            group_col,
+            F.coalesce(base[group_col], delta[group_col]).alias(group_col),
             (
                 F.coalesce(F.col("n_rows"), F.lit(0))
                 + F.coalesce(F.col("dn"), F.lit(0))

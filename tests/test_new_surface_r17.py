@@ -97,9 +97,7 @@ def test_bloom_lookup_exact_and_skips_most_files(spark, tmp_path):
     assert n_files == 16
 
     for probe in (0, 123, 999):
-        hit, files = bloom_index_lookup(
-            spark, data, idx, "event_id", probe, "bigint"
-        )
+        hit, files = bloom_index_lookup(spark, data, idx, "event_id", probe)
         expect = sorted(
             (r.event_id, r.user_id)
             for r in spark.read.parquet(data)
@@ -140,9 +138,7 @@ def test_bloom_lookup_absent_key_and_fp_residual(spark, tmp_path):
     idx = str(tmp_path / "ev_bloom")
     bloom_index_build(spark, data, "event_id", idx)
 
-    hit, files = bloom_index_lookup(
-        spark, data, idx, "event_id", -987654321, "bigint"
-    )
+    hit, files = bloom_index_lookup(spark, data, idx, "event_id", -987654321)
     assert hit.count() == 0
     assert [f.name for f in hit.schema.fields] == [
         "event_id",
@@ -157,19 +153,11 @@ def test_bloom_probe_positions_deterministic_and_distinct_salts(spark):
     """Build and lookup share one JVM expression; the K salts must give
     K (almost always) different positions, and the same value must map
     to the same positions across sessions/calls."""
+    from hivekudu_handler_spark.operators.bloom_index import _probe_positions
+
     a = spark.range(5).select(
         F.col("id"),
-        F.array(
-            *[
-                p.alias(f"p{i}")
-                for i, p in enumerate(
-                    __import__(
-                        "hivekudu_handler_spark.operators.bloom_index",
-                        fromlist=["_probe_positions"],
-                    )._probe_positions(F.col("id"))
-                )
-            ]
-        ).alias("probe"),
+        F.array(*_probe_positions(F.col("id"))).alias("probe"),
     )
     first = {r.id: list(r.probe) for r in a.collect()}
     second = {r.id: list(r.probe) for r in a.collect()}
@@ -274,5 +262,35 @@ def test_join_view_delta_emptied_group_disappears_and_insert_both_sides(spark):
         got = _refresh(spark, store, base, vl, vr)
         assert got == _recompute(store) == {"A": (3, 35), "C": (1, 7)}
         assert "B" not in got
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_join_view_delta_null_group_merges_null_safe(spark):
+    """NULL is a legal group value; the delta-into-base merge must be
+    null-safe or the view keeps a stale NULL-group row AND an unmerged
+    NULL-group delta row side by side."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("l", "lid bigint, k bigint, m bigint", ["lid"])
+        store.create_table("r", "k bigint, grp string", ["k"])
+        store.insert_values("l", [(1, 1, 10), (2, 3, 40)])
+        store.insert("r", spark.createDataFrame([(1, "A"), (3, None)], "k bigint, grp string"))
+        vl, vr = store.current_version("l"), store.current_version("r")
+        base = (
+            store.scan_snapshot("l", vl)
+            .join(store.scan_snapshot("r", vr), "k")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_m"))
+        )
+        base = spark.createDataFrame(base.collect(), base.schema)
+        # mutate the NULL-group pair's measure: its delta row carries grp=NULL
+        store.upsert("l", spark.createDataFrame([(2, 3, 100)], "lid bigint, k bigint, m bigint"))
+        got = _refresh(spark, store, base, vl, vr)
+        assert got == _recompute(store) == {"A": (1, 10), None: (1, 100)}
     finally:
         _shutil.rmtree(d, ignore_errors=True)

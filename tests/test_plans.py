@@ -734,8 +734,8 @@ def test_cte_recursive_is_union_loop_not_cartesian(spark):
     from hivekudu_handler_spark.operators.sql_surface import cte_recursive
 
     df = cte_recursive(spark, SF)
-    plan = checks.plan_string(df, mode="extended")
-    assert "UnionLoop" in plan or "CTERelation" in plan, plan
+    plan = checks.plan_string(df)  # physical: UnionLoopExec must be real
+    assert "UnionLoop" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
 

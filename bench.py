@@ -107,6 +107,7 @@ HEADLINE = [
     "cte_recursive",        # WITH RECURSIVE hierarchy walk: iterative frontier joins (r17)
     "scan_bloom_index",     # per-file bloom sidecar build + candidate-only point read (r17)
     "mview_join_incremental",  # two-table join-view delta rule off version diffs (r17)
+    "table_bloom_lookup",   # managed bloom index: incremental REBUILD + candidate-only read (r17)
 ]
 
 

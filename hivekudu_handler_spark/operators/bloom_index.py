@@ -42,25 +42,16 @@ import shutil
 import tempfile
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hivekudu_handler_spark.operators.ddl import _SCRATCH_ROOT, _materialize
 from hivekudu_handler_spark.registry import query
+from hivekudu_handler_spark.sources.bloom import K_PROBES, M_BITS, probe_positions
 from hivekudu_handler_spark.tables import load_events
 
-M_BITS = 8192  # filter width (positions per file)
-K_PROBES = 4  # probe positions per value
-
-
-def _probe_positions(value: Column) -> list[Column]:
-    """The K Bloom positions of ``value`` — xxhash64 with a per-probe
-    salt literal, reduced mod M.  Pure JVM expressions: build and lookup
-    share this function, so the two sides cannot disagree."""
-    return [
-        F.pmod(F.xxhash64(value, F.lit(i)), F.lit(M_BITS)).cast("int")
-        for i in range(K_PROBES)
-    ]
+# build and lookup share ONE probe-expression definition (sources/bloom.py)
+_probe_positions = probe_positions
 
 
 def bloom_index_frame(spark: SparkSession, data_dir: str, col: str) -> DataFrame:
@@ -174,3 +165,44 @@ def scan_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return operate()
     finally:
         cleanup()
+
+
+@query(
+    "table_bloom_lookup",
+    oracle=(
+        "SELECT event_id, user_id FROM events "
+        "WHERE user_id = 7 AND event_id % 11 <> 0"
+    ),
+    tags=("table", "scan", "scale"),
+)
+def table_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table Bloom index lifecycle through the SQL front-end:
+    CREATE BLOOM INDEX on a NON-key column (key lookups already prune
+    via the bucket layout; this serves the other columns), mutate the
+    table (late inserts + a delete), ALTER ... REBUILD — which hashes
+    ONLY the files added since the indexed version (manifest set
+    difference, the same delta cost model as the mview refresh) — then
+    answer a point read from candidate files only.  The oracle filters
+    the fixture's final state; tests/test_new_surface_r17.py pins the
+    incremental-refresh file counts and the loud stale-index error."""
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE ev (event_id bigint, user_id bigint) "
+            "TBLPROPERTIES ('kudu.key_columns'='event_id')",
+        )
+        store.insert("ev", ev.filter(F.col("event_id") % 3 < 2))
+        run_sql(store, "CREATE BLOOM INDEX ON ev (user_id)")
+        store.insert("ev", ev.filter(F.col("event_id") % 3 == 2))
+        store.delete_where("ev", "event_id % 11 = 0")
+        run_sql(store, "ALTER BLOOM INDEX ON ev (user_id) REBUILD")
+        hit = store.bloom_lookup("ev", "user_id", 7)
+        return _materialize(spark, hit.orderBy("event_id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

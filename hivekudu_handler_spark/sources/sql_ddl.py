@@ -43,6 +43,12 @@ test exercises (``README.md:14-218``) and routing them to the store:
   INCREMENTAL manifest-diff merge, never a base rescan (the accepted
   shape is the self-maintainable SUM/COUNT class — MIN/MAX rejected
   with the reason)
+* ``CREATE BLOOM INDEX ON t (col)`` / ``ALTER BLOOM INDEX ON t (col)
+  REBUILD`` / ``DROP BLOOM INDEX ON t (col)`` — per-data-file Bloom
+  sidecar for point reads on NON-layout columns (Kudu's rowset key
+  Blooms, generalized); REBUILD is INCREMENTAL — only files added since
+  the indexed version are hashed (manifest set difference), removed
+  files' rows dropped
 * ``ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS]`` — Hive's
   ``compute_stats``: one-pass per-column profile (nulls/NDV/min/max +
   row count) persisted to the table's stats sidecar
@@ -228,6 +234,10 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     stmt = _strip_stmt(sql)
     verb = stmt.split(None, 1)[0].upper() if stmt else ""
     if verb == "CREATE":
+        m = _BLOOM_INDEX_RE.match(stmt)
+        if m:
+            store.create_bloom_index(m.group("name"), m.group("col"))
+            return None
         m = _MVIEW_CREATE_RE.match(stmt)
         if m:
             return _create_mview(store, m)
@@ -243,6 +253,10 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
             return None
         return _create(store, stmt)
     if verb == "DROP":
+        m = _BLOOM_INDEX_DROP_RE.match(stmt)
+        if m:
+            store.drop_bloom_index(m.group("name"), m.group("col"))
+            return None
         m = re.match(
             r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)$",
             stmt,
@@ -292,6 +306,13 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     if verb == "MERGE":
         return _merge(store, stmt)
     if verb == "ALTER":
+        # ALTER BLOOM INDEX ON t (col) REBUILD — like the mview verb, the
+        # implementation is INCREMENTAL: only files added since the
+        # indexed version are hashed (manifest set difference)
+        m = _BLOOM_INDEX_REBUILD_RE.match(stmt)
+        if m:
+            store.refresh_bloom_index(m.group("name"), m.group("col"))
+            return None
         # ALTER MATERIALIZED VIEW mv REBUILD — Hive's refresh verb,
         # implemented as the INCREMENTAL merge (manifest-diff deltas),
         # not the rebuild the name suggests
@@ -326,6 +347,22 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
 
 
 _QUERY_RE = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
+
+_BLOOM_INDEX_RE = re.compile(
+    r"^CREATE\s+BLOOM\s+INDEX\s+ON\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\(\s*(?P<col>[A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+_BLOOM_INDEX_REBUILD_RE = re.compile(
+    r"^ALTER\s+BLOOM\s+INDEX\s+ON\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\(\s*(?P<col>[A-Za-z_]\w*)\s*\)\s+REBUILD$",
+    re.IGNORECASE,
+)
+_BLOOM_INDEX_DROP_RE = re.compile(
+    r"^DROP\s+BLOOM\s+INDEX\s+ON\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"\(\s*(?P<col>[A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
 
 # CREATE MATERIALIZED VIEW mv AS
 #   SELECT g[, ...], COUNT(*) AS n_rows[, SUM(c) AS sum_c ...]

@@ -630,6 +630,8 @@ class TableStore:
             }
         self._write_meta(meta)
         self._remap_stats(name, drop=col_name)
+        # standard SQL: dropping an indexed column drops its index
+        self._drop_bloom_index_if_any(meta.name, col_name)
         return meta
 
     def rename_column(self, name: str, old: str, new: str) -> TableMeta:
@@ -663,6 +665,18 @@ class TableStore:
         meta.key_columns = [new if k == old else k for k in meta.key_columns]
         self._write_meta(meta)
         self._remap_stats(name, rename={old: new})
+        # a bloom index follows its column across renames: sidecar rows
+        # are file-keyed and hash the stable PHYSICAL column, so only the
+        # index's own names move — no rehash
+        old_ipath = self._bloom_meta_path(meta.name, old)
+        if old_ipath.exists():
+            imeta = json.loads(old_ipath.read_text())
+            imeta["col"] = new
+            self._bloom_meta_path(meta.name, new).write_text(json.dumps(imeta))
+            old_ipath.unlink()
+            (self._bloom_dir(meta.name) / old).rename(
+                self._bloom_dir(meta.name) / new
+            )
         return meta
 
     def rename_table(self, name: str, new_name: str) -> TableMeta:
@@ -1793,6 +1807,202 @@ class TableStore:
             )
         df = self._scan_raw(meta).filter(level_filter & key_filter)
         return df.select(*[f.name for f in meta.schema.fields])
+
+    # ------------------------------------------------- bloom index sidecar
+    #
+    # Kudu's rowsets carry Bloom filters so a point read touches no data
+    # it cannot match (the reference delegates this to the Kudu client,
+    # HiveKuduTableInputFormat.java:444-572).  The managed-table analogue
+    # is a per-data-file sidecar: one row per file, `bits` = the distinct
+    # probe positions of every value of the indexed column.  Bucket
+    # layouts already prune KEY lookups; this serves point reads on
+    # NON-layout columns.  Maintenance rides the version manifests: a
+    # refresh hashes ONLY files added since the indexed version and drops
+    # rows for removed files — delta-sized work, like the mview refresh.
+
+    def _bloom_dir(self, name: str) -> Path:
+        return self._dir(name) / "bloomindex"
+
+    def _bloom_meta_path(self, name: str, col: str) -> Path:
+        return self._bloom_dir(name) / f"{col}.json"
+
+    def _bloom_data_dir(self, name: str, col: str, version: int) -> Path:
+        return self._bloom_dir(name) / col / f"v{version:08d}"
+
+    def list_bloom_indexes(self, name: str) -> list[str]:
+        d = self._bloom_dir(self._norm_name(name))
+        return sorted(p.stem for p in d.glob("*.json")) if d.exists() else []
+
+    def _bloom_frame_for_files(
+        self, meta: TableMeta, col: str, rel_files: list[str]
+    ) -> DataFrame:
+        """Sidecar rows ``(file, bits)`` for the given data-relative
+        files — ONE distributed pass over exactly those files, one
+        shuffle whose map side already dedups positions (partial
+        ``collect_set`` caps per-file-per-mapper traffic at M ints)."""
+        from hivekudu_handler_spark.sources.bloom import probe_positions
+
+        if not rel_files:
+            return self.spark.createDataFrame([], "file string, bits array<int>")
+        phys = meta.phys_name(col)
+        dtype = next(f.dataType for f in meta.schema.fields if f.name == col)
+        data = self._data_dir(meta.name)
+        df = self.spark.read.schema(
+            T.StructType([T.StructField(phys, dtype, True)])
+        ).parquet(*[str(data / f) for f in rel_files])
+        # file identity = path relative to data/ (matches the manifests
+        # and survives URI-scheme differences in _metadata.file_path)
+        rel = F.regexp_replace(
+            F.col("_metadata.file_path"),
+            "^.*?" + re.escape(str(data.resolve())) + "/",
+            "",
+        )
+        exploded = df.select(
+            rel.alias("file"),
+            F.explode(F.array(*probe_positions(F.col(phys)))).alias("pos"),
+        )
+        return exploded.groupBy("file").agg(
+            F.sort_array(F.collect_set("pos")).alias("bits")
+        )
+
+    def create_bloom_index(self, name: str, col: str) -> dict:
+        """CREATE BLOOM INDEX ON name (col): build the sidecar over the
+        table's current version.  The index is version-stamped; after
+        mutations it must be refreshed (``refresh_bloom_index``) before
+        lookups — a stale index errs loudly, never silently."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                "external tables are unmanaged storage: no bloom index"
+            )
+        if not any(f.name == col for f in meta.schema.fields):
+            raise TableStoreError(f"no such column in {name!r}: {col!r}")
+        if self._bloom_meta_path(meta.name, col).exists():
+            raise TableExistsError(
+                f"bloom index on {name!r} ({col!r}) already exists"
+            )
+        version = self.current_version(meta.name)
+        files = self._read_manifest(meta.name, version)["files"]
+        out = self._bloom_data_dir(meta.name, col, version)
+        self._bloom_frame_for_files(meta, col, files).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        self._bloom_dir(meta.name).mkdir(parents=True, exist_ok=True)
+        self._bloom_meta_path(meta.name, col).write_text(
+            json.dumps({"col": col, "version": version})
+        )
+        return {"col": col, "version": version, "files": len(files)}
+
+    def refresh_bloom_index(self, name: str, col: str) -> dict:
+        """Advance the index to the current version by hashing ONLY the
+        files added since the indexed version (manifest set difference)
+        and dropping rows for removed files.  A k-bucket mutation batch
+        costs O(k buckets) of hashing regardless of table size — the
+        same cost model as the diff scan and the mview refresh."""
+        name = self._norm_name(name)
+        mpath = self._bloom_meta_path(name, col)
+        if not mpath.exists():
+            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
+        imeta = json.loads(mpath.read_text())
+        meta = self.table_meta(name)
+        cur = self.current_version(name)
+        if cur == imeta["version"]:
+            return {"refreshed": False, "from": cur, "to": cur, "files_hashed": 0}
+        old_files = set(self._read_manifest(name, imeta["version"])["files"])
+        new_files = self._read_manifest(name, cur)["files"]
+        added = [f for f in new_files if f not in old_files]
+        removed = sorted(old_files - set(new_files))
+        # filter on the DELTA-sized removed set (a NOT IN of every
+        # current file would grow with the table, not the mutation)
+        kept = self.spark.read.parquet(
+            str(self._bloom_data_dir(name, col, imeta["version"]))
+        ).filter(~F.col("file").isin(removed) if removed else F.lit(True))
+        out = self._bloom_data_dir(name, col, cur)
+        kept.unionByName(self._bloom_frame_for_files(meta, col, added)).write.mode(
+            "overwrite"
+        ).parquet(str(out))
+        prev = imeta["version"]
+        imeta["version"] = cur
+        mpath.write_text(json.dumps(imeta))
+        shutil.rmtree(self._bloom_data_dir(name, col, prev), ignore_errors=True)
+        return {
+            "refreshed": True,
+            "from": prev,
+            "to": cur,
+            "files_hashed": len(added),
+            "files_kept": len(new_files) - len(added),
+        }
+
+    def bloom_lookup(self, name: str, col: str, value) -> DataFrame:
+        """Point read ``col = value`` through the sidecar: filter the
+        metadata-sized index JVM-side, read ONLY candidate files with the
+        residual predicate re-applied (Bloom has no false negatives, so
+        skipped files provably hold no matches).  Returns the logical
+        schema.  Raises if the index lags the table — the caller chooses
+        between refresh cost and a full-scan fallback; silence never
+        does."""
+        from hivekudu_handler_spark.sources.bloom import K_PROBES, probe_positions
+
+        name = self._norm_name(name)
+        mpath = self._bloom_meta_path(name, col)
+        if not mpath.exists():
+            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
+        imeta = json.loads(mpath.read_text())
+        meta = self.table_meta(name)
+        cur = self.current_version(name)
+        if cur != imeta["version"]:
+            raise TableStoreError(
+                f"bloom index on {name!r} ({col!r}) is stale "
+                f"(indexed v{imeta['version']}, table at v{cur}); run "
+                f"ALTER BLOOM INDEX ON {name} ({col}) REBUILD"
+            )
+        dtype = next(f.dataType for f in meta.schema.fields if f.name == col)
+        probe_lit = F.lit(value).cast(dtype)
+        probe_row = self.spark.range(1).select(
+            *[p.alias(f"p{i}") for i, p in enumerate(probe_positions(probe_lit))]
+        ).first()
+        probe = sorted({probe_row[f"p{i}"] for i in range(K_PROBES)})
+        idx = self.spark.read.parquet(
+            str(self._bloom_data_dir(name, col, cur))
+        )
+        candidates = [
+            r.file
+            for r in idx.filter(
+                F.size(
+                    F.array_intersect(
+                        "bits", F.array(*[F.lit(p) for p in probe])
+                    )
+                )
+                == len(probe)
+            )
+            .select("file")
+            .collect()
+        ]
+        if not candidates:
+            return self.spark.createDataFrame([], meta.schema)
+        data = self._data_dir(name)
+        raw = self.spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField(meta.phys_name(f.name), f.dataType, f.nullable)
+                    for f in meta.schema.fields
+                ]
+            )
+        ).parquet(*[str(data / f) for f in candidates])
+        hit = self._to_logical(raw, meta).filter(F.col(col) == probe_lit)
+        return hit.select(*[f.name for f in meta.schema.fields])
+
+    def _drop_bloom_index_if_any(self, name: str, col: str) -> None:
+        mpath = self._bloom_meta_path(name, col)
+        if mpath.exists():
+            mpath.unlink()
+            shutil.rmtree(self._bloom_dir(name) / col, ignore_errors=True)
+
+    def drop_bloom_index(self, name: str, col: str) -> None:
+        name = self._norm_name(name)
+        if not self._bloom_meta_path(name, col).exists():
+            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
+        self._drop_bloom_index_if_any(name, col)
 
     # ----------------------------------------------------------------- writes
     def _writable_meta(self, name: str) -> TableMeta:

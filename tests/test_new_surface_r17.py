@@ -294,3 +294,106 @@ def test_join_view_delta_null_group_merges_null_safe(spark):
         assert got == _recompute(store) == {"A": (1, 10), None: (1, 100)}
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- TableStore bloom index (managed, version-stamped) ----------------------
+
+
+def test_store_bloom_refresh_is_incremental_and_exact(spark):
+    """The REBUILD hashes only files ADDED since the indexed version
+    (manifest set difference) and drops removed files' rows; lookups
+    after refresh equal a predicate scan of the final state."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("t", "id bigint, u bigint", ["id"])
+        store.insert(
+            "t", spark.createDataFrame([(i, i % 50) for i in range(300)], "id bigint, u bigint")
+        )
+        info = store.create_bloom_index("t", "u")
+        assert info["files"] > 0
+        total_files = info["files"]
+
+        # mutate: one small upsert (touches few buckets) + a delete
+        store.upsert("t", spark.createDataFrame([(1, 999), (301, 7)], "id bigint, u bigint"))
+        r = store.refresh_bloom_index("t", "u")
+        assert r["refreshed"] is True
+        # incrementality: a 2-row upsert touches ≤2 buckets, so far
+        # fewer files are hashed than the table holds; untouched
+        # buckets' rows are carried over, not recomputed
+        assert 0 < r["files_hashed"] < total_files, r
+        assert r["files_kept"] > 0, r
+
+        got = sorted((x.id, x.u) for x in store.bloom_lookup("t", "u", 7).collect())
+        expect = sorted(
+            (x.id, x.u)
+            for x in store.scan("t").filter(F.col("u") == 7).collect()
+        )
+        assert got == expect and len(expect) > 0
+        # the updated row moved OUT of u=999's old value and IN to 999
+        assert [(x.id, x.u) for x in store.bloom_lookup("t", "u", 999).collect()] == [(1, 999)]
+        # absent value: no false negatives implies empty result is exact
+        assert store.bloom_lookup("t", "u", -5).count() == 0
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_store_bloom_stale_index_errs_loudly_and_sql_lifecycle(spark):
+    """A lookup against an index older than the table raises (naming the
+    REBUILD statement) instead of silently missing fresh rows; CREATE /
+    ALTER ... REBUILD / DROP all route through the SQL front-end."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.sources.table_store import (
+        NoSuchTableError,
+        TableStoreError,
+    )
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("t", "id bigint, u bigint", ["id"])
+        store.insert_values("t", [(1, 10), (2, 20)])
+        run_sql(store, "CREATE BLOOM INDEX ON t (u)")
+        store.insert_values("t", [(3, 30)])
+        with pytest.raises(TableStoreError, match="stale.*REBUILD"):
+            store.bloom_lookup("t", "u", 10)
+        run_sql(store, "ALTER BLOOM INDEX ON t (u) REBUILD")
+        assert [(r.id, r.u) for r in store.bloom_lookup("t", "u", 30).collect()] == [(3, 30)]
+        run_sql(store, "DROP BLOOM INDEX ON t (u)")
+        with pytest.raises(NoSuchTableError):
+            store.bloom_lookup("t", "u", 10)
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_store_bloom_index_follows_column_rename_and_drop(spark):
+    """RENAME COLUMN migrates the index without rehashing (sidecar rows
+    hash the stable physical column); DROP COLUMN drops its index."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.table_store import NoSuchTableError
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("t", "id bigint, u bigint, w bigint", ["id"])
+        store.insert_values("t", [(1, 10, 5), (2, 20, 5)])
+        store.create_bloom_index("t", "u")
+        store.rename_column("t", "u", "uu")
+        assert store.list_bloom_indexes("t") == ["uu"]
+        assert [r.id for r in store.bloom_lookup("t", "uu", 20).collect()] == [2]
+        store.drop_column("t", "uu")
+        with pytest.raises(NoSuchTableError):
+            store.bloom_lookup("t", "uu", 20)
+        assert store.list_bloom_indexes("t") == []
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

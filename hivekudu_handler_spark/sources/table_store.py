@@ -1992,6 +1992,62 @@ class TableStore:
         hit = self._to_logical(raw, meta).filter(F.col(col) == probe_lit)
         return hit.select(*[f.name for f in meta.schema.fields])
 
+    def bloom_lookup_many(self, name: str, col: str, values: list) -> DataFrame:
+        """Batched :meth:`bloom_lookup` — one candidate-set union, one
+        read (Kudu's batched point reads).  The batch is driver-provided
+        literals, same contract as :meth:`lookup_many`: a file is a
+        candidate if its bit set covers ANY value's probe positions; the
+        residual ``IN`` filter keeps the result exact."""
+        from hivekudu_handler_spark.sources.bloom import probe_positions
+
+        name = self._norm_name(name)
+        mpath = self._bloom_meta_path(name, col)
+        if not mpath.exists():
+            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
+        imeta = json.loads(mpath.read_text())
+        meta = self.table_meta(name)
+        cur = self.current_version(name)
+        if cur != imeta["version"]:
+            raise TableStoreError(
+                f"bloom index on {name!r} ({col!r}) is stale "
+                f"(indexed v{imeta['version']}, table at v{cur}); run "
+                f"ALTER BLOOM INDEX ON {name} ({col}) REBUILD"
+            )
+        if not values:
+            return self.spark.createDataFrame([], meta.schema)
+        dtype = next(f.dataType for f in meta.schema.fields if f.name == col)
+        # all probe positions in ONE job over the batch (driver-sized)
+        probe_rows = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField("v", dtype)])
+        ).select(F.array(*probe_positions(F.col("v"))).alias("ps")).collect()
+        probes = [sorted(set(r.ps)) for r in probe_rows]
+        cond = None
+        for ps in probes:
+            c = (
+                F.size(
+                    F.array_intersect("bits", F.array(*[F.lit(p) for p in ps]))
+                )
+                == len(ps)
+            )
+            cond = c if cond is None else (cond | c)
+        idx = self.spark.read.parquet(str(self._bloom_data_dir(name, col, cur)))
+        candidates = [r.file for r in idx.filter(cond).select("file").collect()]
+        if not candidates:
+            return self.spark.createDataFrame([], meta.schema)
+        data = self._data_dir(name)
+        raw = self.spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField(meta.phys_name(f.name), f.dataType, f.nullable)
+                    for f in meta.schema.fields
+                ]
+            )
+        ).parquet(*[str(data / f) for f in candidates])
+        hit = self._to_logical(raw, meta).filter(
+            F.col(col).isin(*[F.lit(v).cast(dtype) for v in values])
+        )
+        return hit.select(*[f.name for f in meta.schema.fields])
+
     def _drop_bloom_index_if_any(self, name: str, col: str) -> None:
         mpath = self._bloom_meta_path(name, col)
         if mpath.exists():

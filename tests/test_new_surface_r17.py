@@ -397,3 +397,35 @@ def test_store_bloom_index_follows_column_rename_and_drop(spark):
         assert store.list_bloom_indexes("t") == []
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_store_bloom_lookup_many_batched_exact(spark):
+    """Batched point reads share one candidate union and one file read;
+    results equal per-value scans, absent values contribute nothing,
+    and an empty batch returns the empty schema."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("t", "id bigint, u bigint", ["id"])
+        store.insert(
+            "t",
+            spark.createDataFrame(
+                [(i, i % 37) for i in range(200)], "id bigint, u bigint"
+            ),
+        )
+        store.create_bloom_index("t", "u")
+        got = sorted(
+            (r.id, r.u)
+            for r in store.bloom_lookup_many("t", "u", [3, 11, -4]).collect()
+        )
+        expect = sorted(
+            (r.id, r.u)
+            for r in store.scan("t").filter(F.col("u").isin(3, 11)).collect()
+        )
+        assert got == expect and len(expect) > 0
+        assert store.bloom_lookup_many("t", "u", []).count() == 0
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -665,3 +665,38 @@ def mview_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return operate()
     finally:
         cleanup()
+
+
+@query(
+    "sql_time_travel",
+    oracle=(
+        "SELECT * FROM (VALUES (2, 'b', 'B'), (3, 'c', 'c')) "
+        "AS t(id, old_name, new_name) ORDER BY id"
+    ),
+    tags=("table", "snapshot", "sql"),
+)
+def sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VERSION AS OF`` in the SQL front-end (Kudu READ_AT_SNAPSHOT
+    with the Delta/Iceberg spelling): one query joins TWO versions of
+    the same table — the v1 insert state against the current state
+    after an upsert and a delete — so drift between snapshots is a
+    plain SQL join, no API calls.  Each clause binds a temp view over
+    ``scan_snapshot`` (sources/sql_ddl.py:_rewrite_time_travel); the
+    oracle is the hand-computed expected diff of the canonical mutation
+    history.  Scale: snapshot resolution is manifest-driven (O(files)
+    metadata), and the join itself is ordinary Catalyst planning over
+    two parquet scans."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _mutated_store(spark)
+    try:
+        out = run_sql(
+            store,
+            "SELECT a.id, a.name AS old_name, b.name AS new_name "
+            "FROM snap VERSION AS OF 1 a "
+            "JOIN snap VERSION AS OF 3 b ON a.id = b.id "
+            "ORDER BY a.id",
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -49,6 +49,10 @@ test exercises (``README.md:14-218``) and routing them to the store:
   Blooms, generalized); REBUILD is INCREMENTAL — only files added since
   the indexed version are hashed (manifest set difference), removed
   files' rows dropped
+* ``SELECT ... FROM t VERSION AS OF n`` — Kudu READ_AT_SNAPSHOT with
+  the Delta/Iceberg spelling, on the QUERY path: each clause binds a
+  temp view over ``scan_snapshot`` so one statement may join several
+  versions of the same table
 * ``ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS]`` — Hive's
   ``compute_stats``: one-pass per-column profile (nulls/NDV/min/max +
   row count) persisted to the table's stats sidecar
@@ -496,8 +500,31 @@ def sql(store: TableStore, text: str) -> DataFrame | None:
     stmt = _strip_stmt(text)
     if _QUERY_RE.match(stmt):
         store.register_views()
-        return store.spark.sql(stmt)
+        return store.spark.sql(_rewrite_time_travel(store, stmt))
     return execute(store, text)
+
+
+_TIME_TRAVEL_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+)
+
+
+def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
+    """``FROM t VERSION AS OF n`` — Kudu READ_AT_SNAPSHOT surfaced in
+    SQL (Delta/Iceberg spell it the same way).  Each occurrence binds a
+    temp view over ``scan_snapshot(t, n)`` and the clause is rewritten
+    to that view's name, so one query may join several versions of the
+    same table.  Unknown tables or vacuumed versions fail loudly inside
+    ``scan_snapshot``; statements without the clause pass through
+    untouched (zero regex backtracking risk on the \b-anchored form)."""
+
+    def bind(m: "re.Match[str]") -> str:
+        table, version = m.group(1), int(m.group(2))
+        alias = f"__tt_{table.lower()}_v{version}"
+        store.scan_snapshot(table, version).createOrReplaceTempView(alias)
+        return alias
+
+    return _TIME_TRAVEL_RE.sub(bind, stmt)
 
 
 def _split_top(text: str) -> list[str]:

@@ -429,3 +429,38 @@ def test_store_bloom_lookup_many_batched_exact(spark):
         assert store.bloom_lookup_many("t", "u", []).count() == 0
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sql_time_travel_rewrite_and_errors(spark):
+    """VERSION AS OF binds per-version views (two versions of one table
+    join in a single statement), statements without the clause pass
+    through untouched, and a vacuumed/unknown version fails loudly."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _mutated_store(spark)
+    try:
+        out = run_sql(
+            store,
+            "SELECT COUNT(*) AS n FROM snap VERSION AS OF 1",
+        ).first()
+        assert out.n == 3
+        # same query, current state (no clause): 3 live rows after the
+        # delete — pass-through path
+        assert run_sql(store, "SELECT COUNT(*) AS n FROM snap").first().n == 3
+        # two versions in one statement
+        both = run_sql(
+            store,
+            "SELECT (SELECT COUNT(*) FROM snap VERSION AS OF 1) AS v1, "
+            "(SELECT COUNT(*) FROM snap VERSION AS OF 2) AS v2",
+        ).first()
+        assert (both.v1, both.v2) == (3, 4)
+        with pytest.raises(TableStoreError):
+            run_sql(store, "SELECT * FROM snap VERSION AS OF 99").collect()
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -700,3 +700,39 @@ def sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "table_restore_diffs",
+    oracle=(
+        "SELECT * FROM (VALUES (2, 'B', CAST(20.0 AS DOUBLE)), "
+        "(3, 'c', CAST(3.0 AS DOUBLE)), (4, 'd', CAST(4.0 AS DOUBLE))) "
+        "AS t(id, name, score) ORDER BY id"
+    ),
+    tags=("table", "snapshot"),
+)
+def table_restore_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kudu incremental backup/restore: a REPLICA table is built purely
+    by replaying per-version diff scans — never by copying the source's
+    files or rescanning its full state.  Each step applies diff(v-1, v)
+    as one keyed commit (asserts upserted, deletes applied via the same
+    bucket-scoped write), so replicating k changed tablets costs O(k
+    tablets) regardless of source size; the replayed replica must equal
+    the source's final state bit-for-bit (the oracle's VALUES literal).
+    This is the CDC-source role of the version log — the consumer side
+    of the same manifests the mview refresh and join-view IVM read."""
+    src_store, d = _mutated_store(spark)
+    try:
+        src_store.create_table(
+            "replica", "id int, name string, score double", ["id"]
+        )
+        for v in range(1, src_store.current_version("snap") + 1):
+            delta = src_store.diff("snap", v - 1, v)
+            asserts = delta.filter(F.col("change_type") != "delete").select(
+                "id", "name", "score"
+            )
+            dead = delta.filter(F.col("change_type") == "delete").select("id")
+            src_store.upsert("replica", asserts, delete_keys=dead)
+        return _materialize(spark, src_store.scan("replica").orderBy("id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

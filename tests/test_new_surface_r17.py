@@ -464,3 +464,35 @@ def test_sql_time_travel_rewrite_and_errors(spark):
             run_sql(store, "SELECT * FROM snap VERSION AS OF 99").collect()
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_restore_diffs_one_commit_per_replayed_version(spark):
+    """Diff replay preserves commit granularity: the replica's version
+    log carries one mutation per replayed source version (create +
+    3 steps), and replaying onto a NON-empty replica converges too
+    (idempotent upsert/delete semantics per key)."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+
+    store, d = _mutated_store(spark)
+    try:
+        store.create_table("rep", "id int, name string, score double", ["id"])
+        # seed the replica with a stale row that replay must overwrite
+        store.insert_values("rep", [(2, "stale", -1.0)])
+        for v in range(1, store.current_version("snap") + 1):
+            delta = store.diff("snap", v - 1, v)
+            store.upsert(
+                "rep",
+                delta.filter(F.col("change_type") != "delete").select(
+                    "id", "name", "score"
+                ),
+                delete_keys=delta.filter(F.col("change_type") == "delete").select("id"),
+            )
+        got = sorted(tuple(r) for r in store.scan("rep").collect())
+        want = sorted(tuple(r) for r in store.scan("snap").collect())
+        assert got == want
+        # create is v0; seed insert v1; one commit per replayed version
+        assert store.current_version("rep") == 1 + 3
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -187,7 +187,6 @@ def table_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-refresh file counts and the loud stale-index error."""
     from hivekudu_handler_spark.operators.ddl import _scratch_store
     from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
-    from hivekudu_handler_spark.tables import load_events
 
     ev = load_events(spark, sf_dir).select("event_id", "user_id")
     store, d = _scratch_store(spark)

@@ -509,22 +509,53 @@ _TIME_TRAVEL_RE = re.compile(
 )
 
 
+def _in_string_mask(text: str) -> list[bool]:
+    """Per-character flag: inside a single-quoted SQL string literal
+    (``''`` escapes honored).  Shared guard so rewrites never touch
+    literal content."""
+    mask = [False] * len(text)
+    in_str = False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            mask[i] = True
+            if ch == "'":
+                if i + 1 < len(text) and text[i + 1] == "'":
+                    mask[i + 1] = True
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            mask[i] = True
+            in_str = True
+        i += 1
+    return mask
+
+
 def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
     """``FROM t VERSION AS OF n`` — Kudu READ_AT_SNAPSHOT surfaced in
     SQL (Delta/Iceberg spell it the same way).  Each occurrence binds a
     temp view over ``scan_snapshot(t, n)`` and the clause is rewritten
     to that view's name, so one query may join several versions of the
-    same table.  Unknown tables or vacuumed versions fail loudly inside
-    ``scan_snapshot``; statements without the clause pass through
-    untouched (zero regex backtracking risk on the \b-anchored form)."""
-
-    def bind(m: "re.Match[str]") -> str:
+    same table.  Occurrences INSIDE string literals are left untouched
+    (the phrase in a WHERE comparison is data, not syntax).  Unknown
+    tables or vacuumed versions fail loudly inside ``scan_snapshot``;
+    statements without the clause pass through unchanged."""
+    mask = _in_string_mask(stmt)
+    out: list[str] = []
+    last = 0
+    for m in _TIME_TRAVEL_RE.finditer(stmt):
+        if mask[m.start()]:
+            continue
         table, version = m.group(1), int(m.group(2))
         alias = f"__tt_{table.lower()}_v{version}"
         store.scan_snapshot(table, version).createOrReplaceTempView(alias)
-        return alias
-
-    return _TIME_TRAVEL_RE.sub(bind, stmt)
+        out.append(stmt[last : m.start()])
+        out.append(alias)
+        last = m.end()
+    out.append(stmt[last:])
+    return "".join(out)
 
 
 def _split_top(text: str) -> list[str]:

@@ -240,6 +240,14 @@ class TableStore:
             )
         if location is not None:
             raise TableStoreError("LOCATION may not be specified for a managed table")
+        if name.startswith("__"):
+            # the __ namespace is reserved for engine-internal temp views
+            # (__tt_* time-travel bindings, the __merge_claims column's
+            # precedent): a user table there could be clobbered
+            # mid-statement by a rewrite binding
+            raise TableStoreError(
+                f"table names starting with '__' are reserved: {name!r}"
+            )
         if isinstance(schema, str):
             schema = self._parse_ddl_schema(schema)
         if self._meta_path(name).exists() or self._view_path(name).exists():
@@ -683,6 +691,10 @@ class TableStore:
         """ALTER TABLE RENAME TO (Kudu rename_table; the reference's
         golden script itself renames via case-insensitive identifiers,
         ``README.md:39-43``): a directory rename, history included."""
+        if new_name.startswith("__"):
+            raise TableStoreError(
+                f"table names starting with '__' are reserved: {new_name!r}"
+            )
         meta = self._alterable_meta(name)
         if (
             self._meta_path(new_name).exists()
@@ -1816,9 +1828,17 @@ class TableStore:
     # is a per-data-file sidecar: one row per file, `bits` = the distinct
     # probe positions of every value of the indexed column.  Bucket
     # layouts already prune KEY lookups; this serves point reads on
-    # NON-layout columns.  Maintenance rides the version manifests: a
-    # refresh hashes ONLY files added since the indexed version and drops
-    # rows for removed files — delta-sized work, like the mview refresh.
+    # NON-layout columns.  Maintenance rides the version manifests and is
+    # delta-sized in BOTH directions: a refresh hashes only files added
+    # since the indexed version AND writes only those rows, as a new
+    # SEGMENT — prior segments are never rewritten.  Rows for removed
+    # files linger in old segments and are excluded at lookup time by
+    # intersecting candidates with the current manifest (a driver-side
+    # set test over the already-small candidate list).  Segment count is
+    # bounded: past _BLOOM_COMPACT_SEGMENTS, a refresh folds all live
+    # rows into one segment (amortized O(1/threshold) per refresh).
+
+    _BLOOM_COMPACT_SEGMENTS = 16
 
     def _bloom_dir(self, name: str) -> Path:
         return self._dir(name) / "bloomindex"
@@ -1826,12 +1846,33 @@ class TableStore:
     def _bloom_meta_path(self, name: str, col: str) -> Path:
         return self._bloom_dir(name) / f"{col}.json"
 
-    def _bloom_data_dir(self, name: str, col: str, version: int) -> Path:
-        return self._bloom_dir(name) / col / f"v{version:08d}"
+    def _bloom_seg_dir(self, name: str, col: str, version: int) -> Path:
+        return self._bloom_dir(name) / col / f"seg-{version:08d}"
+
+    def _bloom_segments(self, name: str, col: str) -> list[Path]:
+        d = self._bloom_dir(name) / col
+        return sorted(d.glob("seg-*")) if d.exists() else []
 
     def list_bloom_indexes(self, name: str) -> list[str]:
         d = self._bloom_dir(self._norm_name(name))
         return sorted(p.stem for p in d.glob("*.json")) if d.exists() else []
+
+    def _bloom_state(self, name: str, col: str) -> tuple[TableMeta, dict, int, Path]:
+        """(table meta, index meta, current table version, index meta
+        path) — shared load for refresh and the lookups."""
+        name = self._norm_name(name)
+        mpath = self._bloom_meta_path(name, col)
+        if not mpath.exists():
+            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
+        return self.table_meta(name), json.loads(mpath.read_text()), self.current_version(name), mpath
+
+    def _bloom_check_fresh(self, name: str, col: str, imeta: dict, cur: int) -> None:
+        if cur != imeta["version"]:
+            raise TableStoreError(
+                f"bloom index on {name!r} ({col!r}) is stale "
+                f"(indexed v{imeta['version']}, table at v{cur}); run "
+                f"ALTER BLOOM INDEX ON {name} ({col}) REBUILD"
+            )
 
     def _bloom_frame_for_files(
         self, meta: TableMeta, col: str, rel_files: list[str]
@@ -1883,10 +1924,9 @@ class TableStore:
             )
         version = self.current_version(meta.name)
         files = self._read_manifest(meta.name, version)["files"]
-        out = self._bloom_data_dir(meta.name, col, version)
         self._bloom_frame_for_files(meta, col, files).write.mode(
             "overwrite"
-        ).parquet(str(out))
+        ).parquet(str(self._bloom_seg_dir(meta.name, col, version)))
         self._bloom_dir(meta.name).mkdir(parents=True, exist_ok=True)
         self._bloom_meta_path(meta.name, col).write_text(
             json.dumps({"col": col, "version": version})
@@ -1894,44 +1934,108 @@ class TableStore:
         return {"col": col, "version": version, "files": len(files)}
 
     def refresh_bloom_index(self, name: str, col: str) -> dict:
-        """Advance the index to the current version by hashing ONLY the
-        files added since the indexed version (manifest set difference)
-        and dropping rows for removed files.  A k-bucket mutation batch
-        costs O(k buckets) of hashing regardless of table size — the
-        same cost model as the diff scan and the mview refresh."""
+        """Advance the index to the current version: hash ONLY the files
+        added since the indexed version (manifest set difference) and
+        write ONLY their rows, as a new segment — O(changed buckets)
+        compute AND I/O regardless of table size.  Removed files' rows
+        stay in old segments and are excluded at lookup by the manifest
+        intersection.  If the indexed version's manifest was vacuumed,
+        falls back to a FULL rebuild (old segments cleared) instead of
+        dead-ending; past ``_BLOOM_COMPACT_SEGMENTS`` segments, the
+        refresh folds live rows into one segment (amortized O(1) per
+        refresh)."""
         name = self._norm_name(name)
-        mpath = self._bloom_meta_path(name, col)
-        if not mpath.exists():
-            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
-        imeta = json.loads(mpath.read_text())
-        meta = self.table_meta(name)
-        cur = self.current_version(name)
+        meta, imeta, cur, mpath = self._bloom_state(name, col)
         if cur == imeta["version"]:
             return {"refreshed": False, "from": cur, "to": cur, "files_hashed": 0}
-        old_files = set(self._read_manifest(name, imeta["version"])["files"])
         new_files = self._read_manifest(name, cur)["files"]
+        try:
+            old_files = set(self._read_manifest(name, imeta["version"])["files"])
+            full_rebuild = False
+        except TableStoreError:
+            # the indexed version predates the vacuum horizon: the set
+            # difference is unknowable, so rebuild from scratch rather
+            # than leaving REBUILD permanently broken
+            old_files = set()
+            full_rebuild = True
         added = [f for f in new_files if f not in old_files]
-        removed = sorted(old_files - set(new_files))
-        # filter on the DELTA-sized removed set (a NOT IN of every
-        # current file would grow with the table, not the mutation)
-        kept = self.spark.read.parquet(
-            str(self._bloom_data_dir(name, col, imeta["version"]))
-        ).filter(~F.col("file").isin(removed) if removed else F.lit(True))
-        out = self._bloom_data_dir(name, col, cur)
-        kept.unionByName(self._bloom_frame_for_files(meta, col, added)).write.mode(
-            "overwrite"
-        ).parquet(str(out))
+        compact = (
+            not full_rebuild
+            and len(self._bloom_segments(name, col)) >= self._BLOOM_COMPACT_SEGMENTS
+        )
+        if compact:
+            # fold every LIVE row (current-manifest files only) plus the
+            # new delta into one segment
+            live = set(new_files) - set(added)
+            segs = [str(p) for p in self._bloom_segments(name, col)]
+            kept = self.spark.read.parquet(*segs).filter(
+                F.col("file").isin(sorted(live)) if live else F.lit(False)
+            )
+            frame = kept.unionByName(self._bloom_frame_for_files(meta, col, added))
+        else:
+            frame = self._bloom_frame_for_files(meta, col, added)
+        old_segs = self._bloom_segments(name, col)
+        out = self._bloom_seg_dir(name, col, cur)
+        # localCheckpoint before the write when compacting: the new
+        # segment is derived FROM the old segments being deleted below
+        if compact:
+            frame = frame.localCheckpoint(eager=True)
+        frame.write.mode("overwrite").parquet(str(out))
+        if full_rebuild or compact:
+            for seg in old_segs:
+                if seg != out:
+                    shutil.rmtree(seg, ignore_errors=True)
         prev = imeta["version"]
         imeta["version"] = cur
         mpath.write_text(json.dumps(imeta))
-        shutil.rmtree(self._bloom_data_dir(name, col, prev), ignore_errors=True)
         return {
             "refreshed": True,
             "from": prev,
             "to": cur,
-            "files_hashed": len(added),
-            "files_kept": len(new_files) - len(added),
+            "files_hashed": len(new_files) if full_rebuild else len(added),
+            "files_kept": 0 if full_rebuild else len(new_files) - len(added),
+            "full_rebuild": full_rebuild,
+            "compacted": compact,
         }
+
+    def _bloom_candidates(self, name: str, col: str, cond: Column, cur: int) -> list[str]:
+        """Distinct candidate files matching ``cond`` over every index
+        segment, intersected with the CURRENT manifest (rows for removed
+        files linger in old segments by design; duplicates from a
+        crashed full rebuild are deduped here)."""
+        segs = [str(p) for p in self._bloom_segments(name, col)]
+        idx = self.spark.read.parquet(*segs)
+        live = set(self._read_manifest(name, cur)["files"])
+        return sorted(
+            {r.file for r in idx.filter(cond).select("file").collect()} & live
+        )
+
+    def _read_bloom_candidates(self, meta: TableMeta, files: list[str]) -> DataFrame:
+        """Read exactly ``files`` with the physical schema, mapped back
+        to logical columns."""
+        data = self._data_dir(meta.name)
+        raw = self.spark.read.schema(
+            T.StructType(
+                [
+                    T.StructField(meta.phys_name(f.name), f.dataType, f.nullable)
+                    for f in meta.schema.fields
+                ]
+            )
+        ).parquet(*[str(data / f) for f in files])
+        return self._to_logical(raw, meta).select(
+            *[f.name for f in meta.schema.fields]
+        )
+
+    @staticmethod
+    def _bloom_cover_cond(positions: list[int]) -> Column:
+        return (
+            F.size(
+                F.array_intersect(
+                    "bits", F.array(*[F.lit(p) for p in positions])
+                )
+            )
+            == len(positions)
+        )
 
     def bloom_lookup(self, name: str, col: str, value) -> DataFrame:
         """Point read ``col = value`` through the sidecar: filter the
@@ -1944,53 +2048,22 @@ class TableStore:
         from hivekudu_handler_spark.sources.bloom import K_PROBES, probe_positions
 
         name = self._norm_name(name)
-        mpath = self._bloom_meta_path(name, col)
-        if not mpath.exists():
-            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
-        imeta = json.loads(mpath.read_text())
-        meta = self.table_meta(name)
-        cur = self.current_version(name)
-        if cur != imeta["version"]:
-            raise TableStoreError(
-                f"bloom index on {name!r} ({col!r}) is stale "
-                f"(indexed v{imeta['version']}, table at v{cur}); run "
-                f"ALTER BLOOM INDEX ON {name} ({col}) REBUILD"
-            )
+        meta, imeta, cur, _ = self._bloom_state(name, col)
+        self._bloom_check_fresh(name, col, imeta, cur)
         dtype = next(f.dataType for f in meta.schema.fields if f.name == col)
         probe_lit = F.lit(value).cast(dtype)
         probe_row = self.spark.range(1).select(
             *[p.alias(f"p{i}") for i, p in enumerate(probe_positions(probe_lit))]
         ).first()
         probe = sorted({probe_row[f"p{i}"] for i in range(K_PROBES)})
-        idx = self.spark.read.parquet(
-            str(self._bloom_data_dir(name, col, cur))
+        candidates = self._bloom_candidates(
+            name, col, self._bloom_cover_cond(probe), cur
         )
-        candidates = [
-            r.file
-            for r in idx.filter(
-                F.size(
-                    F.array_intersect(
-                        "bits", F.array(*[F.lit(p) for p in probe])
-                    )
-                )
-                == len(probe)
-            )
-            .select("file")
-            .collect()
-        ]
         if not candidates:
             return self.spark.createDataFrame([], meta.schema)
-        data = self._data_dir(name)
-        raw = self.spark.read.schema(
-            T.StructType(
-                [
-                    T.StructField(meta.phys_name(f.name), f.dataType, f.nullable)
-                    for f in meta.schema.fields
-                ]
-            )
-        ).parquet(*[str(data / f) for f in candidates])
-        hit = self._to_logical(raw, meta).filter(F.col(col) == probe_lit)
-        return hit.select(*[f.name for f in meta.schema.fields])
+        return self._read_bloom_candidates(meta, candidates).filter(
+            F.col(col) == probe_lit
+        )
 
     def bloom_lookup_many(self, name: str, col: str, values: list) -> DataFrame:
         """Batched :meth:`bloom_lookup` — one candidate-set union, one
@@ -2001,18 +2074,8 @@ class TableStore:
         from hivekudu_handler_spark.sources.bloom import probe_positions
 
         name = self._norm_name(name)
-        mpath = self._bloom_meta_path(name, col)
-        if not mpath.exists():
-            raise NoSuchTableError(f"no bloom index on {name!r} ({col!r})")
-        imeta = json.loads(mpath.read_text())
-        meta = self.table_meta(name)
-        cur = self.current_version(name)
-        if cur != imeta["version"]:
-            raise TableStoreError(
-                f"bloom index on {name!r} ({col!r}) is stale "
-                f"(indexed v{imeta['version']}, table at v{cur}); run "
-                f"ALTER BLOOM INDEX ON {name} ({col}) REBUILD"
-            )
+        meta, imeta, cur, _ = self._bloom_state(name, col)
+        self._bloom_check_fresh(name, col, imeta, cur)
         if not values:
             return self.spark.createDataFrame([], meta.schema)
         dtype = next(f.dataType for f in meta.schema.fields if f.name == col)
@@ -2020,33 +2083,16 @@ class TableStore:
         probe_rows = self.spark.createDataFrame(
             [(v,) for v in values], T.StructType([T.StructField("v", dtype)])
         ).select(F.array(*probe_positions(F.col("v"))).alias("ps")).collect()
-        probes = [sorted(set(r.ps)) for r in probe_rows]
         cond = None
-        for ps in probes:
-            c = (
-                F.size(
-                    F.array_intersect("bits", F.array(*[F.lit(p) for p in ps]))
-                )
-                == len(ps)
-            )
+        for r in probe_rows:
+            c = self._bloom_cover_cond(sorted(set(r.ps)))
             cond = c if cond is None else (cond | c)
-        idx = self.spark.read.parquet(str(self._bloom_data_dir(name, col, cur)))
-        candidates = [r.file for r in idx.filter(cond).select("file").collect()]
+        candidates = self._bloom_candidates(name, col, cond, cur)
         if not candidates:
             return self.spark.createDataFrame([], meta.schema)
-        data = self._data_dir(name)
-        raw = self.spark.read.schema(
-            T.StructType(
-                [
-                    T.StructField(meta.phys_name(f.name), f.dataType, f.nullable)
-                    for f in meta.schema.fields
-                ]
-            )
-        ).parquet(*[str(data / f) for f in candidates])
-        hit = self._to_logical(raw, meta).filter(
+        return self._read_bloom_candidates(meta, candidates).filter(
             F.col(col).isin(*[F.lit(v).cast(dtype) for v in values])
         )
-        return hit.select(*[f.name for f in meta.schema.fields])
 
     def _drop_bloom_index_if_any(self, name: str, col: str) -> None:
         mpath = self._bloom_meta_path(name, col)

@@ -496,3 +496,82 @@ def test_restore_diffs_one_commit_per_replayed_version(spark):
         assert store.current_version("rep") == 1 + 3
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_store_bloom_refresh_survives_vacuum_and_compacts_segments(spark):
+    """Two review-pinned behaviors: (a) when the indexed version's
+    manifest was vacuumed, REBUILD falls back to a full rebuild instead
+    of dead-ending the recovery path its own stale error recommends;
+    (b) segment count is bounded — past the threshold a refresh folds
+    live rows into one segment, keeping lookup fan-in O(threshold)."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table("t", "id bigint, u bigint", ["id"])
+        store.insert_values("t", [(1, 10), (2, 20)])
+        store.create_bloom_index("t", "u")
+        store.insert_values("t", [(3, 30)])
+        store.insert_values("t", [(4, 40)])
+        store.vacuum("t", keep_last=1)  # drops the indexed version's manifest
+        r = store.refresh_bloom_index("t", "u")
+        assert r["full_rebuild"] is True and r["refreshed"] is True
+        assert [(x.id, x.u) for x in store.bloom_lookup("t", "u", 30).collect()] == [(3, 30)]
+
+        # segment-count bound: many tiny refreshes, then assert compaction
+        for i in range(5, 5 + store._BLOOM_COMPACT_SEGMENTS):
+            store.insert_values("t", [(100 + i, 1000 + i)])
+            store.refresh_bloom_index("t", "u")
+        n_segs = len(store._bloom_segments("t", "u"))
+        assert n_segs <= store._BLOOM_COMPACT_SEGMENTS + 1, n_segs
+        # correctness after compaction: every value still found
+        assert store.bloom_lookup("t", "u", 1000 + 5).count() == 1
+        assert store.bloom_lookup("t", "u", 10).count() == 1
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_time_travel_phrase_inside_string_literal_untouched(spark):
+    """The rewrite is quote-aware: 'VERSION AS OF' inside a string
+    literal is data, not syntax — the literal survives verbatim and no
+    snapshot view is bound for it."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _mutated_store(spark)
+    try:
+        row = run_sql(
+            store,
+            "SELECT 'snap VERSION AS OF 1' AS phrase, "
+            "(SELECT COUNT(*) FROM snap VERSION AS OF 1) AS n",
+        ).first()
+        assert row.phrase == "snap VERSION AS OF 1"
+        assert row.n == 3
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reserved_table_namespace_rejected(spark):
+    """Names in the engine-internal __ namespace are rejected at CREATE
+    and RENAME (a __tt_* user table could be clobbered mid-statement by
+    the time-travel view binding)."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _scratch_store(spark)
+    try:
+        with pytest.raises(TableStoreError, match="reserved"):
+            store.create_table("__tt_x_v1", "id int", ["id"])
+        store.create_table("ok", "id int", ["id"])
+        with pytest.raises(TableStoreError, match="reserved"):
+            store.rename_table("ok", "__shadow")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -1148,3 +1148,45 @@ def scan_external_master(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, addressed.load())
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "dml_column_defaults",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(1, 'hola', 'es', CAST(0.5 AS DOUBLE)), "
+        "(2, 'welt', 'de', CAST(0.5 AS DOUBLE)), "
+        "(3, 'ciao', 'und', CAST(0.9 AS DOUBLE))) "
+        "AS t(id, body, lang, score) ORDER BY id"
+    ),
+    tags=("table", "ddl"),
+)
+def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kudu column-schema attributes through the SQL front-end: ``NOT
+    NULL`` (write-time loud enforcement — the guard rides the write's
+    own action, no extra pass) and ``DEFAULT <literal>`` (filled when a
+    column-list INSERT omits the column; ANSI defaults semantics).  The
+    scenario CREATEs with both attributes, drives column-list INSERT /
+    UPSERT variants incl. an explicit override of a defaulted column,
+    and returns the final state; SHOW CREATE TABLE re-renders the
+    attributes and the rendered DDL re-parses (round-trip pinned in
+    tests/test_new_surface_r17.py).  The reference's row bridge carried
+    per-column nullability the same way (``HiveKuduWritable.java`` type
+    cases; Kudu ColumnSchema nullable/default)."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE docs (id bigint, body string NOT NULL, "
+            "lang string DEFAULT 'und', score double DEFAULT 0.5) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        run_sql(store, "INSERT INTO docs (id, body) VALUES (1, 'hello')")
+        run_sql(store, "INSERT INTO docs (id, body, lang) VALUES (2, 'welt', 'de')")
+        run_sql(store, "UPSERT INTO docs (id, body, lang) VALUES (1, 'hola', 'es')")
+        run_sql(store, "INSERT INTO docs (id, body, score) VALUES (3, 'ciao', 0.9)")
+        return _materialize(spark, store.scan("docs").orderBy("id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -21,8 +21,12 @@ test exercises (``README.md:14-218``) and routing them to the store:
   pinned in tests) — views render their ``CREATE VIEW``, external
   attachments render ``CREATE EXTERNAL TABLE ... LOCATION`` (honest but
   rejected on re-parse, exactly like the reference's create hook)
-* ``INSERT INTO [TABLE] name VALUES (...), (...)``
-  (demo ``README.md:35,113-130``)
+* ``INSERT INTO [TABLE] name [(col, ...)] VALUES (...), (...)``
+  (demo ``README.md:35,113-130``); with a column list, omitted columns
+  fill their declared ``DEFAULT``, else NULL when nullable, else error
+  — CREATE TABLE accepts Kudu-style column attributes ``col type
+  [NOT NULL] [DEFAULT <literal>]`` (NOT NULL enforced loudly at write
+  time on every path)
 * ``UPSERT INTO [TABLE] name VALUES (...)`` — the Kudu dialect's
   first-class merge verb (Impala-on-Kudu syntax; the reference's
   declared goal, ``doc/DesignDocument.md:9``), routed to the store's
@@ -179,7 +183,8 @@ _SHOW_CREATE_RE = re.compile(
     r"^SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
 )
 _INSERT_RE = re.compile(
-    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s+"
+    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?"
     r"VALUES\s+(?P<values>\(.*\))$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -464,8 +469,18 @@ def _render_create(store: TableStore, name: str) -> str:
     if view_sql is not None:
         return f"CREATE VIEW {name} AS {view_sql}"
     meta = store.table_meta(name)
+
+    def attrs(f) -> str:
+        out = ""
+        if not f.nullable and f.name not in meta.key_columns:
+            out += " NOT NULL"
+        if meta.defaults and f.name in meta.defaults:
+            out += f" DEFAULT {meta.defaults[f.name]}"
+        return out
+
     cols = ",\n  ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in meta.schema.fields
+        f"{f.name} {f.dataType.simpleString()}{attrs(f)}"
+        for f in meta.schema.fields
     )
     props = [f"'kudu.key_columns'='{','.join(meta.key_columns)}'"]
     if meta.range_splits:
@@ -731,6 +746,15 @@ def _run_guarded(write) -> None:
             for marker in (_MERGE_CARDINALITY_MSG, _NULL_KEY_MSG):
                 if marker in text:
                     raise SqlDdlError(marker) from exc
+            from hivekudu_handler_spark.sources.table_store import (
+                NOT_NULL_MSG_PREFIX,
+            )
+
+            if NOT_NULL_MSG_PREFIX in text:
+                start = text.index(NOT_NULL_MSG_PREFIX)
+                msg = text[start:].splitlines()[0]
+                msg = re.sub(r"\s+SQLSTATE:.*$", "", msg).strip()
+                raise SqlDdlError(msg) from exc
         raise
 
 
@@ -1370,14 +1394,58 @@ def _insert(store: TableStore, stmt: str) -> None:
     except Exception as exc:
         raise SqlDdlError(f"cannot parse VALUES literals: {exc}") from exc
     fields = meta.schema.fields
-    if len(df.columns) != len(fields):
-        raise SqlDdlError(
-            f"INSERT arity mismatch for {name!r}: table has {len(fields)} "
-            f"columns, VALUES has {len(df.columns)}"
+    col_list = m.group("cols")
+    if col_list is None:
+        if len(df.columns) != len(fields):
+            raise SqlDdlError(
+                f"INSERT arity mismatch for {name!r}: table has {len(fields)} "
+                f"columns, VALUES has {len(df.columns)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(df.columns, fields)
+            ]
         )
-    df = df.select(
-        *[F.col(c).cast(f.dataType).alias(f.name) for c, f in zip(df.columns, fields)]
-    )
+    else:
+        # INSERT INTO t (a, b) VALUES ...: omitted columns fill with
+        # their declared DEFAULT, else NULL when nullable, else a loud
+        # error — ANSI defaults semantics over Kudu-style column schemas
+        named = [c.strip() for c in col_list.split(",")]
+        types = {f.name: f for f in fields}
+        unknown = [c for c in named if c not in types]
+        if unknown:
+            raise SqlDdlError(f"unknown column(s) in INSERT list: {unknown}")
+        if len(set(named)) != len(named):
+            raise SqlDdlError(f"duplicate column in INSERT list: {col_list!r}")
+        if len(df.columns) != len(named):
+            raise SqlDdlError(
+                f"INSERT arity mismatch for {name!r}: column list has "
+                f"{len(named)} columns, VALUES has {len(df.columns)}"
+            )
+        df = df.select(
+            *[
+                F.col(c).cast(types[n].dataType).alias(n)
+                for c, n in zip(df.columns, named)
+            ]
+        )
+        defaults = meta.defaults or {}
+        for f in fields:
+            if f.name in named:
+                continue
+            if f.name in defaults:
+                df = df.withColumn(
+                    f.name, F.expr(defaults[f.name]).cast(f.dataType)
+                )
+            elif f.nullable and f.name not in meta.key_columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            else:
+                kind = "key" if f.name in meta.key_columns else "NOT NULL"
+                raise SqlDdlError(
+                    f"column {f.name!r} is {kind} with no DEFAULT: it must "
+                    f"appear in the INSERT column list"
+                )
+        df = df.select(*[f.name for f in fields])
     # SQL-dialect consistency with MERGE INSERT (r17 review): a NULL key
     # value is an ANSI constraint violation, raised before the write's
     # first action commits anything — not a silent validate-filter drop

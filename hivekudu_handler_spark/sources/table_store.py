@@ -87,6 +87,9 @@ class TableStoreError(RuntimeError):
     pass
 
 
+NOT_NULL_MSG_PREFIX = "NOT NULL constraint violated: column "
+
+
 class TableExistsError(TableStoreError):
     pass
 
@@ -125,6 +128,10 @@ class TableMeta:
     # columns always get a collision-free physical name.
     physical: dict | None = None
     used_physical: list | None = None
+    # non-key column DEFAULT expressions (logical name -> SQL literal
+    # text), applied when a column-list INSERT omits the column — Kudu
+    # columns carry read/write defaults the same way
+    defaults: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -141,6 +148,7 @@ class TableMeta:
                 "num_buckets": self.num_buckets,
                 "physical": self.physical,
                 "used_physical": self.used_physical,
+                "defaults": self.defaults,
             }
         )
 
@@ -160,6 +168,7 @@ class TableMeta:
             num_buckets=d.get("num_buckets"),
             physical=d.get("physical"),
             used_physical=d.get("used_physical"),
+            defaults=d.get("defaults"),
         )
 
     def phys_name(self, logical: str) -> str:
@@ -211,6 +220,7 @@ class TableStore:
         range_splits: list | None = None,
         hash_in_range: int | None = None,
         num_buckets: int | None = None,
+        defaults: dict[str, str] | None = None,
     ) -> TableMeta:
         """CREATE TABLE with mandatory key columns (managed only).
 
@@ -249,7 +259,10 @@ class TableStore:
                 f"table names starting with '__' are reserved: {name!r}"
             )
         if isinstance(schema, str):
-            schema = self._parse_ddl_schema(schema)
+            schema, parsed_defaults = self._parse_ddl_schema(schema)
+            # DDL-text attributes and the explicit kwarg merge; the
+            # kwarg wins on conflict (it is the more deliberate spelling)
+            defaults = {**parsed_defaults, **(defaults or {})}
         if self._meta_path(name).exists() or self._view_path(name).exists():
             raise TableExistsError(f"table or view {name!r} already exists")
         normalized = typesys.validate_schema(
@@ -281,6 +294,25 @@ class TableStore:
             raise TableStoreError(
                 f"num_buckets must be a positive int, got {num_buckets!r}"
             )
+        if defaults:
+            known = {f.name for f in normalized.fields}
+            bad = sorted(set(defaults) - known)
+            if bad:
+                raise TableStoreError(f"DEFAULT on unknown column(s): {bad}")
+            keyed = sorted(set(defaults) & set(key_columns))
+            if keyed:
+                # a defaulted key invites INSERTs that omit identity —
+                # Kudu likewise requires the full PK on every write
+                raise TableStoreError(
+                    f"DEFAULT not allowed on key column(s): {keyed}"
+                )
+            for c, expr_text in defaults.items():
+                try:
+                    F.expr(expr_text)
+                except Exception as exc:
+                    raise TableStoreError(
+                        f"cannot parse DEFAULT for {c!r}: {expr_text!r}"
+                    ) from exc
         meta = TableMeta(
             self._norm_name(name),
             normalized,
@@ -290,6 +322,7 @@ class TableStore:
             range_splits=range_splits,
             hash_in_range=hash_in_range,
             num_buckets=num_buckets,
+            defaults=dict(defaults) if defaults else None,
         )
         try:
             self._dir(name).mkdir(parents=True, exist_ok=True)
@@ -344,14 +377,31 @@ class TableStore:
         return meta
 
     @staticmethod
-    def _parse_ddl_schema(ddl: str) -> T.StructType:
+    def _parse_ddl_schema(ddl: str) -> tuple[T.StructType, dict[str, str]]:
         """Parse ``"id int, name string"`` via the reference's Hive-name
-        lattice (rejects anything outside typesys.HIVE_TO_SPARK)."""
+        lattice (rejects anything outside typesys.HIVE_TO_SPARK).
+
+        Column attributes (Kudu column schema parity): ``NOT NULL``
+        marks the field non-nullable — enforced at write time with a
+        loud error — and ``DEFAULT <literal>`` records the expression a
+        column-list INSERT fills in when the column is omitted.
+        Returns ``(schema, defaults)``."""
         fields = []
+        defaults: dict[str, str] = {}
         depth = 0
         token = ""
         parts: list[str] = []
+        in_str = False
         for ch in ddl:
+            if in_str:
+                token += ch
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+                token += ch
+                continue
             if ch == "," and depth == 0:
                 parts.append(token)
                 token = ""
@@ -362,9 +412,23 @@ class TableStore:
         if token.strip():
             parts.append(token)
         for part in parts:
-            col, _, typ = part.strip().partition(" ")
-            fields.append(T.StructField(col, typesys.resolve_hive_type(typ)))
-        return T.StructType(fields)
+            text = part.strip()
+            dm = re.search(r"\s+DEFAULT\s+(?P<expr>.+)$", text, re.IGNORECASE)
+            default = None
+            if dm:
+                default = dm.group("expr").strip()
+                text = text[: dm.start()].rstrip()
+            nn = re.search(r"\s+NOT\s+NULL$", text, re.IGNORECASE)
+            nullable = nn is None
+            if nn:
+                text = text[: nn.start()].rstrip()
+            col, _, typ = text.partition(" ")
+            fields.append(
+                T.StructField(col, typesys.resolve_hive_type(typ), nullable)
+            )
+            if default is not None:
+                defaults[col] = default
+        return T.StructType(fields), defaults
 
     def drop_table(self, name: str) -> None:
         """DROP TABLE deletes storage for managed tables
@@ -2131,6 +2195,29 @@ class TableStore:
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in meta.schema.fields]
         )
+        # Kudu column-schema parity: a declared NOT NULL non-key column
+        # rejects NULL loudly at write time.  The guard is an expression
+        # riding the write's own action (no extra pass over the batch);
+        # key columns keep their distinct silent-drop/raise_error rules.
+        guarded = [
+            f.name
+            for f in meta.schema.fields
+            if not f.nullable and f.name not in meta.key_columns
+        ]
+        if guarded:
+            df = df.select(
+                *[
+                    F.when(
+                        F.col(c).isNull(),
+                        F.raise_error(F.lit(NOT_NULL_MSG_PREFIX + c)),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in guarded
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         for k in meta.key_columns:
             df = df.filter(F.col(k).isNotNull())
         return df

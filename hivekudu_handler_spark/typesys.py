@@ -111,6 +111,14 @@ def validate_schema(
     for f in schema.fields:
         validate_spark_type(f.dataType, allow_extended=allow_extended)
         fields.append(
-            T.StructField(f.name, f.dataType, nullable=f.name not in key_columns)
+            T.StructField(
+                f.name,
+                f.dataType,
+                # keys are always non-nullable (the reference's
+                # .key(...).nullable(!...) rule); a non-key column may
+                # ALSO be declared NOT NULL (Kudu column-schema parity) —
+                # explicit non-nullability survives normalization
+                nullable=f.nullable and f.name not in key_columns,
+            )
         )
     return T.StructType(fields)

@@ -575,3 +575,80 @@ def test_reserved_table_namespace_rejected(spark):
             store.rename_table("ok", "__shadow")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+# ---- column attributes: NOT NULL / DEFAULT ---------------------------------
+
+
+def test_not_null_and_defaults_lifecycle(spark):
+    """NOT NULL rejects loudly on BOTH the SQL and the DataFrame write
+    paths (never a silent drop); DEFAULT applies only to omitted
+    columns; SHOW CREATE renders the attributes and the rendered DDL
+    re-parses to an equivalent table."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE t (id bigint, body string NOT NULL, "
+            "lang string DEFAULT 'und') "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        # SQL path: NOT NULL violation is a statement-level error and
+        # the failed write commits nothing
+        with pytest.raises(SqlDdlError, match="NOT NULL constraint violated: column body"):
+            run_sql(store, "INSERT INTO t VALUES (1, NULL, 'en')")
+        assert store.scan("t").count() == 0
+        assert store.current_version("t") == 0
+        # DataFrame API path: same constraint, executor-raised
+        with pytest.raises(Exception, match="NOT NULL constraint violated"):
+            store.insert(
+                "t",
+                spark.createDataFrame([(1, None, "en")], "id bigint, body string, lang string"),
+            )
+        # omitted NOT NULL column without default: rejected at parse
+        with pytest.raises(SqlDdlError, match="NOT NULL with no DEFAULT"):
+            run_sql(store, "INSERT INTO t (id, lang) VALUES (1, 'en')")
+        # defaults fill, explicit values win
+        run_sql(store, "INSERT INTO t (id, body) VALUES (1, 'a')")
+        run_sql(store, "INSERT INTO t (id, body, lang) VALUES (2, 'b', 'de')")
+        got = sorted(tuple(r) for r in store.scan("t").collect())
+        assert got == [(1, "a", "und"), (2, "b", "de")]
+        # round-trip: rendered DDL re-parses with identical semantics
+        ddl = run_sql(store, "SHOW CREATE TABLE t").first().createtab_stmt
+        assert "NOT NULL" in ddl and "DEFAULT 'und'" in ddl
+        run_sql(store, ddl.replace("TABLE t ", "TABLE t2 "))
+        run_sql(store, "INSERT INTO t2 (id, body) VALUES (9, 'z')")
+        assert [tuple(r) for r in store.scan("t2").collect()] == [(9, "z", "und")]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_default_rejected_on_key_and_unknown_columns(spark):
+    """DEFAULT on a key column (identity must always be written) or an
+    unknown column fails at CREATE, not at first INSERT."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _scratch_store(spark)
+    try:
+        with pytest.raises(TableStoreError, match="key column"):
+            store.create_table(
+                "a", "id bigint DEFAULT 7, v string", ["id"]
+            )
+        with pytest.raises(TableStoreError, match="unknown column"):
+            store.create_table(
+                "b", "id bigint, v string", ["id"], defaults={"nope": "1"}
+            )
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -1154,7 +1154,7 @@ def scan_external_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dml_column_defaults",
     oracle=(
         "SELECT * FROM (VALUES "
-        "(1, 'hola', 'es', CAST(0.5 AS DOUBLE)), "
+        "(1, 'hola', 'es', CAST(0.9 AS DOUBLE)), "
         "(2, 'welt', 'de', CAST(0.5 AS DOUBLE)), "
         "(3, 'ciao', 'und', CAST(0.9 AS DOUBLE))) "
         "AS t(id, body, lang, score) ORDER BY id"
@@ -1167,8 +1167,10 @@ def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     own action, no extra pass) and ``DEFAULT <literal>`` (filled when a
     column-list INSERT omits the column; ANSI defaults semantics).  The
     scenario CREATEs with both attributes, drives column-list INSERT /
-    UPSERT variants incl. an explicit override of a defaulted column,
-    and returns the final state; SHOW CREATE TABLE re-renders the
+    UPSERT variants incl. an explicit override of a defaulted column
+    and a PARTIAL UPSERT of an existing row — whose unlisted columns
+    keep their current values (Impala/Kudu UPSERT), score 0.9
+    surviving the row-1 rewrite — and returns the final state; SHOW CREATE TABLE re-renders the
     attributes and the rendered DDL re-parses (round-trip pinned in
     tests/test_new_surface_r17.py).  The reference's row bridge carried
     per-column nullability the same way (``HiveKuduWritable.java`` type
@@ -1183,7 +1185,7 @@ def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang string DEFAULT 'und', score double DEFAULT 0.5) "
             "TBLPROPERTIES ('kudu.key_columns'='id')",
         )
-        run_sql(store, "INSERT INTO docs (id, body) VALUES (1, 'hello')")
+        run_sql(store, "INSERT INTO docs (id, body, score) VALUES (1, 'hello', 0.9)")
         run_sql(store, "INSERT INTO docs (id, body, lang) VALUES (2, 'welt', 'de')")
         run_sql(store, "UPSERT INTO docs (id, body, lang) VALUES (1, 'hola', 'es')")
         run_sql(store, "INSERT INTO docs (id, body, score) VALUES (3, 'ciao', 0.9)")

@@ -96,7 +96,11 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hivekudu_handler_spark.sources.table_store import TableStore, TableStoreError
+from hivekudu_handler_spark.sources.table_store import (
+    NOT_NULL_MSG_PREFIX,
+    TableStore,
+    TableStoreError,
+)
 
 # the reference's property names (HiveKuduConstants.java:28-30) plus the
 # bare spelling for convenience
@@ -182,10 +186,13 @@ _SHOW_TABLES_RE = re.compile(
 _SHOW_CREATE_RE = re.compile(
     r"^SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
 )
+# the name must be separated from VALUES by whitespace or a column list
+# — 'INSERT INTO docsVALUES (...)' must NOT backtrack-parse as table
+# 'docs' (r17 review)
 _INSERT_RE = re.compile(
-    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*"
-    r"(?:\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)\s*)?"
-    r"VALUES\s+(?P<values>\(.*\))$",
+    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s*\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+    r"\s+VALUES\s+(?P<values>\(.*\))$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_STMT_RE = re.compile(
@@ -639,8 +646,10 @@ def _update(store: TableStore, stmt: str) -> None:
             for c in rows.columns
         ]
     )
-    # keyed upsert: only the buckets holding matched rows are rewritten
-    store.upsert(name, rows)
+    # keyed upsert: only the buckets holding matched rows are rewritten;
+    # guarded so a NOT NULL violation surfaces as SqlDdlError like every
+    # other DML path (r17 review)
+    _run_guarded(lambda: store.upsert(name, rows))
 
 
 _MERGE_HEAD_RE = re.compile(
@@ -746,10 +755,6 @@ def _run_guarded(write) -> None:
             for marker in (_MERGE_CARDINALITY_MSG, _NULL_KEY_MSG):
                 if marker in text:
                     raise SqlDdlError(marker) from exc
-            from hivekudu_handler_spark.sources.table_store import (
-                NOT_NULL_MSG_PREFIX,
-            )
-
             if NOT_NULL_MSG_PREFIX in text:
                 start = text.index(NOT_NULL_MSG_PREFIX)
                 msg = text[start:].splitlines()[0]
@@ -1153,6 +1158,16 @@ def _merge(store: TableStore, stmt: str) -> None:
                     raise SqlDdlError(
                         f"MERGE INSERT must provide key column(s) {missing_keys}"
                     )
+                defaults = meta.defaults or {}
+
+                def omitted(c: str):
+                    # same rule as plain INSERT with a column list: the
+                    # declared DEFAULT fills an omitted column (r17
+                    # review — the two INSERT spellings must agree)
+                    if c in defaults:
+                        return F.expr(defaults[c]).cast(types[c])
+                    return F.lit(None).cast(types[c])
+
                 projected = rows.select(
                     *[
                         (
@@ -1161,7 +1176,7 @@ def _merge(store: TableStore, stmt: str) -> None:
                             else F.expr(mapping[c]).cast(types[c])
                         ).alias(c)
                         if c in mapping
-                        else F.lit(None).cast(types[c]).alias(c)
+                        else omitted(c).alias(c)
                         for c in tcols
                     ]
                 )
@@ -1380,6 +1395,57 @@ def _drop(store: TableStore, stmt: str) -> None:
     store.drop_table(name)
 
 
+def _fill_partial_upsert(
+    store: TableStore, meta, batch: DataFrame, named: set
+) -> DataFrame:
+    """Fill a partial-column UPSERT batch to full rows with Impala/Kudu
+    semantics: for keys that EXIST, omitted columns carry the current
+    row's values; for new keys they carry the declared DEFAULT, else
+    NULL (an omitted NOT NULL column without a default surfaces the
+    write-time constraint error for new keys — existing keys are fine).
+    The batch is VALUES literals (driver-sized), so current rows come
+    through the bucket-pruned ``lookup_many`` path, never a table scan."""
+    keys = meta.key_columns
+    fields = meta.schema.fields
+    defaults = meta.defaults or {}
+    omitted = [f for f in fields if f.name not in named]
+    clash = [f.name for f in fields if f.name.startswith("__upsert_")]
+    if clash:
+        raise SqlDdlError(
+            f"column name(s) {clash} collide with the partial-UPSERT "
+            f"internal namespace '__upsert_'"
+        )
+    key_rows = batch.select(*keys).collect()
+    if len(keys) == 1:
+        vals = [r[keys[0]] for r in key_rows]
+    else:
+        vals = [{k: r[k] for k in keys} for r in key_rows]
+    cur = store.lookup_many(meta.name, vals).select(
+        *keys,
+        F.lit(True).alias("__upsert_exists"),
+        *[F.col(f.name).alias(f"__upsert_cur_{f.name}") for f in omitted],
+    )
+    joined = batch.join(cur, list(keys), "left")
+    out = []
+    for f in fields:
+        if f.name in named:
+            out.append(F.col(f.name))
+            continue
+        if f.name in defaults:
+            new_fill = F.expr(defaults[f.name]).cast(f.dataType)
+        else:
+            new_fill = F.lit(None).cast(f.dataType)
+        out.append(
+            F.when(
+                F.col("__upsert_exists").isNotNull(),
+                F.col(f"__upsert_cur_{f.name}"),
+            )
+            .otherwise(new_fill)
+            .alias(f.name)
+        )
+    return joined.select(*out)
+
+
 def _insert(store: TableStore, stmt: str) -> None:
     m = _INSERT_RE.match(stmt)
     if not m:
@@ -1429,22 +1495,34 @@ def _insert(store: TableStore, stmt: str) -> None:
                 for c, n in zip(df.columns, named)
             ]
         )
-        defaults = meta.defaults or {}
-        for f in fields:
-            if f.name in named:
-                continue
-            if f.name in defaults:
-                df = df.withColumn(
-                    f.name, F.expr(defaults[f.name]).cast(f.dataType)
-                )
-            elif f.nullable and f.name not in meta.key_columns:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            else:
-                kind = "key" if f.name in meta.key_columns else "NOT NULL"
-                raise SqlDdlError(
-                    f"column {f.name!r} is {kind} with no DEFAULT: it must "
-                    f"appear in the INSERT column list"
-                )
+        missing_keys = [k for k in meta.key_columns if k not in named]
+        if missing_keys:
+            raise SqlDdlError(
+                f"key column(s) {missing_keys} must appear in the "
+                f"INSERT column list (identity is always written)"
+            )
+        if m.group("verb").upper() == "UPSERT" and len(named) < len(fields):
+            # Impala/Kudu partial-row UPSERT: listed columns update;
+            # omitted columns KEEP the existing row's values — only a
+            # row creating a NEW key fills DEFAULT/NULL (r17 review: the
+            # previous default-fill silently reset unlisted columns)
+            df = _fill_partial_upsert(store, meta, df, set(named))
+        else:
+            defaults = meta.defaults or {}
+            for f in fields:
+                if f.name in named:
+                    continue
+                if f.name in defaults:
+                    df = df.withColumn(
+                        f.name, F.expr(defaults[f.name]).cast(f.dataType)
+                    )
+                elif f.nullable:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                else:
+                    raise SqlDdlError(
+                        f"column {f.name!r} is NOT NULL with no DEFAULT: it "
+                        f"must appear in the INSERT column list"
+                    )
         df = df.select(*[f.name for f in fields])
     # SQL-dialect consistency with MERGE INSERT (r17 review): a NULL key
     # value is an ANSI constraint violation, raised before the write's

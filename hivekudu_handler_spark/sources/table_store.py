@@ -258,15 +258,22 @@ class TableStore:
             raise TableStoreError(
                 f"table names starting with '__' are reserved: {name!r}"
             )
-        if isinstance(schema, str):
+        from_ddl_text = isinstance(schema, str)
+        if from_ddl_text:
             schema, parsed_defaults = self._parse_ddl_schema(schema)
             # DDL-text attributes and the explicit kwarg merge; the
             # kwarg wins on conflict (it is the more deliberate spelling)
             defaults = {**parsed_defaults, **(defaults or {})}
         if self._meta_path(name).exists() or self._view_path(name).exists():
             raise TableExistsError(f"table or view {name!r} already exists")
+        # NOT NULL survives only from DDL text, where it is deliberate;
+        # StructType schemas (CTAS results, parquet discovery) carry
+        # incidental non-nullability that must not become a constraint
         normalized = typesys.validate_schema(
-            schema, key_columns, allow_extended=extended
+            schema,
+            key_columns,
+            allow_extended=extended,
+            respect_nullability=from_ddl_text,
         )
         if partition_by:
             known = {f.name for f in normalized.fields}
@@ -306,13 +313,27 @@ class TableStore:
                 raise TableStoreError(
                     f"DEFAULT not allowed on key column(s): {keyed}"
                 )
+            types = {f.name: f.dataType for f in normalized.fields}
             for c, expr_text in defaults.items():
+                # evaluate once against the declared type at CREATE so a
+                # mistyped default fails HERE, not as a silent NULL (or
+                # a baffling NOT NULL error) at first INSERT
                 try:
-                    F.expr(expr_text)
+                    val = (
+                        self.spark.range(1)
+                        .select(F.expr(expr_text).cast(types[c]).alias("v"))
+                        .first()
+                        .v
+                    )
                 except Exception as exc:
                     raise TableStoreError(
-                        f"cannot parse DEFAULT for {c!r}: {expr_text!r}"
+                        f"cannot evaluate DEFAULT for {c!r}: {expr_text!r}"
                     ) from exc
+                if val is None and expr_text.strip().upper() != "NULL":
+                    raise TableStoreError(
+                        f"DEFAULT for {c!r} does not evaluate to a "
+                        f"{types[c].simpleString()}: {expr_text!r}"
+                    )
         meta = TableMeta(
             self._norm_name(name),
             normalized,
@@ -413,14 +434,22 @@ class TableStore:
             parts.append(token)
         for part in parts:
             text = part.strip()
+            nullable = True
+            # both SQL attribute orders are valid: 'NOT NULL DEFAULT x'
+            # and 'DEFAULT x NOT NULL' — strip a trailing NOT NULL
+            # before AND after the DEFAULT capture
+            nn = re.search(r"\s+NOT\s+NULL$", text, re.IGNORECASE)
+            if nn:
+                nullable = False
+                text = text[: nn.start()].rstrip()
             dm = re.search(r"\s+DEFAULT\s+(?P<expr>.+)$", text, re.IGNORECASE)
             default = None
             if dm:
                 default = dm.group("expr").strip()
                 text = text[: dm.start()].rstrip()
             nn = re.search(r"\s+NOT\s+NULL$", text, re.IGNORECASE)
-            nullable = nn is None
             if nn:
+                nullable = False
                 text = text[: nn.start()].rstrip()
             col, _, typ = text.partition(" ")
             fields.append(
@@ -700,6 +729,12 @@ class TableStore:
             meta.physical = {
                 k: v for k, v in meta.physical.items() if k != col_name
             }
+        if meta.defaults and col_name in meta.defaults:
+            # a dropped column's DEFAULT must not resurrect on a future
+            # same-named ADD COLUMN
+            meta.defaults = {
+                k: v for k, v in meta.defaults.items() if k != col_name
+            } or None
         self._write_meta(meta)
         self._remap_stats(name, drop=col_name)
         # standard SQL: dropping an indexed column drops its index
@@ -735,6 +770,10 @@ class TableStore:
         meta.physical = mapping or None
         meta.used_physical = sorted(used | {phys})
         meta.key_columns = [new if k == old else k for k in meta.key_columns]
+        if meta.defaults and old in meta.defaults:
+            meta.defaults = {
+                (new if k == old else k): v for k, v in meta.defaults.items()
+            }
         self._write_meta(meta)
         self._remap_stats(name, rename={old: new})
         # a bloom index follows its column across renames: sidecar rows
@@ -2195,10 +2234,14 @@ class TableStore:
         df = df.select(
             *[F.col(f.name).cast(f.dataType) for f in meta.schema.fields]
         )
+        for k in meta.key_columns:
+            df = df.filter(F.col(k).isNotNull())
         # Kudu column-schema parity: a declared NOT NULL non-key column
         # rejects NULL loudly at write time.  The guard is an expression
-        # riding the write's own action (no extra pass over the batch);
-        # key columns keep their distinct silent-drop/raise_error rules.
+        # riding the write's own action (no extra pass over the batch)
+        # and sits ABOVE the key filter so a silently-dropped NULL-key
+        # row can never fire it regardless of optimizer ordering; key
+        # columns keep their distinct silent-drop/raise_error rules.
         guarded = [
             f.name
             for f in meta.schema.fields
@@ -2218,8 +2261,6 @@ class TableStore:
                     for c in df.columns
                 ]
             )
-        for k in meta.key_columns:
-            df = df.filter(F.col(k).isNotNull())
         return df
 
     def _dedup_batch(self, meta: TableMeta, df: DataFrame) -> DataFrame:

@@ -92,11 +92,17 @@ def validate_schema(
     key_columns: list[str],
     *,
     allow_extended: bool = False,
+    respect_nullability: bool = False,
 ) -> T.StructType:
     """Validate + normalize a table schema against the reference rules.
 
     Key columns become non-nullable, all other columns nullable — the
     ``.key(...)..nullable(!...)`` rule at ``KuduStorageHandler.java:253-254``.
+    With ``respect_nullability`` a non-key field's explicit
+    ``nullable=False`` survives (Kudu NOT NULL columns) — only the DDL
+    path sets this: schemas inferred from query results or parquet
+    footers carry INCIDENTAL non-nullability (COUNT(*) is non-null)
+    that must not become an enforced constraint the user never wrote.
     Returns the normalized schema.
     """
     names = [f.name for f in schema.fields]
@@ -114,11 +120,10 @@ def validate_schema(
             T.StructField(
                 f.name,
                 f.dataType,
-                # keys are always non-nullable (the reference's
-                # .key(...).nullable(!...) rule); a non-key column may
-                # ALSO be declared NOT NULL (Kudu column-schema parity) —
-                # explicit non-nullability survives normalization
-                nullable=f.nullable and f.name not in key_columns,
+                nullable=(
+                    (f.nullable or not respect_nullability)
+                    and f.name not in key_columns
+                ),
             )
         )
     return T.StructType(fields)

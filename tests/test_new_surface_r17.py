@@ -652,3 +652,92 @@ def test_default_rejected_on_key_and_unknown_columns(spark):
             )
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_column_attr_review_findings(spark):
+    """r17 review batch: CTAS must not mint NOT NULL from incidental
+    query-schema non-nullability; both attribute orders parse; a
+    mistyped DEFAULT fails at CREATE; UPDATE surfaces the NOT NULL
+    violation as SqlDdlError; MERGE INSERT applies DEFAULTs like plain
+    INSERT; partial UPSERT preserves unlisted columns; the
+    'docsVALUES' typo no longer backtrack-parses."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, sql as run_sql
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _scratch_store(spark)
+    try:
+        # CTAS: COUNT(*) is non-null in the query schema, but the table
+        # column must stay nullable (no constraint the user never wrote)
+        store.create_table("base", "id bigint, v bigint", ["id"])
+        store.insert_values("base", [(1, 10), (2, 20)])
+        store.register_views()  # CTAS SELECTs over caller-registered views
+        run_sql(
+            store,
+            "CREATE TABLE agg TBLPROPERTIES ('kudu.key_columns'='id') AS "
+            "SELECT id, COUNT(*) AS n FROM base GROUP BY id",
+        )
+        assert all(
+            f.nullable for f in store.table_meta("agg").schema.fields if f.name == "n"
+        )
+        run_sql(store, "UPDATE agg SET n = NULL WHERE id = 1")  # must not raise
+
+        # both attribute orders
+        run_sql(
+            store,
+            "CREATE TABLE t (id bigint, a string DEFAULT 'x' NOT NULL, "
+            "b string NOT NULL DEFAULT 'y') "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        meta = store.table_meta("t")
+        assert {f.name: f.nullable for f in meta.schema.fields} == {
+            "id": False, "a": False, "b": False,
+        }
+        assert meta.defaults == {"a": "'x'", "b": "'y'"}
+
+        # mistyped DEFAULT fails at CREATE, not first INSERT
+        with pytest.raises(TableStoreError, match="does not evaluate"):
+            store.create_table("bad", "id bigint, s double DEFAULT 'abc'", ["id"])
+
+        # UPDATE to NULL on NOT NULL: clean SqlDdlError
+        run_sql(store, "INSERT INTO t (id, a, b) VALUES (1, 'p', 'q')")
+        with pytest.raises(SqlDdlError, match="NOT NULL constraint violated: column a"):
+            run_sql(store, "UPDATE t SET a = NULL WHERE id = 1")
+
+        # MERGE INSERT fills the DEFAULT for omitted columns
+        store.create_table("src", "id bigint, a string", ["id"])
+        store.insert_values("src", [(2, "m")])
+        run_sql(
+            store,
+            "MERGE INTO t USING src ON t.id = src.id "
+            "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (src.id, src.a)",
+        )
+        got = {r.id: (r.a, r.b) for r in store.scan("t").collect()}
+        assert got[2] == ("m", "y")
+
+        # partial UPSERT preserves unlisted columns of existing rows
+        run_sql(store, "UPSERT INTO t (id, a) VALUES (1, 'P')")
+        assert {r.id: (r.a, r.b) for r in store.scan("t").collect()}[1] == ("P", "q")
+
+        # the docsVALUES typo is a parse error, not an insert into docs
+        with pytest.raises(SqlDdlError, match="unsupported statement|cannot parse"):
+            run_sql(store, "INSERT INTO tVALUES (9, 'a', 'b')")
+        assert 9 not in {r.id for r in store.scan("t").collect()}
+
+        # dropped column's DEFAULT does not resurrect on re-ADD
+        run_sql(store, "CREATE TABLE m (id bigint, lang string DEFAULT 'und', v bigint) TBLPROPERTIES ('kudu.key_columns'='id')")
+        store.drop_column("m", "lang")
+        store.add_column("m", "lang", "string")
+        run_sql(store, "INSERT INTO m (id, v) VALUES (1, 5)")
+        assert store.scan("m").first().lang is None
+        # renamed column keeps its DEFAULT under the new name
+        run_sql(store, "CREATE TABLE m2 (id bigint, lang string DEFAULT 'und') TBLPROPERTIES ('kudu.key_columns'='id')")
+        store.rename_column("m2", "lang", "sprache")
+        run_sql(store, "INSERT INTO m2 (id) VALUES (1)")
+        assert store.scan("m2").first().sprache == "und"
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

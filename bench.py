@@ -108,6 +108,7 @@ HEADLINE = [
     "scan_bloom_index",     # per-file bloom sidecar build + candidate-only point read (r17)
     "mview_join_incremental",  # two-table join-view delta rule off version diffs (r17)
     "table_bloom_lookup",   # managed bloom index: incremental REBUILD + candidate-only read (r17)
+    "dml_column_defaults",  # NOT NULL guard riding the write + DEFAULT fill + partial UPSERT (r17)
 ]
 
 

@@ -1192,3 +1192,70 @@ def dml_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, store.scan("docs").orderBy("id"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_INSERT_SELECT_SQL = """
+WITH st AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+           * CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_custkey % 7 AS grp, COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM st GROUP BY o_custkey % 7 ORDER BY grp
+"""
+
+
+@query("dml_insert_select", oracle=_INSERT_SELECT_SQL, tags=("table", "ddl"))
+def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO ... SELECT`` / ``UPSERT INTO ... SELECT`` — the
+    bulk-load spelling (Impala-on-Kudu's primary ingestion verb; the
+    reference demo loads handler tables FROM other tables the same way,
+    ``README.md:131-170``).  The query side runs through Spark SQL over
+    registered views (here an external attach of the fixture), the
+    write side is the same guarded keyed insert/upsert as the VALUES
+    form — one shared alignment path, so column lists, DEFAULT fill and
+    partial-UPSERT semantics are identical across both spellings.  The
+    source here is a plain session temp view of the fixture (any view
+    Spark SQL can see works; store views are registered automatically).
+    Scale: the SELECT is ordinary Catalyst planning; the bulk partial
+    UPSERT joins the target scan (never a driver collect of keys).
+    Scenario: bulk-load even orders as cents, bulk-upsert the %10
+    cohort doubled, return a grouped checksum; the oracle recomputes
+    from the raw fixture."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    from hivekudu_handler_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_ext")
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE ofact (o_orderkey bigint, o_custkey bigint, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='o_orderkey')",
+        )
+        run_sql(
+            store,
+            "INSERT INTO ofact SELECT o_orderkey, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders_ext "
+            "WHERE o_orderkey % 2 = 0",
+        )
+        run_sql(
+            store,
+            "UPSERT INTO ofact SELECT o_orderkey, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 FROM orders_ext "
+            "WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0",
+        )
+        out = run_sql(
+            store,
+            "SELECT o_custkey % 7 AS grp, COUNT(*) AS n_orders, "
+            "SUM(cents) AS sum_cents FROM ofact "
+            "GROUP BY o_custkey % 7 ORDER BY grp",
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

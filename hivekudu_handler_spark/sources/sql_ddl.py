@@ -21,12 +21,17 @@ test exercises (``README.md:14-218``) and routing them to the store:
   pinned in tests) — views render their ``CREATE VIEW``, external
   attachments render ``CREATE EXTERNAL TABLE ... LOCATION`` (honest but
   rejected on re-parse, exactly like the reference's create hook)
-* ``INSERT INTO [TABLE] name [(col, ...)] VALUES (...), (...)``
-  (demo ``README.md:35,113-130``); with a column list, omitted columns
-  fill their declared ``DEFAULT``, else NULL when nullable, else error
-  — CREATE TABLE accepts Kudu-style column attributes ``col type
+* ``INSERT INTO [TABLE] name [(col, ...)] VALUES (...), (...)`` and
+  ``INSERT/UPSERT INTO name [(col, ...)] SELECT ...`` — the literal and
+  bulk-load spellings share one alignment path (demo
+  ``README.md:35,113-170``); with a column list, omitted columns fill
+  their declared ``DEFAULT``, else NULL when nullable, else error —
+  CREATE TABLE accepts Kudu-style column attributes ``col type
   [NOT NULL] [DEFAULT <literal>]`` (NOT NULL enforced loudly at write
-  time on every path)
+  time on every path); a partial-column UPSERT keeps the existing
+  row's unlisted values (Impala/Kudu semantics)
+* ``TRUNCATE TABLE name`` — remove every row as one committed version
+  (time travel across it keeps working)
 * ``UPSERT INTO [TABLE] name VALUES (...)`` — the Kudu dialect's
   first-class merge verb (Impala-on-Kudu syntax; the reference's
   declared goal, ``doc/DesignDocument.md:9``), routed to the store's
@@ -195,6 +200,15 @@ _INSERT_RE = re.compile(
     r"\s+VALUES\s+(?P<values>\(.*\))$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_SELECT_RE = re.compile(
+    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s*\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
+    r"\s+(?P<query>(?:SELECT|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^TRUNCATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
+)
 _DELETE_STMT_RE = re.compile(
     r"^DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+WHERE\s+(?P<pred>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -307,7 +321,17 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         # Kudu; the reference's declared merge goal,
         # doc/DesignDocument.md:9): same literal syntax as INSERT, PK
         # merge semantics instead of duplicate-key ignore
+        if _INSERT_SELECT_RE.match(stmt):
+            return _insert_select(store, stmt)
         return _insert(store, stmt)
+    if verb == "TRUNCATE":
+        m = _TRUNCATE_RE.match(stmt)
+        if not m:
+            raise SqlDdlError(f"cannot parse TRUNCATE statement: {stmt!r}")
+        # Impala/Kudu TRUNCATE TABLE: remove every row as ONE committed
+        # version (time travel across it keeps working)
+        store.delete_where(m.group("name"), "true")
+        return None
     if verb == "DELETE":
         m = _DELETE_STMT_RE.match(stmt)
         if not m:
@@ -1396,15 +1420,23 @@ def _drop(store: TableStore, stmt: str) -> None:
 
 
 def _fill_partial_upsert(
-    store: TableStore, meta, batch: DataFrame, named: set
+    store: TableStore,
+    meta,
+    batch: DataFrame,
+    named: set,
+    *,
+    driver_literals: bool = True,
 ) -> DataFrame:
     """Fill a partial-column UPSERT batch to full rows with Impala/Kudu
     semantics: for keys that EXIST, omitted columns carry the current
     row's values; for new keys they carry the declared DEFAULT, else
     NULL (an omitted NOT NULL column without a default surfaces the
     write-time constraint error for new keys — existing keys are fine).
-    The batch is VALUES literals (driver-sized), so current rows come
-    through the bucket-pruned ``lookup_many`` path, never a table scan."""
+    A VALUES batch is driver-sized, so current rows come through the
+    bucket-pruned ``lookup_many`` path; a bulk SELECT batch
+    (``driver_literals=False``) joins the target scan instead — its
+    keys are distributed data, and reading the matching target rows is
+    the irreducible cost of partial-upsert semantics."""
     keys = meta.key_columns
     fields = meta.schema.fields
     defaults = meta.defaults or {}
@@ -1415,12 +1447,16 @@ def _fill_partial_upsert(
             f"column name(s) {clash} collide with the partial-UPSERT "
             f"internal namespace '__upsert_'"
         )
-    key_rows = batch.select(*keys).collect()
-    if len(keys) == 1:
-        vals = [r[keys[0]] for r in key_rows]
+    if driver_literals:
+        key_rows = batch.select(*keys).collect()
+        if len(keys) == 1:
+            vals = [r[keys[0]] for r in key_rows]
+        else:
+            vals = [{k: r[k] for k in keys} for r in key_rows]
+        current = store.lookup_many(meta.name, vals)
     else:
-        vals = [{k: r[k] for k in keys} for r in key_rows]
-    cur = store.lookup_many(meta.name, vals).select(
+        current = store.scan(meta.name)
+    cur = current.select(
         *keys,
         F.lit(True).alias("__upsert_exists"),
         *[F.col(f.name).alias(f"__upsert_cur_{f.name}") for f in omitted],
@@ -1459,13 +1495,32 @@ def _insert(store: TableStore, stmt: str) -> None:
         df = store.spark.sql(f"SELECT * FROM (VALUES {m.group('values')})")
     except Exception as exc:
         raise SqlDdlError(f"cannot parse VALUES literals: {exc}") from exc
+    _aligned_write(
+        store, name, meta, df, m.group("cols"), m.group("verb").upper(),
+        driver_literals=True,
+    )
+
+
+def _aligned_write(
+    store: TableStore,
+    name: str,
+    meta,
+    df: DataFrame,
+    col_list: str | None,
+    verb: str,
+    *,
+    driver_literals: bool,
+) -> None:
+    """Align a positional batch (VALUES literals or a SELECT result) to
+    the table schema — column-list handling, DEFAULT fill, partial
+    UPSERT — then run the guarded keyed write.  Shared by
+    ``INSERT/UPSERT ... VALUES`` and ``INSERT/UPSERT ... SELECT``."""
     fields = meta.schema.fields
-    col_list = m.group("cols")
     if col_list is None:
         if len(df.columns) != len(fields):
             raise SqlDdlError(
                 f"INSERT arity mismatch for {name!r}: table has {len(fields)} "
-                f"columns, VALUES has {len(df.columns)}"
+                f"columns, the source has {len(df.columns)}"
             )
         df = df.select(
             *[
@@ -1474,9 +1529,9 @@ def _insert(store: TableStore, stmt: str) -> None:
             ]
         )
     else:
-        # INSERT INTO t (a, b) VALUES ...: omitted columns fill with
-        # their declared DEFAULT, else NULL when nullable, else a loud
-        # error — ANSI defaults semantics over Kudu-style column schemas
+        # INSERT INTO t (a, b) ...: omitted columns fill with their
+        # declared DEFAULT, else NULL when nullable, else a loud error —
+        # ANSI defaults semantics over Kudu-style column schemas
         named = [c.strip() for c in col_list.split(",")]
         types = {f.name: f for f in fields}
         unknown = [c for c in named if c not in types]
@@ -1487,7 +1542,7 @@ def _insert(store: TableStore, stmt: str) -> None:
         if len(df.columns) != len(named):
             raise SqlDdlError(
                 f"INSERT arity mismatch for {name!r}: column list has "
-                f"{len(named)} columns, VALUES has {len(df.columns)}"
+                f"{len(named)} columns, the source has {len(df.columns)}"
             )
         df = df.select(
             *[
@@ -1501,12 +1556,14 @@ def _insert(store: TableStore, stmt: str) -> None:
                 f"key column(s) {missing_keys} must appear in the "
                 f"INSERT column list (identity is always written)"
             )
-        if m.group("verb").upper() == "UPSERT" and len(named) < len(fields):
+        if verb == "UPSERT" and len(named) < len(fields):
             # Impala/Kudu partial-row UPSERT: listed columns update;
             # omitted columns KEEP the existing row's values — only a
             # row creating a NEW key fills DEFAULT/NULL (r17 review: the
             # previous default-fill silently reset unlisted columns)
-            df = _fill_partial_upsert(store, meta, df, set(named))
+            df = _fill_partial_upsert(
+                store, meta, df, set(named), driver_literals=driver_literals
+            )
         else:
             defaults = meta.defaults or {}
             for f in fields:
@@ -1528,7 +1585,28 @@ def _insert(store: TableStore, stmt: str) -> None:
     # value is an ANSI constraint violation, raised before the write's
     # first action commits anything — not a silent validate-filter drop
     df = _guard_null_keys(df, meta.key_columns)
-    if m.group("verb").upper() == "UPSERT":
+    if verb == "UPSERT":
         _run_guarded(lambda: store.upsert(name, df))
     else:
         _run_guarded(lambda: store.insert(name, df))
+
+
+def _insert_select(store: TableStore, stmt: str) -> None:
+    """``INSERT/UPSERT INTO t [(cols)] SELECT ...`` — the bulk-load
+    spelling: the query runs through Spark SQL over the registered
+    store views (same division of labor as every query path), and the
+    result lands through the same alignment + guarded keyed write as
+    the VALUES form.  A partial-column bulk UPSERT fills omitted
+    columns by joining the target scan (its keys are distributed data —
+    ``lookup_many``'s literal pruning does not apply)."""
+    m = _INSERT_SELECT_RE.match(stmt)
+    if not m:
+        raise SqlDdlError(f"cannot parse INSERT ... SELECT statement: {stmt!r}")
+    name = m.group("name")
+    meta = store.table_meta(name)
+    store.register_views()
+    df = store.spark.sql(_rewrite_time_travel(store, m.group("query")))
+    _aligned_write(
+        store, name, meta, df, m.group("cols"), m.group("verb").upper(),
+        driver_literals=False,
+    )

@@ -741,3 +741,47 @@ def test_column_attr_review_findings(spark):
         assert store.scan("m2").first().sprache == "und"
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_insert_select_truncate_and_bulk_partial_upsert(spark):
+    """INSERT/UPSERT ... SELECT share the VALUES form's alignment
+    (column lists, DEFAULT fill); a bulk partial UPSERT preserves
+    unlisted columns of existing rows via the target-scan join (no
+    driver collect of keys); TRUNCATE removes every row as one commit
+    and time travel across it still works."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(store, "CREATE TABLE src (id bigint, v bigint) TBLPROPERTIES ('kudu.key_columns'='id')")
+        run_sql(store, "INSERT INTO src VALUES (1, 10), (2, 20), (3, 30)")
+        run_sql(
+            store,
+            "CREATE TABLE dst (id bigint, v bigint, w string DEFAULT 'd') "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        # column-list INSERT-SELECT: w fills its DEFAULT
+        run_sql(store, "INSERT INTO dst (id, v) SELECT id, v * 2 FROM src WHERE id < 3")
+        assert sorted(tuple(r) for r in store.scan("dst").collect()) == [
+            (1, 20, "d"), (2, 40, "d"),
+        ]
+        # make row 1's w distinct, then bulk partial UPSERT: w preserved
+        # for existing rows, default for the new key 3
+        run_sql(store, "UPDATE dst SET w = 'kept' WHERE id = 1")
+        run_sql(store, "UPSERT INTO dst (id, v) SELECT id, v * 100 FROM src")
+        assert sorted(tuple(r) for r in store.scan("dst").collect()) == [
+            (1, 1000, "kept"), (2, 2000, "d"), (3, 3000, "d"),
+        ]
+        v_before = store.current_version("dst")
+        run_sql(store, "TRUNCATE TABLE dst")
+        assert store.scan("dst").count() == 0
+        assert store.current_version("dst") == v_before + 1
+        # time travel across the truncate
+        assert run_sql(
+            store, f"SELECT COUNT(*) AS n FROM dst VERSION AS OF {v_before}"
+        ).first().n == 3
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -109,6 +109,7 @@ HEADLINE = [
     "mview_join_incremental",  # two-table join-view delta rule off version diffs (r17)
     "table_bloom_lookup",   # managed bloom index: incremental REBUILD + candidate-only read (r17)
     "dml_column_defaults",  # NOT NULL guard riding the write + DEFAULT fill + partial UPSERT (r17)
+    "dml_insert_select",    # bulk INSERT/UPSERT ... SELECT through the shared alignment path (r17)
 ]
 
 

@@ -1217,13 +1217,17 @@ def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     write side is the same guarded keyed insert/upsert as the VALUES
     form — one shared alignment path, so column lists, DEFAULT fill and
     partial-UPSERT semantics are identical across both spellings.  The
-    source here is a plain session temp view of the fixture (any view
-    Spark SQL can see works; store views are registered automatically).
-    Scale: the SELECT is ordinary Catalyst planning; the bulk partial
-    UPSERT joins the target scan (never a driver collect of keys).
-    Scenario: bulk-load even orders as cents, bulk-upsert the %10
-    cohort doubled, return a grouped checksum; the oracle recomputes
-    from the raw fixture."""
+    source is a plain session temp view of the fixture (any view Spark
+    SQL can see works; store views are registered automatically).
+    Scale: the SELECT is ordinary Catalyst planning; the batch is
+    checkpointed once before the keyed write (a SELECT source may be
+    non-deterministic across the writer's two plan executions), and the
+    column-list bulk UPSERT fills the omitted column by joining the
+    target scan — never a driver collect of keys.  Scenario: bulk-load
+    even orders as cents, bulk-upsert the %10 cohort doubled through
+    the PARTIAL column-list path (o_custkey preserved from the stored
+    rows), return a grouped checksum; the oracle recomputes from the
+    raw fixture."""
     from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
 
     from hivekudu_handler_spark.tables import load_table
@@ -1246,7 +1250,7 @@ def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_sql(
             store,
-            "UPSERT INTO ofact SELECT o_orderkey, o_custkey, "
+            "UPSERT INTO ofact (o_orderkey, cents) SELECT o_orderkey, "
             "CAST(FLOOR(o_totalprice * 100) AS BIGINT) * 2 FROM orders_ext "
             "WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0",
         )

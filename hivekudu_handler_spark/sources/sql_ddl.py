@@ -206,8 +206,11 @@ _INSERT_SELECT_RE = re.compile(
     r"\s+(?P<query>(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+# Impala dialect: the TABLE keyword is optional, IF EXISTS tolerated
 _TRUNCATE_RE = re.compile(
-    r"^TRUNCATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
+    r"^TRUNCATE\s+(?:TABLE\s+)?(?:(?P<if_exists>IF\s+EXISTS)\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
 )
 _DELETE_STMT_RE = re.compile(
     r"^DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)\s+WHERE\s+(?P<pred>.+)$",
@@ -328,9 +331,12 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         m = _TRUNCATE_RE.match(stmt)
         if not m:
             raise SqlDdlError(f"cannot parse TRUNCATE statement: {stmt!r}")
-        # Impala/Kudu TRUNCATE TABLE: remove every row as ONE committed
-        # version (time travel across it keeps working)
-        store.delete_where(m.group("name"), "true")
+        # Impala/Kudu TRUNCATE [TABLE] [IF EXISTS]: every row removed as
+        # ONE committed version — the version advances even on an empty
+        # table, so time travel across the truncate always works
+        if m.group("if_exists") and not store.has_table(m.group("name")):
+            return None
+        store.truncate(m.group("name"))
         return None
     if verb == "DELETE":
         m = _DELETE_STMT_RE.match(stmt)
@@ -1425,7 +1431,7 @@ def _fill_partial_upsert(
     batch: DataFrame,
     named: set,
     *,
-    driver_literals: bool = True,
+    driver_literals: bool,
 ) -> DataFrame:
     """Fill a partial-column UPSERT batch to full rows with Impala/Kudu
     semantics: for keys that EXIST, omitted columns carry the current
@@ -1435,8 +1441,11 @@ def _fill_partial_upsert(
     A VALUES batch is driver-sized, so current rows come through the
     bucket-pruned ``lookup_many`` path; a bulk SELECT batch
     (``driver_literals=False``) joins the target scan instead — its
-    keys are distributed data, and reading the matching target rows is
-    the irreducible cost of partial-upsert semantics."""
+    keys are distributed data.  The target side is column-pruned to
+    (keys + omitted columns) and, because ``_aligned_write`` checkpoints
+    the filled batch before the write, executes exactly once; pruning
+    it further to the touched buckets would need the batch's key hashes
+    driver-side, which is the literal-batch path."""
     keys = meta.key_columns
     fields = meta.schema.fields
     defaults = meta.defaults or {}
@@ -1585,6 +1594,13 @@ def _aligned_write(
     # value is an ANSI constraint violation, raised before the write's
     # first action commits anything — not a silent validate-filter drop
     df = _guard_null_keys(df, meta.key_columns)
+    if not driver_literals:
+        # the keyed writers execute the batch plan more than once
+        # (affected-bucket probe, then the rewrite); a SELECT source may
+        # be non-deterministic (rand(), non-stable sampling) or simply
+        # expensive, and a drifting batch can lose rows or commit
+        # duplicate keys — materialize it ONCE, batch-sized (r17 review)
+        df = df.localCheckpoint(eager=True)
     if verb == "UPSERT":
         _run_guarded(lambda: store.upsert(name, df))
     else:

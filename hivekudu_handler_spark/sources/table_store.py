@@ -2430,6 +2430,32 @@ class TableStore:
         self._replace_buckets(meta, affected, kept.unionByName(batch))
         self._commit_version(meta, "upsert")
 
+    def truncate(self, name: str) -> int:
+        """TRUNCATE TABLE: archive every data file and commit ONE new
+        version — even when the table is already empty (the committed
+        version IS the contract: callers may time-travel across the
+        truncate and rely on the version advancing).  O(files) metadata
+        work, no data read."""
+        meta = self._writable_meta(name)
+        data = self._data_dir(meta.name)
+        arch = self._archive_dir(meta.name)
+        for f in sorted(data.rglob("*.parquet")):
+            dest = arch / f.relative_to(data)
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            if dest.exists():
+                raise TableStoreError(
+                    f"archive collision for {dest} (corrupt version log?)"
+                )
+            f.rename(dest)
+        for sub in sorted(data.glob("*")):
+            # emptied tablet dirs (and their marker files) go with the
+            # data — partition discovery must not see ghost directories
+            if sub.is_dir():
+                shutil.rmtree(sub, ignore_errors=True)
+            else:
+                sub.unlink(missing_ok=True)
+        return self._commit_version(meta, "truncate")
+
     def delete_where(self, name: str, predicate: Column | str) -> None:
         """DELETE (reference goal ``doc/DesignDocument.md:9,46-48``).
 

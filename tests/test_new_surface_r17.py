@@ -785,3 +785,66 @@ def test_insert_select_truncate_and_bulk_partial_upsert(spark):
         ).first().n == 3
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_truncate_empty_table_and_dialect_spellings(spark):
+    """r17 review: TRUNCATE commits a version even on an EMPTY table
+    (the version advancing is the contract), the TABLE keyword is
+    optional (Impala), and IF EXISTS tolerates a missing table."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(store, "CREATE TABLE t (id bigint, v bigint) TBLPROPERTIES ('kudu.key_columns'='id')")
+        v0 = store.current_version("t")
+        run_sql(store, "TRUNCATE TABLE t")  # empty: still one commit
+        assert store.current_version("t") == v0 + 1
+        run_sql(store, "INSERT INTO t VALUES (1, 10)")
+        run_sql(store, "TRUNCATE t")  # Impala optional-TABLE spelling
+        assert store.scan("t").count() == 0
+        run_sql(store, "TRUNCATE TABLE IF EXISTS no_such_table")  # no-op
+        ops = [r.op for r in store.history("t").collect()]
+        assert ops.count("truncate") == 2
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_insert_select_nondeterministic_source_is_exact(spark):
+    """r17 review: the keyed writers execute the batch plan more than
+    once; a non-deterministic SELECT source must still commit exactly
+    the rows of ONE evaluation (no silent loss, no duplicate keys) —
+    pinned via rand()-keyed INSERT ... SELECT."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(store, "CREATE TABLE t (id bigint, v bigint) TBLPROPERTIES ('kudu.key_columns'='id')")
+        run_sql(
+            store,
+            "INSERT INTO t SELECT CAST(rand() * 1000000000 AS BIGINT) AS id, "
+            "id AS v FROM range(500)",
+        )
+        rows = store.scan("t").collect()
+        ids = [r.id for r in rows]
+        # exactly one evaluation committed: no duplicate keys, and the
+        # row count matches the single-evaluation cardinality (rand()
+        # collisions over 1e9 for 500 draws are ~1e-4 probable; a lost
+        # or doubled PARTITION would move the count by whole chunks)
+        assert len(ids) == len(set(ids))
+        assert abs(len(ids) - 500) <= 2, len(ids)
+        # UPSERT over the same non-deterministic shape converges too
+        run_sql(
+            store,
+            "UPSERT INTO t SELECT CAST(rand() * 1000000000 AS BIGINT) AS id, "
+            "0 AS v FROM range(200)",
+        )
+        ids2 = [r.id for r in store.scan("t").collect()]
+        assert len(ids2) == len(set(ids2))
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

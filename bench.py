@@ -110,6 +110,8 @@ HEADLINE = [
     "table_bloom_lookup",   # managed bloom index: incremental REBUILD + candidate-only read (r17)
     "dml_column_defaults",  # NOT NULL guard riding the write + DEFAULT fill + partial UPSERT (r17)
     "dml_insert_select",    # bulk INSERT/UPSERT ... SELECT through the shared alignment path (r17)
+    "table_changefeed",     # CDC read: per-commit diff terms, changed-tablet-only scans (r17)
+    "sql_merge_cdc_apply",  # CHANGES BETWEEN feed -> MERGE mirror catch-up, one statement (r17)
 ]
 
 

@@ -115,6 +115,168 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_changefeed",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(1, 'a', CAST(1.0 AS DOUBLE), 'insert', 1), "
+        "(2, 'b', CAST(2.0 AS DOUBLE), 'insert', 1), "
+        "(3, 'c', CAST(3.0 AS DOUBLE), 'insert', 1), "
+        "(2, 'b', CAST(2.0 AS DOUBLE), 'update_before', 2), "
+        "(2, 'B', CAST(20.0 AS DOUBLE), 'update_after', 2), "
+        "(4, 'd', CAST(4.0 AS DOUBLE), 'insert', 2), "
+        "(1, 'a', CAST(1.0 AS DOUBLE), 'delete', 3)) "
+        "AS t(id, name, score, _change_type, _commit_version) "
+        "ORDER BY _commit_version, id, _change_type"
+    ),
+    tags=("table", "snapshot", "cdc"),
+)
+def table_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changefeed v0→v3 (Delta-CDF shape over Kudu diff scans): one
+    row per change EVENT with before/after images for updates, stamped
+    with the commit that produced it.  Each per-commit term reads only
+    the files outside the two manifests' common set — a consumer tailing
+    commits reads O(changed tablets), never O(table)."""
+    store, d = _mutated_store(spark)
+    try:
+        feed = store.changefeed("snap", 0, store.current_version("snap"))
+        return _materialize(
+            spark, feed.orderBy("_commit_version", "id", "_change_type")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "table_changefeed_apply",
+    oracle=(
+        "SELECT * FROM (VALUES (2, 'B', CAST(20.0 AS DOUBLE)), "
+        "(3, 'c', CAST(3.0 AS DOUBLE)), (4, 'd', CAST(4.0 AS DOUBLE))) "
+        "AS t(id, name, score) ORDER BY id"
+    ),
+    tags=("table", "snapshot", "cdc"),
+)
+def table_changefeed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changefeed replay invariant as a query: apply the v1→v3 feed
+    onto the v1 snapshot and reproduce the v3 table exactly.  Replay is
+    one window per key over the effect events (``update_before`` rows are
+    audit images, not effects): the latest commit's event wins, deletes
+    drop the key — the same merge discipline a downstream mirror would
+    run, and it shuffles only feed rows + base rows once."""
+    store, d = _mutated_store(spark)
+    try:
+        to_v = store.current_version("snap")
+        base = store.scan_snapshot("snap", 1).withColumn(
+            "_commit_version", F.lit(0)
+        ).withColumn("_change_type", F.lit("insert"))
+        feed = store.changefeed("snap", 1, to_v).filter(
+            F.col("_change_type") != "update_before"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("_commit_version").desc())
+        replayed = (
+            base.unionByName(feed)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("_change_type") != "delete"))
+            .select("id", "name", "score")
+        )
+        return _materialize(spark, replayed.orderBy("id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sql_changefeed",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(1, 'a', CAST(1.0 AS DOUBLE), 'insert', 1), "
+        "(2, 'b', CAST(2.0 AS DOUBLE), 'insert', 1), "
+        "(3, 'c', CAST(3.0 AS DOUBLE), 'insert', 1), "
+        "(2, 'b', CAST(2.0 AS DOUBLE), 'update_before', 2), "
+        "(2, 'B', CAST(20.0 AS DOUBLE), 'update_after', 2), "
+        "(4, 'd', CAST(4.0 AS DOUBLE), 'insert', 2), "
+        "(1, 'a', CAST(1.0 AS DOUBLE), 'delete', 3)) "
+        "AS t(id, name, score, _change_type, _commit_version) "
+        "ORDER BY _commit_version, id, _change_type"
+    ),
+    tags=("table", "snapshot", "cdc", "sql"),
+)
+def sql_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changefeed on the SQL surface: ``FROM t CHANGES BETWEEN a AND
+    b`` (Delta spells it ``table_changes``), sharing the rewrite seam
+    with ``VERSION AS OF`` so CDC reads compose into joins, CTAS, and
+    MERGE sources as plain query text."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql
+
+    store, d = _mutated_store(spark)
+    try:
+        cur = store.current_version("snap")
+        return _materialize(
+            spark,
+            sql(
+                store,
+                f"SELECT id, name, score, _change_type, _commit_version "
+                f"FROM snap CHANGES BETWEEN 0 AND {cur} "
+                f"ORDER BY _commit_version, id, _change_type",
+            ),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sql_merge_cdc_apply",
+    oracle=(
+        "SELECT * FROM (VALUES (2, 'B', CAST(20.0 AS DOUBLE)), "
+        "(3, 'c', CAST(3.0 AS DOUBLE)), (4, 'd', CAST(4.0 AS DOUBLE))) "
+        "AS t(id, name, score) ORDER BY id"
+    ),
+    tags=("table", "snapshot", "cdc", "sql"),
+)
+def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical downstream-CDC pattern, in ONE composed statement:
+    a mirror table seeded from ``VERSION AS OF 1`` is caught up to v3 by
+    a MERGE whose source is the ``CHANGES BETWEEN 1 AND 3`` feed,
+    collapsed to the latest effect event per key (the window the feed's
+    per-commit stamps exist for).  Deletes drop, updates overwrite,
+    inserts land — the mirror finishes byte-equal to the source's
+    current state, and the MERGE commits one bucket-scoped version.  At
+    100 TB both legs stay bounded: the feed reads only changed tablets
+    and the MERGE rewrites only the buckets those keys live in."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql
+
+    store, d = _mutated_store(spark)
+    try:
+        cur = store.current_version("snap")
+        sql(
+            store,
+            "CREATE TABLE mirror (id int, name string, score double) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        sql(store, "INSERT INTO mirror SELECT * FROM snap VERSION AS OF 1")
+        sql(
+            store,
+            f"MERGE INTO mirror AS m USING ("
+            f"  SELECT id, name, score, _change_type FROM ("
+            f"    SELECT id, name, score, _change_type, "
+            f"           ROW_NUMBER() OVER (PARTITION BY id "
+            f"               ORDER BY _commit_version DESC) AS rn "
+            f"    FROM snap CHANGES BETWEEN 1 AND {cur} "
+            f"    WHERE _change_type <> 'update_before') ranked "
+            f"  WHERE rn = 1"
+            f") AS c "
+            f"ON m.id = c.id "
+            f"WHEN MATCHED AND c._change_type = 'delete' THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET name = c.name, score = c.score "
+            f"WHEN NOT MATCHED AND c._change_type <> 'delete' "
+            f"  THEN INSERT (id, name, score) VALUES (c.id, c.name, c.score)",
+        )
+        return _materialize(spark, store.scan("mirror").orderBy("id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "table_vacuum",
     oracle=(
         "SELECT * FROM (VALUES (2, 'B', CAST(20.0 AS DOUBLE)), (3, 'c', CAST(3.0 AS DOUBLE)), (4, 'd', CAST(4.0 AS DOUBLE))) "

@@ -62,6 +62,12 @@ test exercises (``README.md:14-218``) and routing them to the store:
   the Delta/Iceberg spelling, on the QUERY path: each clause binds a
   temp view over ``scan_snapshot`` so one statement may join several
   versions of the same table
+* ``SELECT ... FROM t CHANGES BETWEEN a AND b`` — the CDC changefeed
+  (Kudu diff scans / Delta ``table_changes``) on the QUERY path: the
+  table's columns plus ``_change_type`` ∈ {insert, update_before,
+  update_after, delete} and ``_commit_version``; also accepted inside
+  a MERGE subquery source and INSERT ... SELECT, so downstream CDC
+  apply is one composed statement
 * ``ANALYZE TABLE name COMPUTE STATISTICS [FOR COLUMNS]`` — Hive's
   ``compute_stats``: one-pass per-column profile (nulls/NDV/min/max +
   row count) persisted to the table's stats sidecar
@@ -552,12 +558,17 @@ def sql(store: TableStore, text: str) -> DataFrame | None:
     stmt = _strip_stmt(text)
     if _QUERY_RE.match(stmt):
         store.register_views()
-        return store.spark.sql(_rewrite_time_travel(store, stmt))
+        return store.spark.sql(_rewrite_version_clauses(store, stmt))
     return execute(store, text)
 
 
 _TIME_TRAVEL_RE = re.compile(
     r"\b([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
+)
+
+_CHANGES_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s+CHANGES\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)\b",
+    re.IGNORECASE,
 )
 
 
@@ -608,6 +619,37 @@ def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
         last = m.end()
     out.append(stmt[last:])
     return "".join(out)
+
+
+def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
+    """``FROM t CHANGES BETWEEN a AND b`` — the CDC changefeed read
+    surfaced in SQL (Delta spells it ``table_changes('t', a, b)``): the
+    clause becomes a temp view over :meth:`TableStore.changefeed`, whose
+    columns are the table's plus ``_change_type`` / ``_commit_version``.
+    Same string-literal guard and loud-failure semantics as the
+    VERSION AS OF rewrite, and the two compose in one statement (e.g. a
+    feed joined against the snapshot it starts from)."""
+    mask = _in_string_mask(stmt)
+    out: list[str] = []
+    last = 0
+    for m in _CHANGES_RE.finditer(stmt):
+        if mask[m.start()]:
+            continue
+        table, frm, to = m.group(1), int(m.group(2)), int(m.group(3))
+        alias = f"__cf_{table.lower()}_v{frm}_v{to}"
+        store.changefeed(table, frm, to).createOrReplaceTempView(alias)
+        out.append(stmt[last : m.start()])
+        out.append(alias)
+        last = m.end()
+    out.append(stmt[last:])
+    return "".join(out)
+
+
+def _rewrite_version_clauses(store: TableStore, stmt: str) -> str:
+    """Apply every version-addressed read rewrite (time travel +
+    changefeed) — the single seam the SELECT router, CTAS/INSERT-SELECT,
+    and MERGE subquery sources all go through."""
+    return _rewrite_changefeed(store, _rewrite_time_travel(store, stmt))
 
 
 def _split_top(text: str) -> list[str]:
@@ -903,7 +945,7 @@ def _merge(store: TableStore, stmt: str) -> None:
     if rest.startswith("("):
         inner, after = _match_paren_block(rest, 0)
         store.register_views()
-        src = store.spark.sql(inner)
+        src = store.spark.sql(_rewrite_version_clauses(store, inner))
         salias_required = True
         rest = rest[after:]
     else:
@@ -1621,7 +1663,7 @@ def _insert_select(store: TableStore, stmt: str) -> None:
     name = m.group("name")
     meta = store.table_meta(name)
     store.register_views()
-    df = store.spark.sql(_rewrite_time_travel(store, m.group("query")))
+    df = store.spark.sql(_rewrite_version_clauses(store, m.group("query")))
     _aligned_write(
         store, name, meta, df, m.group("cols"), m.group("verb").upper(),
         driver_literals=False,

@@ -1104,6 +1104,106 @@ class TableStore:
             F.col("_o").isNull() | F.col("_n").isNull() | ~unchanged
         ).select(*cols)
 
+    def changefeed(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int,
+    ) -> DataFrame:
+        """Row-level change stream between two snapshots — the CDC /
+        change-data-feed read (Kudu diff scans power its incremental
+        backups; Delta CDF and Debezium expose the same shape to
+        consumers): one row per change *event*, ordered by commit, with
+        full before/after images for updates.
+
+        Columns: the table's logical columns, plus ``_change_type`` in
+        {'insert', 'update_before', 'update_after', 'delete'} and
+        ``_commit_version`` (the manifest version that produced the
+        event).  Deletes and ``update_before`` rows carry the OLD values;
+        inserts and ``update_after`` the new ones — replaying the feed
+        onto the ``from_version`` snapshot reproduces ``to_version``
+        exactly (pinned by ``tests/test_table_layer.py``).
+
+        **Scale shape.** One term per commit in the range, each a
+        :meth:`diff` of consecutive manifests — which reads only the
+        files OUTSIDE the two manifests' common set, i.e. only the
+        tablets the commit touched.  A consumer tailing a 100 TB table
+        therefore reads O(changed tablets per commit), never O(table);
+        the union across commits is linear in the change volume.  The
+        update→(before, after) expansion is a single codegen explode per
+        term, so each per-commit diff join executes once."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError("external tables have no snapshots")
+        if from_version > to_version:
+            raise TableStoreError(
+                f"changefeed range is backwards: {from_version} > {to_version}"
+            )
+        # surface missing/vacuumed endpoints eagerly, not mid-loop
+        self._read_manifest(meta.name, from_version)
+        self._read_manifest(meta.name, to_version)
+        keys = meta.key_columns
+        vals = [f.name for f in meta.schema.fields if f.name not in keys]
+        logical = [f.name for f in meta.schema.fields]
+        out_schema = T.StructType(
+            [*self.table_meta(name).schema.fields]
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+        steps: list[DataFrame] = []
+        for v in range(from_version, to_version):
+            d = self.diff(name, v, v + 1, include_old=bool(vals))
+            if not vals:
+                # key-only table: updates cannot exist (diff filters
+                # identical rows), so the diff labels map 1:1
+                step = d.select(
+                    *keys, F.col("change_type").alias("_change_type")
+                )
+            else:
+                img = F.struct(*[F.col(c).alias(c) for c in vals])
+                old_img = F.struct(
+                    *[F.col(f"old_{c}").alias(c) for c in vals]
+                )
+                event = lambda tag, im: F.struct(  # noqa: E731
+                    F.lit(tag).alias("t"), im.alias("img")
+                )
+                events = (
+                    F.when(
+                        F.col("change_type") == "insert",
+                        F.array(event("insert", img)),
+                    )
+                    .when(
+                        F.col("change_type") == "delete",
+                        # diff's value columns already carry the OLD
+                        # values for deletes
+                        F.array(event("delete", img)),
+                    )
+                    .otherwise(
+                        F.array(
+                            event("update_before", old_img),
+                            event("update_after", img),
+                        )
+                    )
+                )
+                step = d.select(*keys, F.explode(events).alias("_e")).select(
+                    *keys,
+                    *[F.col(f"_e.img.{c}").alias(c) for c in vals],
+                    F.col("_e.t").alias("_change_type"),
+                )
+            steps.append(
+                step.select(*logical, "_change_type").withColumn(
+                    "_commit_version", F.lit(v + 1)
+                )
+            )
+        if not steps:
+            return self.spark.createDataFrame([], out_schema)
+        out = steps[0]
+        for s in steps[1:]:
+            out = out.unionByName(s)
+        return out
+
     def vacuum(self, name: str, keep_last: int = 1) -> dict:
         """Kudu's ancient-history mark: retain only the last ``keep_last``
         versions *before* the current one (current is always kept), drop

@@ -221,3 +221,115 @@ def test_insert_append_never_archives(spark, store, tmp_path):
     store.insert_values("t", [(50, "fifty")])
     arch = tmp_path / "wh" / "t" / "archive"
     assert not list(arch.rglob("*.parquet")), "append must not displace files"
+
+
+# ---- changefeed (CDC read: Kudu diff scans, Delta-CDF row shape) ----------
+
+def _replay(base_df, feed_df, key="id"):
+    """Reference consumer: apply a changefeed onto a base snapshot —
+    latest effect event per key wins, deletes drop the key."""
+    effects = feed_df.filter(F.col("_change_type") != "update_before")
+    base = base_df.withColumn("_commit_version", F.lit(-1)).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col("_commit_version").desc())
+    return (
+        base.unionByName(effects)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_change_type") != "delete"))
+        .drop("_rn", "_rn", "_commit_version", "_change_type")
+    )
+
+
+def test_changefeed_update_carries_before_and_after_images(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    v2 = store.current_version("t")
+    rows = sorted(
+        tuple(r) for r in store.changefeed("t", v1, v2).collect()
+    )
+    assert rows == [
+        (1, "one", "update_after", v2),
+        (1, "v1", "update_before", v2),
+    ]
+
+
+def test_changefeed_commit_version_stamps_each_step(spark, store):
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(9, "nine")], meta.schema))
+    store.delete_where("t", "id = 2")
+    v3 = store.current_version("t")
+    got = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in store.changefeed("t", v1, v3).collect()
+    }
+    assert got == {(9, "insert", v1 + 1), (2, "delete", v1 + 2)}
+
+
+def test_changefeed_replay_reproduces_any_snapshot_randomized(spark, store):
+    """The defining CDC invariant, over a random mutation history: for
+    every (from, to) pair, replaying changefeed(from, to) onto the
+    from-snapshot reproduces the to-snapshot exactly."""
+    import random
+
+    rng = random.Random(1701)
+    meta = _mk(store, spark)
+    for _ in range(5):
+        op = rng.choice(["upsert", "insert", "delete"])
+        if op == "upsert":
+            ks = rng.sample(range(1, 15), rng.randint(1, 3))
+            store.upsert(
+                "t",
+                spark.createDataFrame(
+                    [(k, f"u{rng.randint(0, 99)}") for k in ks], meta.schema
+                ),
+            )
+        elif op == "insert":
+            k = rng.randint(20, 99)
+            try:
+                store.insert_values("t", [(k, f"i{k}")])
+            except TableStoreError:
+                pass  # duplicate-key insert is rejected; history unchanged
+        else:
+            store.delete_where("t", f"id % 7 = {rng.randint(0, 6)}")
+    cur = store.current_version("t")
+    pairs = [(1, cur), (2, cur), (1, max(1, cur - 1)), (cur, cur)]
+    for frm, to in pairs:
+        want = _rows(store.scan_snapshot("t", to))
+        got = _rows(
+            _replay(store.scan_snapshot("t", frm), store.changefeed("t", frm, to))
+        )
+        assert got == want, (frm, to, got, want)
+
+
+def test_changefeed_empty_range_and_errors(spark, store):
+    _mk(store, spark)
+    v1 = store.current_version("t")
+    empty = store.changefeed("t", v1, v1)
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v", "_change_type", "_commit_version"]
+    with pytest.raises(TableStoreError, match="backwards"):
+        store.changefeed("t", v1, 0)
+    with pytest.raises(TableStoreError, match="no such version"):
+        store.changefeed("t", 0, 99)
+
+
+def test_changefeed_reads_only_changed_tablets(spark, store):
+    """Each per-commit term must scan only the manifests' symmetric
+    difference — tailing a feed never opens untouched buckets."""
+    meta = _mk(store, spark)
+    v1 = store.current_version("t")
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    v2 = store.current_version("t")
+    a = set(store._read_manifest("t", v1)["files"])
+    b = set(store._read_manifest("t", v2)["files"])
+    sym = (a | b) - (a & b)
+    assert a & b, "expected untouched buckets to share files"
+    feed = store.changefeed("t", v1, v2)
+    read = {f.split("/t/")[-1] for f in feed.inputFiles()}
+    read = {p.split("data/")[-1].split("archive/")[-1] for p in read}
+    assert read == sym, (read, sym)

@@ -153,6 +153,16 @@ PHASE_SPLIT = {
         "mview_join_incremental_phases",
         "refresh_only",
     ),
+    "table_changefeed": (
+        "hivekudu_handler_spark.operators.snapshots",
+        "table_changefeed_phases",
+        "feed_read_only",
+    ),
+    "sql_merge_cdc_apply": (
+        "hivekudu_handler_spark.operators.snapshots",
+        "sql_merge_cdc_apply_phases",
+        "merge_only",
+    ),
 }
 
 

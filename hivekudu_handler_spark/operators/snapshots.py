@@ -276,6 +276,73 @@ def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def table_changefeed_phases(spark: SparkSession, sf_dir: str):
+    """Bench phase-split for ``table_changefeed``: ``operate()`` is the
+    feed read alone (per-commit manifest diffs + changed-file scans +
+    image expansion); the mutation-history scaffold is built here,
+    untimed — at scale a consumer tails an existing history, it doesn't
+    create one."""
+    store, d = _mutated_store(spark)
+
+    def operate() -> DataFrame:
+        feed = store.changefeed("snap", 0, store.current_version("snap"))
+        return _materialize(
+            spark, feed.orderBy("_commit_version", "id", "_change_type")
+        )
+
+    def cleanup() -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return operate, cleanup
+
+
+def sql_merge_cdc_apply_phases(spark: SparkSession, sf_dir: str):
+    """Bench phase-split for ``sql_merge_cdc_apply``: the scenario wall
+    is dominated by building the source history and seeding the mirror;
+    ``operate()`` is the catch-up itself — ONE MERGE over the CHANGES
+    subquery plus the mirror read-back — the steady-state cost a
+    downstream mirror pays per sync."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _mutated_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE mirror (id int, name string, score double) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        run_sql(store, "INSERT INTO mirror SELECT * FROM snap VERSION AS OF 1")
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+
+    def operate() -> DataFrame:
+        cur = store.current_version("snap")
+        run_sql(
+            store,
+            f"MERGE INTO mirror AS m USING ("
+            f"  SELECT id, name, score, _change_type FROM ("
+            f"    SELECT id, name, score, _change_type, "
+            f"           ROW_NUMBER() OVER (PARTITION BY id "
+            f"               ORDER BY _commit_version DESC) AS rn "
+            f"    FROM snap CHANGES BETWEEN 1 AND {cur} "
+            f"    WHERE _change_type <> 'update_before') ranked "
+            f"  WHERE rn = 1"
+            f") AS c "
+            f"ON m.id = c.id "
+            f"WHEN MATCHED AND c._change_type = 'delete' THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET name = c.name, score = c.score "
+            f"WHEN NOT MATCHED AND c._change_type <> 'delete' "
+            f"  THEN INSERT (id, name, score) VALUES (c.id, c.name, c.score)",
+        )
+        return _materialize(spark, store.scan("mirror").orderBy("id"))
+
+    def cleanup() -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return operate, cleanup
+
+
 @query(
     "table_vacuum",
     oracle=(

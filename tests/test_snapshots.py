@@ -333,3 +333,25 @@ def test_changefeed_reads_only_changed_tablets(spark, store):
     read = {f.split("/t/")[-1] for f in feed.inputFiles()}
     read = {p.split("data/")[-1].split("archive/")[-1] for p in read}
     assert read == sym, (read, sym)
+
+
+def test_snapshot_and_changefeed_across_add_column(spark, store):
+    """Version reads across an ALTER ADD COLUMN boundary use the
+    CURRENT schema (Delta semantics): pre-evolution files surface the
+    new column as NULL, in snapshots and in feed images alike."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store.create_table("t", "id int, v string", ["id"])
+    store.insert_values("t", [(1, "a"), (2, "b")])
+    v1 = store.current_version("t")
+    execute(store, "ALTER TABLE t ADD COLUMNS (w double)")
+    store.insert_values("t", [(3, "c", 7.5)])
+    v2 = store.current_version("t")
+    assert _rows(store.scan_snapshot("t", v1)) == [
+        (1, "a", None), (2, "b", None)
+    ]
+    assert _rows(store.changefeed("t", 0, v2)) == [
+        (1, "a", None, "insert", 1),
+        (2, "b", None, "insert", 1),
+        (3, "c", 7.5, "insert", 2),
+    ]

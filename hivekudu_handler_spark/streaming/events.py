@@ -850,3 +850,149 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, result)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def run_cdc_mirror(
+    spark: SparkSession,
+    feed: DataFrame,
+    store,
+    mirror: str,
+    checkpoint_dir: str,
+    stage_dir: str,
+    n_files: int = 2,
+    *,
+    pre_staged: bool = False,
+) -> int:
+    """Drive a CDC changefeed stream into a managed mirror table through
+    ``foreachBatch`` — the streaming leg of the CDC surface
+    (``TableStore.changefeed`` / ``CHANGES BETWEEN`` are the batch
+    reads; this is the consumer that keeps a replica current as commits
+    arrive, Kudu's own positioning for fast-changing analytical data,
+    ``doc/DesignDocument.md:4-8``).
+
+    Apply rule per micro-batch: drop ``update_before`` audit images,
+    reduce to the latest ``_commit_version`` event per key, then land
+    winners and deletes in ONE ``store.upsert(..., delete_keys=...)``
+    bucket-scoped commit.  Batches must arrive in commit order (CDC
+    apply is order-sensitive — a tombstone forgotten is a key
+    resurrected); the availableNow file source preserves the staged
+    commit-range file order, and a production deployment gets the same
+    guarantee from any per-key-ordered log.  Within a batch any number
+    of commits collapse correctly through the per-key window.
+
+    Scale: per micro-batch the work is one window over the batch plus a
+    bucket-scoped upsert of the touched keys — the mirror pays for
+    change volume, never table size.  Returns the micro-batch count.
+    """
+    if not pre_staged:
+        stage_stream_files(feed, stage_dir, n_files, col="_commit_version")
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{stage_dir}/f*")
+    )
+    keys = store.table_meta(mirror).key_columns
+    cols = [f.name for f in store.table_meta(mirror).schema.fields]
+    w_latest = Window.partitionBy(*keys).orderBy(
+        F.col("_commit_version").desc()
+    )
+    n_batches = {"n": 0}
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        latest = (
+            batch.filter(F.col("_change_type") != "update_before")
+            .withColumn("_rn", F.row_number().over(w_latest))
+            .filter(F.col("_rn") == 1)
+        )
+        dels = latest.filter(F.col("_change_type") == "delete").select(*keys)
+        ups = latest.filter(F.col("_change_type") != "delete").select(*cols)
+        store.upsert(mirror, ups, delete_keys=dels)
+
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming query did not finish within 300 s")
+    return n_batches["n"]
+
+
+_CDC_MIRROR_ORACLE = (
+    "SELECT c_custkey, "
+    "       CASE WHEN c_custkey % 11 = 5 THEN UPPER(c_name) "
+    "            ELSE c_name END AS name, "
+    "       CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 10 "
+    "            ELSE c_acctbal END AS bal "
+    "FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"
+)
+
+
+def _cdc_mirror_scaffold(spark: SparkSession, sf_dir: str):
+    """Source table with a 4-commit history over ``customer`` plus an
+    empty mirror — shared by the key and its bench phase split."""
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        for stmt in (
+            "CREATE TABLE acct (c_custkey bigint, name string, bal double) "
+            "TBLPROPERTIES ('kudu.key_columns'='c_custkey')",
+            "INSERT INTO acct SELECT c_custkey, c_name AS name, "
+            "c_acctbal AS bal FROM customer",
+            "UPDATE acct SET bal = bal + 10 WHERE c_custkey % 10 = 3",
+            "DELETE FROM acct WHERE c_custkey % 7 = 0",
+            "UPDATE acct SET name = UPPER(name) WHERE c_custkey % 11 = 5",
+            "CREATE TABLE acct_mirror (c_custkey bigint, name string, "
+            "bal double) TBLPROPERTIES ('kudu.key_columns'='c_custkey')",
+        ):
+            run_sql(store, stmt)
+    except BaseException:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+    return store, d
+
+
+@query(
+    "stream_cdc_mirror",
+    oracle=_CDC_MIRROR_ORACLE,
+    tags=("streaming", "cdc", "slow"),
+)
+def stream_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A replica kept current by STREAMING the source's changefeed: the
+    4-commit history over ``customer`` (bulk insert, two predicate
+    updates, a predicate delete) streams through ``run_cdc_mirror`` in
+    two commit-ordered micro-batches; the final mirror must equal the
+    source's current state — which the oracle recomputes from raw
+    ``customer`` with plain SQL."""
+    import shutil
+    import tempfile
+
+    from hivekudu_handler_spark.operators.ddl import _materialize
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    store, d = _cdc_mirror_scaffold(spark, sf_dir)
+    try:
+        feed = store.changefeed("acct", 0, store.current_version("acct"))
+        run_cdc_mirror(
+            spark, feed, store, "acct_mirror",
+            checkpoint_dir=str(d / "ckpt"), stage_dir=str(d / "stage"),
+            n_files=2,
+        )
+        return _materialize(
+            spark,
+            store.scan("acct_mirror")
+            .select("c_custkey", "name", "bal")
+            .orderBy("c_custkey"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

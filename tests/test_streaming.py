@@ -474,3 +474,41 @@ def test_stream_stream_outer_emits_null_rows_on_eviction(spark, tmp_path):
     assert all(r[0] not in (4, 6) for r in got)
     assert (5, None, 40, None) not in got
     assert len(got) == 2, got
+
+
+# ---- streaming CDC mirror ---------------------------------------------------
+
+def test_stream_cdc_mirror_equals_source_across_batches(spark, sf_dir, tmp_path):
+    """The streamed changefeed consumer converges the mirror to the
+    source's exact current state — including keys whose lifecycle spans
+    micro-batch boundaries (inserted in batch 1, updated or deleted by a
+    commit in batch 2) — and really ran multiple micro-batches."""
+    from hivekudu_handler_spark.streaming.events import (
+        _cdc_mirror_scaffold,
+        run_cdc_mirror,
+    )
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    store, d = _cdc_mirror_scaffold(spark, sf_dir)
+    try:
+        feed = store.changefeed("acct", 0, store.current_version("acct"))
+        n = run_cdc_mirror(
+            spark, feed, store, "acct_mirror",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stage_dir=str(tmp_path / "stage"),
+            n_files=2,
+        )
+        assert n == 2
+        src = sorted(tuple(r) for r in store.scan("acct").collect())
+        mir = sorted(tuple(r) for r in store.scan("acct_mirror").collect())
+        assert mir == src and len(src) > 0
+        # cross-batch lifecycles actually occurred: some key deleted in
+        # commit 3 (batch 2) was inserted in commit 1 (batch 1)
+        assert any(k % 7 == 0 for k, *_ in
+                   ((r[0],) for r in store.changefeed("acct", 0, 1)
+                    .select("c_custkey").collect()))
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)

@@ -93,6 +93,31 @@ def table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_describe_history",
+    oracle=(
+        "SELECT * FROM (VALUES (0, 'create', 0), (1, 'insert', 3), "
+        "(2, 'upsert', 4), (3, 'delete', 3)) "
+        "AS t(version, op, n_files) ORDER BY version"
+    ),
+    tags=("table", "snapshot", "sql"),
+)
+def sql_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY t`` (Delta's spelling for the version log) on
+    the SQL surface: the committed manifests as (version, op, n_files)
+    rows — the file counts prove bucket-scoped writes (the upsert adds
+    one file to the touched bucket, the delete rewrites one bucket)."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _mutated_store(spark)
+    try:
+        return _materialize(
+            spark, execute(store, "DESCRIBE HISTORY snap").orderBy("version")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "snapshot_diff",
     oracle=(
         "SELECT * FROM (VALUES (1, 'a', CAST(1.0 AS DOUBLE), 'delete'), "

@@ -13,6 +13,9 @@ test exercises (``README.md:14-218``) and routing them to the store:
   [TBLPROPERTIES ('kudu.key_columns'='a,b', ...)]``
 * ``DROP TABLE [IF EXISTS] name``   (``KuduStorageHandler.java:292-310``)
 * ``DESCRIBE [FORMATTED] name``     (demo ``README.md:33,76-110``)
+* ``DESCRIBE HISTORY name`` — the version log as (version, op,
+  n_files) rows (Delta's spelling over the managed table layer's
+  manifests)
 * ``SHOW TABLES [LIKE 'pat']`` / ``SHOW CREATE TABLE name`` — Hive's
   catalog verbs, available over handler tables in Hive itself
   (the reference depends on hive-exec, ``pom.xml:28-32``): SHOW TABLES
@@ -187,6 +190,11 @@ _DROP_RE = re.compile(
     r"^DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)$",
     re.IGNORECASE,
 )
+_DESCRIBE_HISTORY_RE = re.compile(
+    r"^(?:DESCRIBE|DESC)\s+HISTORY\s+(?P<name>[A-Za-z_]\w*)$",
+    re.IGNORECASE,
+)
+
 _DESCRIBE_RE = re.compile(
     r"^(?:DESCRIBE|DESC)\s+(?:FORMATTED\s+)?(?P<name>[A-Za-z_]\w*)$",
     re.IGNORECASE,
@@ -319,6 +327,9 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
             return None
         return _drop(store, stmt)
     if verb in ("DESCRIBE", "DESC"):
+        hm = _DESCRIBE_HISTORY_RE.match(stmt)
+        if hm:
+            return store.history(hm.group("name"))
         m = _DESCRIBE_RE.match(stmt)
         if not m:
             raise SqlDdlError(f"cannot parse DESCRIBE statement: {sql!r}")

@@ -917,3 +917,28 @@ def test_insert_select_from_changefeed(spark):
         assert run_sql(store, "SELECT COUNT(*) AS n FROM audit").first().n == 7
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_describe_history_sql_and_plain_describe_coexist(spark):
+    """DESCRIBE HISTORY routes to the version log; plain DESCRIBE still
+    returns the column profile; an unknown table fails loudly."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _mutated_store(spark)
+    try:
+        hist = execute(store, "desc history snap").collect()
+        assert [(r.version, r.op) for r in sorted(hist, key=lambda r: r.version)] == [
+            (0, "create"), (1, "insert"), (2, "upsert"), (3, "delete")
+        ]
+        cols = {r.col_name for r in execute(store, "DESCRIBE snap").collect()}
+        assert "id" in cols
+        with pytest.raises((SqlDdlError, TableStoreError)):
+            execute(store, "DESCRIBE HISTORY nope")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -607,6 +607,28 @@ def _in_string_mask(text: str) -> list[bool]:
     return mask
 
 
+def _splice_rewrite(stmt: str, pattern: re.Pattern, bind) -> str:
+    """Shared quote-masked splice loop for version-addressed read
+    rewrites: every ``pattern`` occurrence OUTSIDE string literals is
+    replaced by the view alias ``bind(match)`` returns (``bind`` creates
+    the temp view and returns its name, or returns ``None`` to leave the
+    occurrence untouched)."""
+    mask = _in_string_mask(stmt)
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(stmt):
+        if mask[m.start()]:
+            continue
+        alias = bind(m)
+        if alias is None:
+            continue
+        out.append(stmt[last : m.start()])
+        out.append(alias)
+        last = m.end()
+    out.append(stmt[last:])
+    return "".join(out)
+
+
 def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
     """``FROM t VERSION AS OF n`` — Kudu READ_AT_SNAPSHOT surfaced in
     SQL (Delta/Iceberg spell it the same way).  Each occurrence binds a
@@ -616,20 +638,14 @@ def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
     (the phrase in a WHERE comparison is data, not syntax).  Unknown
     tables or vacuumed versions fail loudly inside ``scan_snapshot``;
     statements without the clause pass through unchanged."""
-    mask = _in_string_mask(stmt)
-    out: list[str] = []
-    last = 0
-    for m in _TIME_TRAVEL_RE.finditer(stmt):
-        if mask[m.start()]:
-            continue
+
+    def bind(m: re.Match) -> str:
         table, version = m.group(1), int(m.group(2))
         alias = f"__tt_{table.lower()}_v{version}"
         store.scan_snapshot(table, version).createOrReplaceTempView(alias)
-        out.append(stmt[last : m.start()])
-        out.append(alias)
-        last = m.end()
-    out.append(stmt[last:])
-    return "".join(out)
+        return alias
+
+    return _splice_rewrite(stmt, _TIME_TRAVEL_RE, bind)
 
 
 def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
@@ -637,29 +653,34 @@ def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
     surfaced in SQL (Delta spells it ``table_changes('t', a, b)``): the
     clause becomes a temp view over :meth:`TableStore.changefeed`, whose
     columns are the table's plus ``_change_type`` / ``_commit_version``.
-    Same string-literal guard and loud-failure semantics as the
-    VERSION AS OF rewrite, and the two compose in one statement (e.g. a
-    feed joined against the snapshot it starts from)."""
-    mask = _in_string_mask(stmt)
-    out: list[str] = []
-    last = 0
-    for m in _CHANGES_RE.finditer(stmt):
-        if mask[m.start()]:
-            continue
+    Same string-literal guard as the VERSION AS OF rewrite, and the two
+    compose in one statement (e.g. a feed joined against the snapshot
+    it starts from).
+
+    Disambiguation: unlike ``VERSION AS OF``, the phrase ``x CHANGES
+    BETWEEN 1 AND 3`` is valid predicate SQL when ``changes`` is a
+    column (``WHERE changes BETWEEN 1 AND 3`` would match with
+    ``x = WHERE``), so an occurrence is only a feed clause when the
+    leading identifier names a MANAGED STORE TABLE — anything else
+    passes through to Spark's parser untouched.  The cost: a feed read
+    of a nonexistent table surfaces as Spark's unresolved-relation
+    error, not a TableStoreError."""
+
+    def bind(m: re.Match):
         table, frm, to = m.group(1), int(m.group(2)), int(m.group(3))
+        if not store.has_table(table):
+            return None
         alias = f"__cf_{table.lower()}_v{frm}_v{to}"
         store.changefeed(table, frm, to).createOrReplaceTempView(alias)
-        out.append(stmt[last : m.start()])
-        out.append(alias)
-        last = m.end()
-    out.append(stmt[last:])
-    return "".join(out)
+        return alias
+
+    return _splice_rewrite(stmt, _CHANGES_RE, bind)
 
 
 def _rewrite_version_clauses(store: TableStore, stmt: str) -> str:
     """Apply every version-addressed read rewrite (time travel +
-    changefeed) — the single seam the SELECT router, CTAS/INSERT-SELECT,
-    and MERGE subquery sources all go through."""
+    changefeed) — the single seam the SELECT router, CTAS, INSERT ...
+    SELECT, and MERGE subquery sources all go through."""
     return _rewrite_changefeed(store, _rewrite_time_travel(store, stmt))
 
 
@@ -1463,7 +1484,8 @@ def _ctas(store: TableStore, name: str, clauses: str, select: str) -> None:
             "TBLPROPERTIES ('kudu.key_columns'='col[,col...]')"
         )
     key_columns = [c.strip() for c in key_prop.split(",") if c.strip()]
-    df = store.spark.sql(select)
+    store.register_views()
+    df = store.spark.sql(_rewrite_version_clauses(store, select))
     store.create_table(name, df.schema, key_columns)
     store.insert(name, df)
 

@@ -1095,7 +1095,13 @@ class TableStore:
             out_vals += [old_m[c].alias(f"old_{c}") for c in vals]
         cols = [*keys, *out_vals, change.alias("change_type")]
         if not vals:
-            return j.select(*cols)
+            # key-only table: a key present on BOTH sides is identical by
+            # definition (there is nothing to update) — it only appears
+            # here because a bucket rewrite moved its neighbors' file.
+            # Without this filter it would surface as a spurious 'update'.
+            return j.filter(
+                F.col("_o").isNull() | F.col("_n").isNull()
+            ).select(*cols)
         # an 'update' whose values are byte-identical is not a change
         unchanged = F.lit(True)
         for c in vals:
@@ -1146,7 +1152,7 @@ class TableStore:
         vals = [f.name for f in meta.schema.fields if f.name not in keys]
         logical = [f.name for f in meta.schema.fields]
         out_schema = T.StructType(
-            [*self.table_meta(name).schema.fields]
+            [*meta.schema.fields]
             + [
                 T.StructField("_change_type", T.StringType(), False),
                 T.StructField("_commit_version", T.IntegerType(), False),

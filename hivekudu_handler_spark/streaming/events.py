@@ -860,8 +860,6 @@ def run_cdc_mirror(
     checkpoint_dir: str,
     stage_dir: str,
     n_files: int = 2,
-    *,
-    pre_staged: bool = False,
 ) -> int:
     """Drive a CDC changefeed stream into a managed mirror table through
     ``foreachBatch`` — the streaming leg of the CDC surface
@@ -884,8 +882,7 @@ def run_cdc_mirror(
     bucket-scoped upsert of the touched keys — the mirror pays for
     change volume, never table size.  Returns the micro-batch count.
     """
-    if not pre_staged:
-        stage_stream_files(feed, stage_dir, n_files, col="_commit_version")
+    stage_stream_files(feed, stage_dir, n_files, col="_commit_version")
     stream = (
         spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1)

@@ -942,3 +942,58 @@ def test_describe_history_sql_and_plain_describe_coexist(spark):
             execute(store, "DESCRIBE HISTORY nope")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_changes_as_column_name_passes_through(spark):
+    """The CHANGES BETWEEN rewrite only fires when the leading
+    identifier names a managed store table — a column literally named
+    'changes' in a numeric BETWEEN predicate is plain SQL and must reach
+    Spark's parser untouched."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import execute, sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE metrics (id int, changes int) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO metrics VALUES (1, 2), (2, 9)")
+        got = run_sql(
+            store,
+            "SELECT id FROM metrics WHERE changes BETWEEN 1 AND 3",
+        ).collect()
+        assert [r.id for r in got] == [1]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ctas_from_changefeed_and_version(spark):
+    """CTAS goes through the version-clause rewrite seam: a table
+    created AS SELECT over a CHANGES feed (or VERSION AS OF) works and
+    captures the feed rows."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _mutated_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE audit TBLPROPERTIES "
+            "('kudu.key_columns'='id,_change_type,_commit_version') "
+            "AS SELECT * FROM snap CHANGES BETWEEN 0 AND 3",
+        )
+        assert run_sql(store, "SELECT COUNT(*) AS n FROM audit").first().n == 7
+        run_sql(
+            store,
+            "CREATE TABLE snap_v1 TBLPROPERTIES ('kudu.key_columns'='id') "
+            "AS SELECT * FROM snap VERSION AS OF 1",
+        )
+        assert run_sql(store, "SELECT COUNT(*) AS n FROM snap_v1").first().n == 3
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

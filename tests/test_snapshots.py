@@ -355,3 +355,21 @@ def test_snapshot_and_changefeed_across_add_column(spark, store):
         (2, "b", None, "insert", 1),
         (3, "c", 7.5, "insert", 2),
     ]
+
+
+def test_key_only_table_diff_and_feed_have_no_spurious_updates(spark, store):
+    """A key-only table (schema == keys) can never produce an 'update':
+    a key present in both snapshots is identical by definition, even
+    when a bucket rewrite moved its file between manifests."""
+    store.create_table("t", "id int", ["id"])
+    store.insert_values("t", [(i,) for i in range(1, 8)])
+    v1 = store.current_version("t")
+    store.delete_where("t", "id = 3")  # rewrites id 3's bucket — its
+    v2 = store.current_version("t")    # neighbors move files unchanged
+    d = [(r["id"], r["change_type"]) for r in store.diff("t", v1, v2).collect()]
+    assert d == [(3, "delete")]
+    feed = [
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in store.changefeed("t", v1, v2).collect()
+    ]
+    assert feed == [(3, "delete", v2)]

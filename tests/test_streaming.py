@@ -504,11 +504,24 @@ def test_stream_cdc_mirror_equals_source_across_batches(spark, sf_dir, tmp_path)
         src = sorted(tuple(r) for r in store.scan("acct").collect())
         mir = sorted(tuple(r) for r in store.scan("acct_mirror").collect())
         assert mir == src and len(src) > 0
-        # cross-batch lifecycles actually occurred: some key deleted in
-        # commit 3 (batch 2) was inserted in commit 1 (batch 1)
-        assert any(k % 7 == 0 for k, *_ in
-                   ((r[0],) for r in store.changefeed("acct", 0, 1)
-                    .select("c_custkey").collect()))
+        # cross-batch lifecycles actually occurred: the staged files
+        # split the history at the commit boundary (f00 = commits 1-2,
+        # f01 = commits 3-4), and some key INSERTED in batch 1 was
+        # DELETED by a commit in batch 2
+        f0 = spark.read.parquet(str(tmp_path / "stage" / "f00"))
+        f1 = spark.read.parquet(str(tmp_path / "stage" / "f01"))
+        assert {r[0] for r in f0.select("_commit_version").distinct().collect()} == {1, 2}
+        assert {r[0] for r in f1.select("_commit_version").distinct().collect()} == {3, 4}
+        ins_b1 = {
+            r[0] for r in f0.filter("_change_type = 'insert'")
+            .select("c_custkey").collect()
+        }
+        del_b2 = {
+            r[0] for r in f1.filter("_change_type = 'delete'")
+            .select("c_custkey").collect()
+        }
+        assert del_b2 and del_b2 <= ins_b1
+        assert all(k not in {m[0] for m in mir} for k in del_b2)
     finally:
         import shutil
         shutil.rmtree(d, ignore_errors=True)

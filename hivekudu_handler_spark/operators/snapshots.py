@@ -369,6 +369,68 @@ def sql_merge_cdc_apply_phases(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "sql_timestamp_travel",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a', CAST(1.0 AS DOUBLE)), "
+        "(2, 'b', CAST(2.0 AS DOUBLE)), (3, 'c', CAST(3.0 AS DOUBLE))) "
+        "AS t(id, name, score) ORDER BY id"
+    ),
+    tags=("table", "snapshot", "sql"),
+)
+def sql_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TIMESTAMP AS OF`` — wall-clock time travel, the addressing mode
+    Kudu's READ_AT_SNAPSHOT natively uses (HybridTime): querying at
+    exactly v1's commit instant resolves to v1 (newest commit <= ts),
+    reproducing the pre-upsert, pre-delete state."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql
+
+    store, d = _mutated_store(spark)
+    try:
+        ts = store.commit_timestamp("snap", 1)
+        return _materialize(
+            spark,
+            sql(
+                store,
+                f"SELECT id, name, score FROM snap TIMESTAMP AS OF "
+                f"'{ts}' ORDER BY id",
+            ),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "sql_vacuum",
+    oracle=(
+        "SELECT * FROM (VALUES (3, 2, 'B', CAST(20.0 AS DOUBLE)), "
+        "(3, 3, 'c', CAST(3.0 AS DOUBLE)), (3, 4, CAST('d' AS VARCHAR), CAST(4.0 AS DOUBLE))) "
+        "AS t(dropped_versions, id, name, score) ORDER BY id"
+    ),
+    tags=("table", "snapshot", "sql"),
+)
+def sql_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VACUUM t RETAIN 0 VERSIONS`` on the SQL surface: drops the
+    three pre-current manifests (the statement reports 3), and the live
+    table remains byte-identical — the GC may only ever delete archive
+    files no retained manifest references."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _mutated_store(spark)
+    try:
+        res = execute(store, "VACUUM snap RETAIN 0 VERSIONS")
+        dropped = res.first()["dropped_versions"]
+        return _materialize(
+            spark,
+            store.scan("snap")
+            .withColumn("dropped_versions", F.lit(dropped))
+            .select("dropped_versions", "id", "name", "score")
+            .orderBy("id"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "table_vacuum",
     oracle=(
         "SELECT * FROM (VALUES (2, 'B', CAST(20.0 AS DOUBLE)), (3, 'c', CAST(3.0 AS DOUBLE)), (4, 'd', CAST(4.0 AS DOUBLE))) "

@@ -65,6 +65,12 @@ test exercises (``README.md:14-218``) and routing them to the store:
   the Delta/Iceberg spelling, on the QUERY path: each clause binds a
   temp view over ``scan_snapshot`` so one statement may join several
   versions of the same table
+* ``SELECT ... FROM t TIMESTAMP AS OF '<epoch-or-iso>'`` — wall-clock
+  time travel resolving to the newest commit at or before the instant
+  (Kudu READ_AT_SNAPSHOT is natively timestamp-addressed)
+* ``VACUUM t [RETAIN n VERSIONS]`` — the ancient-history mark; returns
+  (dropped_versions, deleted_files).  Retention counts VERSIONS, not
+  Delta's hours — our history is a version log
 * ``SELECT ... FROM t CHANGES BETWEEN a AND b`` — the CDC changefeed
   (Kudu diff scans / Delta ``table_changes``) on the QUERY path: the
   table's columns plus ``_change_type`` ∈ {insert, update_before,
@@ -388,6 +394,24 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
             store.refresh_materialized_view(m.group("name"))
             return None
         return _alter(store, stmt)
+    if verb == "VACUUM":
+        # `VACUUM t [RETAIN n VERSIONS]` — Kudu's ancient-history mark
+        # on the SQL surface.  Deliberate dialect note: retention is in
+        # VERSIONS (our history is a version log), not Delta's hours.
+        m = re.match(
+            r"^VACUUM\s+(?P<name>[A-Za-z_]\w*)"
+            r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise SqlDdlError(f"cannot parse VACUUM statement: {sql!r}")
+        keep = int(m.group("n")) if m.group("n") is not None else 1
+        res = store.vacuum(m.group("name"), keep_last=keep)
+        return store.spark.createDataFrame(
+            [(len(res["dropped_versions"]), res["deleted_files"])],
+            "dropped_versions int, deleted_files int",
+        )
     if verb == "ANALYZE":
         # Hive's `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS]`:
         # one aggregate pass, profile persisted to the stats sidecar and
@@ -582,6 +606,31 @@ _CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 
+_TS_TRAVEL_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)'", re.IGNORECASE
+)
+
+
+def _parse_travel_ts(raw: str) -> float:
+    """Epoch seconds from a TIMESTAMP AS OF literal: epoch float or ISO
+    datetime (naive = UTC, matching the session timezone pin)."""
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.fromisoformat(raw)
+    except ValueError:
+        raise SqlDdlError(
+            f"cannot parse TIMESTAMP AS OF literal: {raw!r} "
+            "(epoch seconds or ISO datetime)"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
 
 def _in_string_mask(text: str) -> list[bool]:
     """Per-character flag: inside a single-quoted SQL string literal
@@ -677,11 +726,32 @@ def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
     return _splice_rewrite(stmt, _CHANGES_RE, bind)
 
 
+def _rewrite_timestamp_travel(store: TableStore, stmt: str) -> str:
+    """``FROM t TIMESTAMP AS OF '<epoch-or-iso>'`` — wall-clock time
+    travel (Kudu READ_AT_SNAPSHOT is natively timestamp-addressed;
+    Delta spells it the same way): the literal resolves through
+    :meth:`TableStore.version_at` to the newest commit at or before
+    that instant, then reads like ``VERSION AS OF``.  The three-word
+    phrase followed by a string literal cannot occur in valid predicate
+    SQL, so no table-existence disambiguation is needed."""
+
+    def bind(m: re.Match) -> str:
+        table = m.group(1)
+        version = store.version_at(table, _parse_travel_ts(m.group(2)))
+        alias = f"__tt_{table.lower()}_v{version}"
+        store.scan_snapshot(table, version).createOrReplaceTempView(alias)
+        return alias
+
+    return _splice_rewrite(stmt, _TS_TRAVEL_RE, bind)
+
+
 def _rewrite_version_clauses(store: TableStore, stmt: str) -> str:
-    """Apply every version-addressed read rewrite (time travel +
-    changefeed) — the single seam the SELECT router, CTAS, INSERT ...
-    SELECT, and MERGE subquery sources all go through."""
-    return _rewrite_changefeed(store, _rewrite_time_travel(store, stmt))
+    """Apply every version-addressed read rewrite (version + timestamp
+    time travel + changefeed) — the single seam the SELECT router, CTAS,
+    INSERT ... SELECT, and MERGE subquery sources all go through."""
+    return _rewrite_changefeed(
+        store, _rewrite_timestamp_travel(store, _rewrite_time_travel(store, stmt))
+    )
 
 
 def _split_top(text: str) -> list[str]:

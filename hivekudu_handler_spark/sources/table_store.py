@@ -73,6 +73,7 @@ from __future__ import annotations
 import json
 import re
 import shutil
+import time
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -880,6 +881,10 @@ class TableStore:
         manifest = {
             "version": nxt,
             "op": op,
+            # commit wall-clock (epoch seconds): what TIMESTAMP AS OF
+            # resolves against — Kudu's scans are themselves
+            # timestamp-addressed (READ_AT_SNAPSHOT at a HybridTime)
+            "ts": time.time(),
             "files": self._list_data_files(meta.name),
         }
         vdir = self._versions_dir(meta.name)
@@ -1109,6 +1114,41 @@ class TableStore:
         return j.filter(
             F.col("_o").isNull() | F.col("_n").isNull() | ~unchanged
         ).select(*cols)
+
+    def commit_timestamp(self, name: str, version: int) -> float:
+        """Wall-clock (epoch seconds) at which ``version`` committed.
+        Raises for versions that predate the timestamp field."""
+        m = self._read_manifest(self.table_meta(name).name, version)
+        ts = m.get("ts")
+        if ts is None:
+            raise TableStoreError(
+                f"version {version} of {name!r} predates commit timestamps"
+            )
+        return float(ts)
+
+    def version_at(self, name: str, ts: float) -> int:
+        """The newest version committed at or before wall-clock ``ts``
+        (epoch seconds) — the resolution step behind ``TIMESTAMP AS OF``
+        (Kudu READ_AT_SNAPSHOT is natively timestamp-addressed; Delta
+        spells it the same way).  Versions predating the manifest
+        timestamp field are skipped; if NO retained version qualifies,
+        fails loudly (asking for a time before the table existed is a
+        caller error, not an empty table)."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError("external tables have no snapshots")
+        best: int | None = None
+        for v in self._version_numbers(meta.name):
+            mts = self._read_manifest(meta.name, v).get("ts")
+            if mts is not None and float(mts) <= ts and (
+                best is None or v > best
+            ):
+                best = v
+        if best is None:
+            raise TableStoreError(
+                f"no committed version of {name!r} at or before ts={ts}"
+            )
+        return best
 
     def changefeed(
         self,

@@ -997,3 +997,77 @@ def test_ctas_from_changefeed_and_version(spark):
         assert run_sql(store, "SELECT COUNT(*) AS n FROM snap_v1").first().n == 3
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_timestamp_travel_resolution_and_vacuum_sql(spark):
+    """version_at picks the newest commit <= ts (exact commit instant
+    included), ISO and epoch literals both parse, a pre-creation ts
+    fails loudly, and VACUUM on the SQL surface drops history while the
+    live table and post-vacuum reads stay intact."""
+    import json as _json
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+    from hivekudu_handler_spark.sources.sql_ddl import execute, sql as run_sql
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _mutated_store(spark)
+    try:
+        t1 = store.commit_timestamp("snap", 1)
+        t2 = store.commit_timestamp("snap", 2)
+        assert store.version_at("snap", t1) == 1
+        assert store.version_at("snap", (t1 + t2) / 2) in (1, 2)  # between commits -> v1 unless equal walls
+        assert store.version_at("snap", t2) == 2
+        assert store.version_at("snap", t2 + 3600) == store.current_version("snap")
+        with pytest.raises(TableStoreError, match="at or before"):
+            store.version_at("snap", store.commit_timestamp("snap", 0) - 10)
+        # ISO literal (UTC).  isoformat truncates to microseconds, which
+        # can land a hair BEFORE the float commit instant — query 1 ms
+        # after it (still well inside the v1->v2 gap: the v2 upsert is a
+        # full Spark write, orders of magnitude slower than 1 ms).
+        from datetime import datetime, timezone
+
+        iso = datetime.fromtimestamp(t1 + 0.001, tz=timezone.utc).isoformat()
+        n = run_sql(
+            store, f"SELECT COUNT(*) AS n FROM snap TIMESTAMP AS OF '{iso}'"
+        ).first().n
+        assert n == 3
+        # SQL VACUUM: drop all pre-current manifests, live reads intact
+        res = execute(store, "VACUUM snap RETAIN 0 VERSIONS").first()
+        assert res.dropped_versions == 3
+        assert run_sql(store, "SELECT COUNT(*) AS n FROM snap").first().n == 3
+        with pytest.raises(TableStoreError):
+            run_sql(store, "SELECT * FROM snap VERSION AS OF 1")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_version_at_skips_pre_timestamp_manifests(spark, tmp_path):
+    """Manifests written before the ts field exist in deployed tables:
+    version_at skips them instead of crashing, and commit_timestamp
+    names the problem."""
+    import json as _json
+
+    import pytest
+
+    from hivekudu_handler_spark.sources.table_store import (
+        TableStore,
+        TableStoreError,
+    )
+
+    store = TableStore(spark, str(tmp_path / "wh"))
+    store.create_table("t", "id int, v string", ["id"])
+    store.insert_values("t", [(1, "a")])
+    # simulate a legacy manifest: strip ts from v0
+    p = store._manifest_path("t", 0)
+    m = _json.loads(p.read_text())
+    del m["ts"]
+    p.write_text(_json.dumps(m))
+    with pytest.raises(TableStoreError, match="predates commit timestamps"):
+        store.commit_timestamp("t", 0)
+    # version_at never resolves to the legacy manifest, but still finds v1
+    assert store.version_at("t", store.commit_timestamp("t", 1)) == 1
+    with pytest.raises(TableStoreError, match="at or before"):
+        store.version_at("t", store.commit_timestamp("t", 1) - 10)

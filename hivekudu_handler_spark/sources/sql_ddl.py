@@ -607,13 +607,17 @@ _CHANGES_RE = re.compile(
 )
 
 _TS_TRAVEL_RE = re.compile(
-    r"\b([A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']*)'", re.IGNORECASE
+    r"\b([A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s+'((?:[^']|'')*)'",
+    re.IGNORECASE,
 )
 
 
 def _parse_travel_ts(raw: str) -> float:
     """Epoch seconds from a TIMESTAMP AS OF literal: epoch float or ISO
-    datetime (naive = UTC, matching the session timezone pin)."""
+    datetime (naive = UTC, matching the session timezone pin).  ``''``
+    quote escapes are unescaped first so a malformed literal still gets
+    the clean SqlDdlError, never a dangling-fragment Spark error."""
+    raw = raw.replace("''", "'")
     try:
         return float(raw)
     except ValueError:
@@ -678,6 +682,15 @@ def _splice_rewrite(stmt: str, pattern: re.Pattern, bind) -> str:
     return "".join(out)
 
 
+def _bind_snapshot_view(store: TableStore, table: str, version: int) -> str:
+    """Temp view over ``scan_snapshot(table, version)`` under the shared
+    ``__tt_`` alias scheme — the one binding both time-travel spellings
+    (VERSION AS OF and TIMESTAMP AS OF) resolve through."""
+    alias = f"__tt_{table.lower()}_v{version}"
+    store.scan_snapshot(table, version).createOrReplaceTempView(alias)
+    return alias
+
+
 def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
     """``FROM t VERSION AS OF n`` — Kudu READ_AT_SNAPSHOT surfaced in
     SQL (Delta/Iceberg spell it the same way).  Each occurrence binds a
@@ -689,10 +702,7 @@ def _rewrite_time_travel(store: TableStore, stmt: str) -> str:
     statements without the clause pass through unchanged."""
 
     def bind(m: re.Match) -> str:
-        table, version = m.group(1), int(m.group(2))
-        alias = f"__tt_{table.lower()}_v{version}"
-        store.scan_snapshot(table, version).createOrReplaceTempView(alias)
-        return alias
+        return _bind_snapshot_view(store, m.group(1), int(m.group(2)))
 
     return _splice_rewrite(stmt, _TIME_TRAVEL_RE, bind)
 
@@ -738,9 +748,7 @@ def _rewrite_timestamp_travel(store: TableStore, stmt: str) -> str:
     def bind(m: re.Match) -> str:
         table = m.group(1)
         version = store.version_at(table, _parse_travel_ts(m.group(2)))
-        alias = f"__tt_{table.lower()}_v{version}"
-        store.scan_snapshot(table, version).createOrReplaceTempView(alias)
-        return alias
+        return _bind_snapshot_view(store, table, version)
 
     return _splice_rewrite(stmt, _TS_TRAVEL_RE, bind)
 

@@ -1137,18 +1137,17 @@ class TableStore:
         meta = self.table_meta(name)
         if meta.external:
             raise TableStoreError("external tables have no snapshots")
-        best: int | None = None
-        for v in self._version_numbers(meta.name):
+        # newest-first with early exit: commit timestamps are monotone
+        # with version order, so the first qualifying manifest from the
+        # tail IS the answer — a long-retained history pays for the
+        # manifests after ts, not all of them
+        for v in reversed(self._version_numbers(meta.name)):
             mts = self._read_manifest(meta.name, v).get("ts")
-            if mts is not None and float(mts) <= ts and (
-                best is None or v > best
-            ):
-                best = v
-        if best is None:
-            raise TableStoreError(
-                f"no committed version of {name!r} at or before ts={ts}"
-            )
-        return best
+            if mts is not None and float(mts) <= ts:
+                return v
+        raise TableStoreError(
+            f"no committed version of {name!r} at or before ts={ts}"
+        )
 
     def changefeed(
         self,

@@ -1004,7 +1004,6 @@ def test_timestamp_travel_resolution_and_vacuum_sql(spark):
     included), ISO and epoch literals both parse, a pre-creation ts
     fails loudly, and VACUUM on the SQL surface drops history while the
     live table and post-vacuum reads stay intact."""
-    import json as _json
     import shutil as _shutil
 
     import pytest

@@ -1263,3 +1263,59 @@ def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+_INSERT_OVERWRITE_SQL = """
+SELECT o_custkey % 5 AS grp, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders WHERE o_orderkey % 3 = 0
+GROUP BY o_custkey % 5 ORDER BY grp
+"""
+
+
+@query("dml_insert_overwrite", oracle=_INSERT_OVERWRITE_SQL, tags=("table", "ddl"))
+def dml_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE t SELECT ...`` — Hive's classic full-replace
+    bulk load, completing the bulk-DML verb set next to INSERT/UPSERT
+    ... SELECT.  The replace is ONE commit on the version log (history
+    pinned in tests): the previous contents — here the %2 cohort — are
+    fully displaced by the SELECT result (the %3 cohort), through the
+    same alignment + NULL-key guard + checkpoint-once path as the other
+    bulk spellings.  UPSERT OVERWRITE is rejected as a contradiction.
+    The oracle recomputes the final state from the raw fixture alone —
+    any leakage of pre-overwrite rows breaks the checksum."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_ext")
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE ofact (o_orderkey bigint, o_custkey bigint, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='o_orderkey')",
+        )
+        run_sql(
+            store,
+            "INSERT INTO ofact SELECT o_orderkey, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders_ext "
+            "WHERE o_orderkey % 2 = 0",
+        )
+        run_sql(
+            store,
+            "INSERT OVERWRITE ofact SELECT o_orderkey, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders_ext "
+            "WHERE o_orderkey % 3 = 0",
+        )
+        out = run_sql(
+            store,
+            "SELECT o_custkey % 5 AS grp, COUNT(*) AS n_orders, "
+            "SUM(cents) AS sum_cents FROM ofact "
+            "GROUP BY o_custkey % 5 ORDER BY grp",
+        )
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

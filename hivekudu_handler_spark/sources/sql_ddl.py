@@ -24,9 +24,11 @@ test exercises (``README.md:14-218``) and routing them to the store:
   pinned in tests) — views render their ``CREATE VIEW``, external
   attachments render ``CREATE EXTERNAL TABLE ... LOCATION`` (honest but
   rejected on re-parse, exactly like the reference's create hook)
-* ``INSERT INTO [TABLE] name [(col, ...)] VALUES (...), (...)`` and
-  ``INSERT/UPSERT INTO name [(col, ...)] SELECT ...`` — the literal and
-  bulk-load spellings share one alignment path (demo
+* ``INSERT INTO [TABLE] name [(col, ...)] VALUES (...), (...)``,
+  ``INSERT/UPSERT INTO name [(col, ...)] SELECT ...``, and
+  ``INSERT OVERWRITE [TABLE] name [(col, ...)] SELECT ...`` (Hive's
+  full-replace bulk load, one commit; UPSERT OVERWRITE rejected) —
+  the literal and bulk-load spellings share one alignment path (demo
   ``README.md:35,113-170``); with a column list, omitted columns fill
   their declared ``DEFAULT``, else NULL when nullable, else error —
   CREATE TABLE accepts Kudu-style column attributes ``col type
@@ -221,7 +223,8 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_SELECT_RE = re.compile(
-    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"^(?P<verb>INSERT|UPSERT)\s+(?:INTO|(?P<ow>OVERWRITE))\s+"
+    r"(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
     r"(?:\s*\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s+(?P<query>(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -1756,6 +1759,8 @@ def _aligned_write(
         df = df.localCheckpoint(eager=True)
     if verb == "UPSERT":
         _run_guarded(lambda: store.upsert(name, df))
+    elif verb == "OVERWRITE":
+        _run_guarded(lambda: store.insert_overwrite(name, df))
     else:
         _run_guarded(lambda: store.insert(name, df))
 
@@ -1772,10 +1777,21 @@ def _insert_select(store: TableStore, stmt: str) -> None:
     if not m:
         raise SqlDdlError(f"cannot parse INSERT ... SELECT statement: {stmt!r}")
     name = m.group("name")
+    verb = m.group("verb").upper()
+    if m.group("ow"):
+        # Hive's INSERT OVERWRITE t SELECT ...: full-table replace in
+        # one commit; OVERWRITE is INSERT-only (UPSERT OVERWRITE is a
+        # contradiction — merge semantics vs replace semantics)
+        if verb == "UPSERT":
+            raise SqlDdlError(
+                "UPSERT OVERWRITE is not a statement: use INSERT "
+                "OVERWRITE (replace) or UPSERT INTO (merge)"
+            )
+        verb = "OVERWRITE"
     meta = store.table_meta(name)
     store.register_views()
     df = store.spark.sql(_rewrite_version_clauses(store, m.group("query")))
     _aligned_write(
-        store, name, meta, df, m.group("cols"), m.group("verb").upper(),
+        store, name, meta, df, m.group("cols"), verb,
         driver_literals=False,
     )

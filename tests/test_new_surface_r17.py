@@ -1070,3 +1070,37 @@ def test_version_at_skips_pre_timestamp_manifests(spark, tmp_path):
     assert store.version_at("t", store.commit_timestamp("t", 1)) == 1
     with pytest.raises(TableStoreError, match="at or before"):
         store.version_at("t", store.commit_timestamp("t", 1) - 10)
+
+
+def test_insert_overwrite_select_one_commit_and_upsert_rejected(spark):
+    """INSERT OVERWRITE fully replaces the table in ONE version commit;
+    UPSERT OVERWRITE is rejected as a contradiction; the column-list
+    form fills omitted columns with DEFAULT/NULL like a fresh INSERT."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute, sql as run_sql
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE t (id int, v string, w double DEFAULT 9.5) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+        v_before = store.current_version("t")
+        run_sql(
+            store,
+            "INSERT OVERWRITE t (id, v) "
+            "SELECT id + 10, 'x' FROM (SELECT 1 AS id UNION ALL SELECT 2)",
+        )
+        assert store.current_version("t") == v_before + 1  # one commit
+        got = sorted(tuple(r) for r in store.scan("t").collect())
+        assert got == [(11, "x", 9.5), (12, "x", 9.5)]
+        with pytest.raises(SqlDdlError, match="UPSERT OVERWRITE"):
+            run_sql(store, "UPSERT OVERWRITE t SELECT * FROM t")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

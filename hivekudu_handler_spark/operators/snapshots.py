@@ -431,6 +431,32 @@ def sql_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_show_partitions",
+    oracle=(
+        "SELECT * FROM (VALUES ('kb=0', 1), ('kb=2', 1), ('kb=3', 1)) "
+        "AS t(partition, n_files) ORDER BY partition"
+    ),
+    tags=("table", "snapshot", "sql"),
+)
+def sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SHOW PARTITIONS`` — the live tablet layout (Impala's spelling
+    over Kudu tablet listings), metadata-only from the current manifest.
+    After the canonical mutation history the live rows {2, 3, 4} hash
+    into three of the four default buckets, one file each (the file
+    counts double as the bucket-scoped-write proof)."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _mutated_store(spark)
+    try:
+        return _materialize(
+            spark,
+            execute(store, "SHOW PARTITIONS snap").orderBy("partition"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "table_vacuum",
     oracle=(
         "SELECT * FROM (VALUES (2, 'B', CAST(20.0 AS DOUBLE)), (3, 'c', CAST(3.0 AS DOUBLE)), (4, 'd', CAST(4.0 AS DOUBLE))) "

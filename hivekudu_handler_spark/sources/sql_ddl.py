@@ -16,6 +16,9 @@ test exercises (``README.md:14-218``) and routing them to the store:
 * ``DESCRIBE HISTORY name`` — the version log as (version, op,
   n_files) rows (Delta's spelling over the managed table layer's
   manifests)
+* ``SHOW PARTITIONS name`` — the live tablet layout as (partition,
+  n_files) rows, metadata-only from the current manifest (Impala's
+  spelling over Kudu tablet listings)
 * ``SHOW TABLES [LIKE 'pat']`` / ``SHOW CREATE TABLE name`` — Hive's
   catalog verbs, available over handler tables in Hive itself
   (the reference depends on hive-exec, ``pom.xml:28-32``): SHOW TABLES
@@ -212,6 +215,9 @@ _SHOW_TABLES_RE = re.compile(
 )
 _SHOW_CREATE_RE = re.compile(
     r"^SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
+)
+_SHOW_PARTITIONS_RE = re.compile(
+    r"^SHOW\s+PARTITIONS\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
 )
 # the name must be separated from VALUES by whitespace or a column list
 # — 'INSERT INTO docsVALUES (...)' must NOT backtrack-parse as table
@@ -536,6 +542,11 @@ def _show(store: TableStore, stmt: str) -> DataFrame:
         return store.spark.createDataFrame(
             [(n,) for n in names], "tab_name string"
         )
+    m = _SHOW_PARTITIONS_RE.match(stmt)
+    if m:
+        # Impala-on-Kudu's SHOW PARTITIONS / `kudu table list`: the live
+        # tablet layout, metadata-only from the current manifest
+        return store.show_partitions(m.group("name"))
     m = _SHOW_CREATE_RE.match(stmt)
     if m:
         return store.spark.createDataFrame(

@@ -1115,6 +1115,31 @@ class TableStore:
             F.col("_o").isNull() | F.col("_n").isNull() | ~unchanged
         ).select(*cols)
 
+    def show_partitions(self, name: str) -> DataFrame:
+        """The table's live tablets as (partition, n_files) rows — the
+        Kudu tablet listing (``kudu table list`` / Impala SHOW
+        PARTITIONS) over the managed layout.  Metadata-only: partition
+        identity is each data file's directory prefix in the CURRENT
+        manifest (``kb=``, ``kr=``, ``kr=/kb=``, and any hive
+        ``partition_by`` dirs), so the cost is O(files) driver-side with
+        zero data reads at any table size."""
+        meta = self.table_meta(name)
+        if meta.external:
+            raise TableStoreError(
+                "external tables are unmanaged storage: no tablet layout"
+            )
+        manifest = self._read_manifest(
+            meta.name, self.current_version(meta.name)
+        )
+        counts: dict[str, int] = {}
+        for rel in manifest["files"]:
+            part = "/".join(rel.split("/")[:-1])
+            counts[part] = counts.get(part, 0) + 1
+        rows = sorted(counts.items())
+        return self.spark.createDataFrame(
+            rows or [], "partition string, n_files int"
+        )
+
     def commit_timestamp(self, name: str, version: int) -> float:
         """Wall-clock (epoch seconds) at which ``version`` committed.
         Raises for versions that predate the timestamp field."""

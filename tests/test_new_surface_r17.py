@@ -1104,3 +1104,45 @@ def test_insert_overwrite_select_one_commit_and_upsert_rejected(spark):
             run_sql(store, "UPSERT OVERWRITE t SELECT * FROM t")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_show_partitions_layouts_and_external_rejected(spark):
+    """SHOW PARTITIONS lists the current tablet dirs for hash, composite
+    range-hash, and hive-partitioned layouts; external tables refuse."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "rh", "id int, v string", ["id"], range_splits=[4], hash_in_range=2
+        )
+        store.insert_values("rh", [(i, f"v{i}") for i in range(1, 9)])
+        parts = {r.partition for r in execute(store, "SHOW PARTITIONS rh").collect()}
+        assert parts and all(p.startswith("kr=") and "/kb=" in p for p in parts)
+
+        store.create_table(
+            "hp", "id int, lang string", ["id"], partition_by=["lang"]
+        )
+        store.insert_values("hp", [(1, "en"), (2, "de")])
+        parts = {r.partition for r in execute(store, "SHOW PARTITIONS hp").collect()}
+        assert any("lang=en" in p for p in parts)
+        assert any("lang=de" in p for p in parts)
+
+        # total files across partitions == manifest file count
+        rows = execute(store, "SHOW PARTITIONS hp").collect()
+        manifest = store._read_manifest("hp", store.current_version("hp"))
+        assert sum(r.n_files for r in rows) == len(manifest["files"])
+
+        ext_path = d / "extdata"
+        spark.range(3).write.parquet(str(ext_path))
+        store.attach_external("ext", str(ext_path), ["id"])
+        with pytest.raises(TableStoreError, match="unmanaged"):
+            execute(store, "SHOW PARTITIONS ext")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

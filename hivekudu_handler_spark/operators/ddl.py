@@ -1207,6 +1207,37 @@ FROM st GROUP BY o_custkey % 7 ORDER BY grp
 """
 
 
+def _seed_ofact(spark: SparkSession, sf_dir: str):
+    """Shared bulk-DML scaffold: the orders fixture as a session view,
+    a keyed ``ofact`` table, and the %2 cohort bulk-loaded as cents —
+    the starting state both dml_insert_select and dml_insert_overwrite
+    mutate (keeping their setup literally identical so the two keys
+    cannot silently diverge)."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_table
+
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_ext")
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE ofact (o_orderkey bigint, o_custkey bigint, "
+            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='o_orderkey')",
+        )
+        run_sql(
+            store,
+            "INSERT INTO ofact SELECT o_orderkey, o_custkey, "
+            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders_ext "
+            "WHERE o_orderkey % 2 = 0",
+        )
+    except BaseException:
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+    return store, d
+
+
 @query("dml_insert_select", oracle=_INSERT_SELECT_SQL, tags=("table", "ddl"))
 def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``INSERT INTO ... SELECT`` / ``UPSERT INTO ... SELECT`` — the
@@ -1230,24 +1261,8 @@ def dml_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw fixture."""
     from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
 
-    from hivekudu_handler_spark.tables import load_table
-
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    ).createOrReplaceTempView("orders_ext")
-    store, d = _scratch_store(spark)
+    store, d = _seed_ofact(spark, sf_dir)
     try:
-        run_sql(
-            store,
-            "CREATE TABLE ofact (o_orderkey bigint, o_custkey bigint, "
-            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='o_orderkey')",
-        )
-        run_sql(
-            store,
-            "INSERT INTO ofact SELECT o_orderkey, o_custkey, "
-            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders_ext "
-            "WHERE o_orderkey % 2 = 0",
-        )
         run_sql(
             store,
             "UPSERT INTO ofact (o_orderkey, cents) SELECT o_orderkey, "
@@ -1286,24 +1301,9 @@ def dml_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the final state from the raw fixture alone —
     any leakage of pre-overwrite rows breaks the checksum."""
     from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
-    from hivekudu_handler_spark.tables import load_table
 
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    ).createOrReplaceTempView("orders_ext")
-    store, d = _scratch_store(spark)
+    store, d = _seed_ofact(spark, sf_dir)
     try:
-        run_sql(
-            store,
-            "CREATE TABLE ofact (o_orderkey bigint, o_custkey bigint, "
-            "cents bigint) TBLPROPERTIES ('kudu.key_columns'='o_orderkey')",
-        )
-        run_sql(
-            store,
-            "INSERT INTO ofact SELECT o_orderkey, o_custkey, "
-            "CAST(FLOOR(o_totalprice * 100) AS BIGINT) FROM orders_ext "
-            "WHERE o_orderkey % 2 = 0",
-        )
         run_sql(
             store,
             "INSERT OVERWRITE ofact SELECT o_orderkey, o_custkey, "

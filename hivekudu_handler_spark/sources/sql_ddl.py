@@ -223,11 +223,27 @@ _SHOW_PARTITIONS_RE = re.compile(
 # — 'INSERT INTO docsVALUES (...)' must NOT backtrack-parse as table
 # 'docs' (r17 review)
 _INSERT_RE = re.compile(
-    r"^(?P<verb>INSERT|UPSERT)\s+INTO\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"^(?P<verb>INSERT|UPSERT)\s+(?:INTO|(?P<ow>OVERWRITE))\s+"
+    r"(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
     r"(?:\s*\(\s*(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\))?"
     r"\s+VALUES\s+(?P<values>\(.*\))$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _overwrite_verb(m: re.Match) -> str:
+    """Resolve the effective write verb of an INSERT/UPSERT match whose
+    grammar admits OVERWRITE — shared by the VALUES and SELECT forms so
+    both reject UPSERT OVERWRITE identically."""
+    verb = m.group("verb").upper()
+    if m.group("ow"):
+        if verb == "UPSERT":
+            raise SqlDdlError(
+                "UPSERT OVERWRITE is not a statement: use INSERT "
+                "OVERWRITE (replace) or UPSERT INTO (merge)"
+            )
+        return "OVERWRITE"
+    return verb
 _INSERT_SELECT_RE = re.compile(
     r"^(?P<verb>INSERT|UPSERT)\s+(?:INTO|(?P<ow>OVERWRITE))\s+"
     r"(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)"
@@ -1672,7 +1688,7 @@ def _insert(store: TableStore, stmt: str) -> None:
     except Exception as exc:
         raise SqlDdlError(f"cannot parse VALUES literals: {exc}") from exc
     _aligned_write(
-        store, name, meta, df, m.group("cols"), m.group("verb").upper(),
+        store, name, meta, df, m.group("cols"), _overwrite_verb(m),
         driver_literals=True,
     )
 
@@ -1788,17 +1804,10 @@ def _insert_select(store: TableStore, stmt: str) -> None:
     if not m:
         raise SqlDdlError(f"cannot parse INSERT ... SELECT statement: {stmt!r}")
     name = m.group("name")
-    verb = m.group("verb").upper()
-    if m.group("ow"):
-        # Hive's INSERT OVERWRITE t SELECT ...: full-table replace in
-        # one commit; OVERWRITE is INSERT-only (UPSERT OVERWRITE is a
-        # contradiction — merge semantics vs replace semantics)
-        if verb == "UPSERT":
-            raise SqlDdlError(
-                "UPSERT OVERWRITE is not a statement: use INSERT "
-                "OVERWRITE (replace) or UPSERT INTO (merge)"
-            )
-        verb = "OVERWRITE"
+    # Hive's INSERT OVERWRITE: full-table replace in one commit;
+    # OVERWRITE is INSERT-only (UPSERT OVERWRITE is a contradiction —
+    # merge semantics vs replace semantics)
+    verb = _overwrite_verb(m)
     meta = store.table_meta(name)
     store.register_views()
     df = store.spark.sql(_rewrite_version_clauses(store, m.group("query")))

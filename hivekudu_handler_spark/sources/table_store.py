@@ -1133,11 +1133,13 @@ class TableStore:
         )
         counts: dict[str, int] = {}
         for rel in manifest["files"]:
-            part = "/".join(rel.split("/")[:-1])
+            # manifests store OS-native relative paths (str of
+            # Path.relative_to) — split on both separators so the
+            # grouping is portable
+            part = "/".join(re.split(r"[\\/]", rel)[:-1])
             counts[part] = counts.get(part, 0) + 1
-        rows = sorted(counts.items())
         return self.spark.createDataFrame(
-            rows or [], "partition string, n_files int"
+            sorted(counts.items()), "partition string, n_files int"
         )
 
     def commit_timestamp(self, name: str, version: int) -> float:

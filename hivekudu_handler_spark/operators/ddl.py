@@ -1239,6 +1239,59 @@ FROM st GROUP BY o_custkey % 7 ORDER BY grp
 """
 
 
+@query(
+    "dml_subquery_predicates",
+    oracle=(
+        "SELECT n_nationkey, "
+        "       CASE WHEN r.r_name = 'EUROPE' THEN UPPER(n_name) "
+        "            ELSE n_name END AS n_name, n_regionkey "
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name NOT IN ('ASIA', 'AFRICA') "
+        "ORDER BY n_nationkey"
+    ),
+    tags=("table", "ddl"),
+)
+def dml_subquery_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI DELETE/UPDATE with subquery predicates: the WHERE clause may
+    reference other tables through IN (SELECT ...) — Catalyst plans the
+    subquery as a semi-join against the keyed scan, so at scale it is
+    the same bucket-pruned read-rewrite as a literal predicate, never a
+    driver-side key collect.  Scenario: load nation, DELETE the regions
+    named by a subquery over the region fixture, UPPER-case the names
+    of another subquery-named region; the oracle recomputes the final
+    state from the raw fixtures."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+    from hivekudu_handler_spark.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_ext")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region_ext")
+    store, d = _scratch_store(spark)
+    try:
+        run_sql(
+            store,
+            "CREATE TABLE nat (n_nationkey bigint, n_name string, "
+            "n_regionkey bigint) TBLPROPERTIES ('kudu.key_columns'='n_nationkey')",
+        )
+        run_sql(
+            store,
+            "INSERT INTO nat SELECT n_nationkey, n_name, n_regionkey "
+            "FROM nation_ext",
+        )
+        run_sql(
+            store,
+            "DELETE FROM nat WHERE n_regionkey IN (SELECT r_regionkey "
+            "FROM region_ext WHERE r_name IN ('ASIA', 'AFRICA'))",
+        )
+        run_sql(
+            store,
+            "UPDATE nat SET n_name = UPPER(n_name) WHERE n_regionkey IN "
+            "(SELECT r_regionkey FROM region_ext WHERE r_name = 'EUROPE')",
+        )
+        return _materialize(spark, store.scan("nat").orderBy("n_nationkey"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _seed_ofact(spark: SparkSession, sf_dir: str):
     """Shared bulk-DML scaffold: the orders fixture as a session view,
     a keyed ``ofact`` table, and the %2 cohort bulk-loaded as cents —

@@ -94,7 +94,10 @@ test exercises (``README.md:14-218``) and routing them to the store:
   ``HiveKuduTableOutputFormat.java:175-176``), routed to the store's
   keyed upsert/delete.  Key columns may not be SET (the storage model's
   primary key is immutable, as in Kudu); predicates and SET expressions
-  are parsed by Spark's own expression parser.
+  are parsed by Spark's own expression parser, and may carry IN/EXISTS
+  subqueries over other store tables (views are bound before predicate
+  evaluation — Catalyst plans them as semi-joins against the keyed
+  scan).
 * ``MERGE INTO target USING source ON cond WHEN [NOT] MATCHED
   [BY SOURCE|TARGET] [AND c] THEN UPDATE SET ... | DELETE |
   INSERT ...`` — the ANSI/Hive-ACID spelling of the same declared
@@ -429,9 +432,13 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
             raise SqlDdlError(
                 f"cannot parse DELETE statement (WHERE is mandatory): {sql!r}"
             )
+        # predicates may carry IN/EXISTS subqueries over other store
+        # tables (ANSI DELETE); bind the views so Catalyst resolves them
+        store.register_views()
         store.delete_where(m.group("name"), m.group("pred"))
         return None
     if verb == "UPDATE":
+        store.register_views()  # subqueries in WHERE / SET, as in DELETE
         return _update(store, stmt)
     if verb == "MERGE":
         return _merge(store, stmt)

@@ -1222,3 +1222,28 @@ def test_create_table_like_copies_definition_not_data(spark):
             execute(store, "CREATE TABLE x LIKE ext2")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_update_with_subquery_over_store_table(spark):
+    """DELETE/UPDATE predicates may reference OTHER STORE TABLES through
+    IN (SELECT ...): the views are bound before predicate evaluation."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(store, "CREATE TABLE t (id int, v string) "
+                       "TBLPROPERTIES ('kudu.key_columns'='id')")
+        execute(store, "CREATE TABLE sel (id int) "
+                       "TBLPROPERTIES ('kudu.key_columns'='id')")
+        execute(store, "INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+        execute(store, "INSERT INTO sel VALUES (2), (3)")
+        execute(store, "DELETE FROM t WHERE id IN (SELECT id FROM sel WHERE id > 2)")
+        assert sorted(r.id for r in store.scan("t").collect()) == [1, 2]
+        execute(store, "UPDATE t SET v = 'X' WHERE id IN (SELECT id FROM sel)")
+        got = sorted(tuple(r) for r in store.scan("t").collect())
+        assert got == [(1, "a"), (2, "X")]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

@@ -230,6 +230,9 @@ _CREATE_LIKE_RE = re.compile(
     r"(?P<src>[A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
+# a statement/predicate carries a subquery (IN/EXISTS/scalar all spell
+# an opening paren before SELECT)
+_SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
 # the name must be separated from VALUES by whitespace or a column list
 # — 'INSERT INTO docsVALUES (...)' must NOT backtrack-parse as table
 # 'docs' (r17 review)
@@ -349,6 +352,35 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
                     "CREATE TABLE LIKE an external attachment is not "
                     "supported: it has no managed layout to copy"
                 )
+            if store.mview_manifest_path(src.name).exists():
+                raise SqlDdlError(
+                    "CREATE TABLE LIKE a materialized view is not "
+                    "supported: the materialization's refresh linkage "
+                    "cannot be copied (CREATE MATERIALIZED VIEW again, "
+                    "or CTAS for a plain snapshot of its rows)"
+                )
+            if src.extended:
+                # extended (array/binary) column types are not
+                # expressible in the core DDL grammar the rendered-text
+                # path re-parses — clone directly, keeping the source's
+                # deliberate nullability flags
+                store.create_table(
+                    m.group("name"),
+                    src.schema,
+                    list(src.key_columns),
+                    extended=True,
+                    partition_by=list(src.partition_by)
+                    if src.partition_by
+                    else None,
+                    range_splits=list(src.range_splits)
+                    if src.range_splits
+                    else None,
+                    hash_in_range=src.hash_in_range,
+                    num_buckets=src.num_buckets,
+                    defaults=dict(src.defaults) if src.defaults else None,
+                    respect_nullability=True,
+                )
+                return None
             ddl = _render_create(store, src.name).replace(
                 f"CREATE TABLE {src.name} (",
                 f"CREATE TABLE {m.group('name')} (",
@@ -433,12 +465,17 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
                 f"cannot parse DELETE statement (WHERE is mandatory): {sql!r}"
             )
         # predicates may carry IN/EXISTS subqueries over other store
-        # tables (ANSI DELETE); bind the views so Catalyst resolves them
-        store.register_views()
+        # tables (ANSI DELETE); bind the views so Catalyst resolves
+        # them — only when a subquery is present (registration re-plans
+        # every stored view, and a plain literal DELETE shouldn't pay
+        # that or clobber same-named session temp views)
+        if _SUBQUERY_RE.search(m.group("pred")):
+            store.register_views()
         store.delete_where(m.group("name"), m.group("pred"))
         return None
     if verb == "UPDATE":
-        store.register_views()  # subqueries in WHERE / SET, as in DELETE
+        if _SUBQUERY_RE.search(stmt):  # WHERE or SET, as in DELETE
+            store.register_views()
         return _update(store, stmt)
     if verb == "MERGE":
         return _merge(store, stmt)
@@ -889,7 +926,10 @@ def _update(store: TableStore, stmt: str) -> None:
                 "immutable; DELETE + INSERT to change identity)"
             )
         assignments[col] = expr_text
-    rows = store.scan(name, predicate=pred) if pred else store.scan(name)
+    # alias with the table name so correlated subqueries in WHERE
+    # resolve their outer references (same rule as delete_where)
+    scan = store.scan(name).alias(name)
+    rows = scan.filter(F.expr(pred)) if pred else scan
     # one select, so every SET expression evaluates against the PRE-update
     # row (SQL semantics: 'SET a = b, b = a' swaps); sequential withColumn
     # would feed later assignments the earlier assignments' new values

@@ -222,6 +222,7 @@ class TableStore:
         hash_in_range: int | None = None,
         num_buckets: int | None = None,
         defaults: dict[str, str] | None = None,
+        respect_nullability: bool | None = None,
     ) -> TableMeta:
         """CREATE TABLE with mandatory key columns (managed only).
 
@@ -269,12 +270,19 @@ class TableStore:
             raise TableExistsError(f"table or view {name!r} already exists")
         # NOT NULL survives only from DDL text, where it is deliberate;
         # StructType schemas (CTAS results, parquet discovery) carry
-        # incidental non-nullability that must not become a constraint
+        # incidental non-nullability that must not become a constraint.
+        # respect_nullability=True overrides for callers whose StructType
+        # flags ARE deliberate (CREATE TABLE LIKE copying another
+        # managed table's definition).
         normalized = typesys.validate_schema(
             schema,
             key_columns,
             allow_extended=extended,
-            respect_nullability=from_ddl_text,
+            respect_nullability=(
+                from_ddl_text
+                if respect_nullability is None
+                else respect_nullability
+            ),
         )
         if partition_by:
             known = {f.name for f in normalized.fields}
@@ -2637,7 +2645,10 @@ class TableStore:
         least one matching row are rewritten."""
         meta = self._writable_meta(name)
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        raw = self._scan_raw(meta)
+        # alias the (logical-named) scan with the table name so ANSI
+        # correlated subqueries — EXISTS (SELECT .. WHERE other.k = t.k)
+        # — resolve their outer references
+        raw = self._scan_raw(meta).alias(meta.name)
         affected = [
             tuple(r)
             for r in raw.filter(F.coalesce(pred, F.lit(False)))

@@ -1209,7 +1209,7 @@ def test_create_table_like_copies_definition_not_data(spark):
             "TBLPROPERTIES ('kudu.key_columns'='id')",
         )
         execute(store, "CREATE TABLE nn2 LIKE nn")
-        with pytest.raises((SqlDdlError, TableStoreError, Exception)):
+        with pytest.raises(Exception, match="NOT NULL constraint violated"):
             execute(store, "INSERT INTO nn2 VALUES (1, NULL)")
         # views and externals refuse
         execute(store, "CREATE VIEW vv AS SELECT * FROM src")
@@ -1245,5 +1245,78 @@ def test_delete_update_with_subquery_over_store_table(spark):
         execute(store, "UPDATE t SET v = 'X' WHERE id IN (SELECT id FROM sel)")
         got = sorted(tuple(r) for r in store.scan("t").collect())
         assert got == [(1, "a"), (2, "X")]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_correlated_exists_delete_and_update(spark):
+    """The ANSI correlated form works: the target scan is aliased with
+    the table name, so EXISTS (SELECT .. WHERE other.k = t.k) resolves
+    its outer reference in both DELETE and UPDATE."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(store, "CREATE TABLE t (id int, v string) "
+                       "TBLPROPERTIES ('kudu.key_columns'='id')")
+        execute(store, "CREATE TABLE sel (id int) "
+                       "TBLPROPERTIES ('kudu.key_columns'='id')")
+        execute(store, "INSERT INTO t VALUES (1,'a'),(2,'b'),(3,'c')")
+        execute(store, "INSERT INTO sel VALUES (2), (3)")
+        execute(
+            store,
+            "DELETE FROM t WHERE EXISTS "
+            "(SELECT 1 FROM sel WHERE sel.id = t.id AND sel.id > 2)",
+        )
+        assert sorted(r.id for r in store.scan("t").collect()) == [1, 2]
+        execute(
+            store,
+            "UPDATE t SET v = 'X' WHERE EXISTS "
+            "(SELECT 1 FROM sel WHERE sel.id = t.id)",
+        )
+        got = sorted(tuple(r) for r in store.scan("t").collect())
+        assert got == [(1, "a"), (2, "X")]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_create_like_extended_and_mview_guard(spark):
+    """LIKE of an extended-typed table clones directly (array columns,
+    NOT NULL kept); LIKE of a materialized view refuses with a targeted
+    error."""
+    import shutil as _shutil
+
+    import pytest
+
+    from pyspark.sql import types as T
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import SqlDdlError, execute
+
+    store, d = _scratch_store(spark)
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType(), False),
+                T.StructField("emb", T.ArrayType(T.FloatType()), True),
+            ]
+        )
+        store.create_table("src", schema, ["id"], extended=True)
+        execute(store, "CREATE TABLE copy LIKE src")
+        c = store.table_meta("copy")
+        assert c.extended
+        assert [f.dataType.simpleString() for f in c.schema.fields] == [
+            "int", "array<float>"
+        ]
+        assert store.scan("copy").count() == 0
+
+        store.create_table("base", "grp string, x bigint, id bigint", ["id"])
+        store.insert_values("base", [("a", 1, 1), ("b", 2, 2)])
+        store.create_materialized_view("mv", "base", ["grp"], ["x"])
+        with pytest.raises(SqlDdlError, match="materialized view"):
+            execute(store, "CREATE TABLE t2 LIKE mv")
     finally:
         _shutil.rmtree(d, ignore_errors=True)

@@ -42,7 +42,11 @@ class _StubStore:
         self.bound.append(alias)
 
 
-_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
+    # the property is about NON-table identifiers: drawing a stub-store
+    # table name would (correctly) fire the rewrite and fail the test
+    lambda s: s.lower() not in ("t1", "snap")
+)
 _text = st.text(
     alphabet=st.characters(blacklist_characters="'"), min_size=0, max_size=20
 )

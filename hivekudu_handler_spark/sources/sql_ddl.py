@@ -73,6 +73,9 @@ test exercises (``README.md:14-218``) and routing them to the store:
   the Delta/Iceberg spelling, on the QUERY path: each clause binds a
   temp view over ``scan_snapshot`` so one statement may join several
   versions of the same table
+* ``EXPLAIN [FORMATTED|EXTENDED] <query>`` — rides the query path
+  (Spark executes it natively); version-clause rewrites apply to the
+  inner query first, so time-travel/changefeed plans are inspectable
 * ``SELECT ... FROM t TIMESTAMP AS OF '<epoch-or-iso>'`` — wall-clock
   time travel resolving to the newest commit at or before the instant
   (Kudu READ_AT_SNAPSHOT is natively timestamp-addressed)
@@ -538,7 +541,14 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
     )
 
 
-_QUERY_RE = re.compile(r"^(SELECT|WITH|VALUES)\b", re.IGNORECASE)
+_QUERY_RE = re.compile(
+    # EXPLAIN [EXTENDED|FORMATTED|...] <query> rides the query path:
+    # Spark SQL executes EXPLAIN natively (one plan-text row), and the
+    # version-clause rewrites apply to the inner query first so a user
+    # can EXPLAIN a time-travel or changefeed read
+    r"^(SELECT|WITH|VALUES|EXPLAIN)\b",
+    re.IGNORECASE,
+)
 
 _BLOOM_INDEX_RE = re.compile(
     r"^CREATE\s+BLOOM\s+INDEX\s+ON\s+(?P<name>[A-Za-z_]\w*)\s*"

@@ -1320,3 +1320,31 @@ def test_create_like_extended_and_mview_guard(spark):
             execute(store, "CREATE TABLE t2 LIKE mv")
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_explain_routes_through_query_path(spark):
+    """EXPLAIN is a query statement: Spark executes it natively, and the
+    version-clause rewrites apply to the inner query first (so plans of
+    time-travel/changefeed reads are inspectable)."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.snapshots import _mutated_store
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    store, d = _mutated_store(spark)
+    try:
+        plan = run_sql(store, "EXPLAIN SELECT COUNT(*) FROM snap").first()[0]
+        assert "Physical Plan" in plan
+        plan = run_sql(
+            store,
+            "EXPLAIN FORMATTED SELECT id FROM snap VERSION AS OF 1 WHERE id > 1",
+        ).first()[0]
+        assert "Physical Plan" in plan and "__tt_snap_v1" not in plan.split(
+            "Physical Plan"
+        )[0]
+        plan = run_sql(
+            store, "EXPLAIN SELECT * FROM snap CHANGES BETWEEN 0 AND 3"
+        ).first()[0]
+        assert "Physical Plan" in plan
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

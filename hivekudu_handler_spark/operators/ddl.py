@@ -294,6 +294,44 @@ def ddl_attach_external(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_script_demo",
+    oracle=(
+        "SELECT * FROM (VALUES (2, 'beta', CAST(20.0 AS DOUBLE)), "
+        "(4, 'delta', CAST(4.0 AS DOUBLE))) AS t(id, name, score) "
+        "ORDER BY id"
+    ),
+    tags=("ddl", "sql"),
+)
+def sql_script_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A multi-statement script through ``run_script`` — the way the
+    reference is actually driven (``hive -f`` over ``simple_test.sql``,
+    ``README.md:14-218``): one text blob with comments mixing DDL, DML
+    (incl. UPSERT and a subquery DELETE), and a final SELECT, split on
+    quote-aware semicolons and executed in order.  The last statement's
+    DataFrame is the scenario's observable."""
+    from hivekudu_handler_spark.sources.sql_ddl import run_script
+
+    store, d = _scratch_store(spark)
+    try:
+        results = run_script(
+            store,
+            """
+            -- the reference demo's flow, as one script
+            CREATE TABLE demo (id int, name string, score double)
+              TBLPROPERTIES ('kudu.key_columns'='id');
+            INSERT INTO demo VALUES (1, 'alpha; not a separator', 1.0),
+                                    (2, 'b', 2.0), (3, 'gamma', 3.0);
+            UPSERT INTO demo VALUES (2, 'beta', 20.0), (4, 'delta', 4.0);
+            DELETE FROM demo WHERE id IN (SELECT id FROM demo WHERE score < 3.5);
+            SELECT id, name, score FROM demo ORDER BY id;
+            """,
+        )
+        return _materialize(spark, results[-1])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
     "ddl_sql_roundtrip",
     oracle=(
         "SELECT * FROM (VALUES ('a', 2), ('b', 1)) AS t(name, cnt) "

@@ -717,6 +717,56 @@ def sql(store: TableStore, text: str) -> DataFrame | None:
     return execute(store, text)
 
 
+def split_statements(text: str) -> list[str]:
+    """Split a multi-statement SQL script into statements: ``;`` is a
+    separator only outside single-quoted strings (``''`` escapes
+    honored), ``--`` line comments outside strings are stripped, and
+    empty statements are skipped."""
+    out: list[str] = []
+    token: list[str] = []
+    in_str = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            token.append(ch)
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    token.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            token.append(ch)
+        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        elif ch == ";":
+            if "".join(token).strip():
+                out.append("".join(token).strip())
+            token = []
+        else:
+            token.append(ch)
+        i += 1
+    if "".join(token).strip():
+        out.append("".join(token).strip())
+    return out
+
+
+def run_script(store: TableStore, text: str) -> list[DataFrame | None]:
+    """Execute a multi-statement SQL script in order — the way the
+    reference is actually driven (``hive -f`` over the demo script,
+    ``README.md:14-218`` mixes DDL, DML, and SELECTs in one file).
+    Each statement routes through :func:`sql`; the per-statement
+    results (DataFrame for row-producing statements, None otherwise)
+    return in order.  A failing statement stops the script at that
+    point — earlier statements' effects stand, exactly like the
+    reference's CLI."""
+    return [sql(store, stmt) for stmt in split_statements(text)]
+
+
 _TIME_TRAVEL_RE = re.compile(
     r"\b([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE
 )

@@ -1348,3 +1348,16 @@ def test_explain_routes_through_query_path(spark):
         assert "Physical Plan" in plan
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_split_statements_quote_and_comment_aware():
+    from hivekudu_handler_spark.sources.sql_ddl import split_statements
+
+    stmts = split_statements(
+        "SELECT 'a;b' AS x; -- trailing; comment ; with semicolons\n"
+        "SELECT 'it''s; fine';;\n"
+        "-- whole-line comment\n"
+        "SELECT 1"
+    )
+    assert stmts == ["SELECT 'a;b' AS x", "SELECT 'it''s; fine'", "SELECT 1"]
+    assert split_statements("  ;; -- nothing\n ;") == []

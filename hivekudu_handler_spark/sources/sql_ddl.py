@@ -703,7 +703,7 @@ def sql(store: TableStore, text: str) -> DataFrame | None:
     surface a reference user actually typed at (``README.md:14-43`` mixes
     DDL, DML, and SELECTs in one script).
 
-    Queries (SELECT / WITH / VALUES) register every store table as a temp
+    Queries (SELECT / WITH / VALUES / EXPLAIN) register every store table as a temp
     view and run through Spark SQL — the same division of labor as the
     reference, where the handler owned DDL hooks and Hive's engine ran
     the queries; everything else routes to :func:`execute`.  View
@@ -719,39 +719,26 @@ def sql(store: TableStore, text: str) -> DataFrame | None:
 
 def split_statements(text: str) -> list[str]:
     """Split a multi-statement SQL script into statements: ``;`` is a
-    separator only outside single-quoted strings (``''`` escapes
-    honored), ``--`` line comments outside strings are stripped, and
-    empty statements are skipped."""
+    separator only in plain code — string literals (either quote style,
+    doubling and backslash escapes honored) keep their semicolons, and
+    ``--`` line / ``/* */`` bracketed comments are stripped.  Lexing is
+    :func:`_sql_char_states`, the same scanner the rewrite mask uses."""
+    states = _sql_char_states(text)
     out: list[str] = []
     token: list[str] = []
-    in_str = False
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        if in_str:
-            token.append(ch)
-            if ch == "'":
-                if i + 1 < n and text[i + 1] == "'":
-                    token.append("'")
-                    i += 1
-                else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
-            token.append(ch)
-        elif ch == "-" and i + 1 < n and text[i + 1] == "-":
-            while i < n and text[i] != "\n":
-                i += 1
+    for ch, state in zip(text, states):
+        if state == "comment":
             continue
-        elif ch == ";":
-            if "".join(token).strip():
-                out.append("".join(token).strip())
+        if state == "code" and ch == ";":
+            stmt = "".join(token).strip()
+            if stmt:
+                out.append(stmt)
             token = []
         else:
             token.append(ch)
-        i += 1
-    if "".join(token).strip():
-        out.append("".join(token).strip())
+    stmt = "".join(token).strip()
+    if stmt:
+        out.append(stmt)
     return out
 
 
@@ -763,7 +750,15 @@ def run_script(store: TableStore, text: str) -> list[DataFrame | None]:
     results (DataFrame for row-producing statements, None otherwise)
     return in order.  A failing statement stops the script at that
     point — earlier statements' effects stand, exactly like the
-    reference's CLI."""
+    reference's CLI.
+
+    Returned DataFrames are LAZY plans bound at statement time: collect
+    a result before a LATER statement in the same script mutates or
+    drops the tables it reads (``SELECT * FROM t; DROP TABLE t`` — the
+    first result is unreadable after the drop), exactly as a cursor
+    over a dropped table would be.  The reference's CLI prints each
+    result before running the next statement; callers wanting that
+    semantics should consume each result as it is produced."""
     return [sql(store, stmt) for stmt in split_statements(text)]
 
 
@@ -806,28 +801,64 @@ def _parse_travel_ts(raw: str) -> float:
     return dt.timestamp()
 
 
-def _in_string_mask(text: str) -> list[bool]:
-    """Per-character flag: inside a single-quoted SQL string literal
-    (``''`` escapes honored).  Shared guard so rewrites never touch
-    literal content."""
-    mask = [False] * len(text)
-    in_str = False
-    i = 0
-    while i < len(text):
+def _sql_char_states(text: str) -> list[str]:
+    """Per-character lexical state of SQL text — ``'str'`` inside a
+    string literal (quotes included), ``'comment'`` inside a ``--`` line
+    or ``/* */`` bracketed comment (markers included), ``'code'``
+    otherwise.  One scanner, one dialect decision, shared by the rewrite
+    mask and the script splitter so they can never diverge:
+
+    * BOTH quote characters open string literals — this engine runs
+      Spark SQL in non-ANSI mode where ``"..."`` is a string, not an
+      identifier (``session.py`` pins ``ansi.enabled=false``).
+    * Doubling (``''`` / ``""``) and backslash escapes are honored
+      inside literals (both are live in Spark's default lexer).
+    * Comments are quote-opaque (``-- don't`` doesn't open a string)
+      and strings are comment-opaque (``'a -- b'`` keeps its tail).
+    """
+    states = ["code"] * len(text)
+    i, n = 0, len(text)
+    quote: str | None = None
+    while i < n:
         ch = text[i]
-        if in_str:
-            mask[i] = True
-            if ch == "'":
-                if i + 1 < len(text) and text[i + 1] == "'":
-                    mask[i + 1] = True
+        if quote:
+            states[i] = "str"
+            if ch == "\\" and i + 1 < n:
+                states[i + 1] = "str"
+                i += 2
+                continue
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:
+                    states[i + 1] = "str"
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            mask[i] = True
-            in_str = True
+                    quote = None
+        elif ch in ("'", '"'):
+            states[i] = "str"
+            quote = ch
+        elif ch == "-" and text[i : i + 2] == "--":
+            j = text.find("\n", i)
+            j = n if j == -1 else j
+            for k in range(i, j):
+                states[k] = "comment"
+            i = j
+            continue
+        elif ch == "/" and text[i : i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                states[k] = "comment"
+            i = j
+            continue
         i += 1
-    return mask
+    return states
+
+
+def _in_string_mask(text: str) -> list[bool]:
+    """Per-character flag: NOT plain code — inside a string literal or
+    a comment (see :func:`_sql_char_states`).  Shared guard so rewrites
+    never touch literal or comment content."""
+    return [s != "code" for s in _sql_char_states(text)]
 
 
 def _splice_rewrite(stmt: str, pattern: re.Pattern, bind) -> str:

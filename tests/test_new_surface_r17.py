@@ -1339,9 +1339,12 @@ def test_explain_routes_through_query_path(spark):
             store,
             "EXPLAIN FORMATTED SELECT id FROM snap VERSION AS OF 1 WHERE id > 1",
         ).first()[0]
-        assert "Physical Plan" in plan and "__tt_snap_v1" not in plan.split(
-            "Physical Plan"
-        )[0]
+        # the rewrite must have resolved the clause to a snapshot read:
+        # the raw clause text is gone and the plan is a parquet scan
+        # (a regression would either error or leak the clause through)
+        assert "Physical Plan" in plan
+        assert "VERSION AS OF" not in plan
+        assert "Scan parquet" in plan
         plan = run_sql(
             store, "EXPLAIN SELECT * FROM snap CHANGES BETWEEN 0 AND 3"
         ).first()[0]
@@ -1361,3 +1364,18 @@ def test_split_statements_quote_and_comment_aware():
     )
     assert stmts == ["SELECT 'a;b' AS x", "SELECT 'it''s; fine'", "SELECT 1"]
     assert split_statements("  ;; -- nothing\n ;") == []
+    # Spark's full literal dialect: double-quoted strings, backslash
+    # escapes, bracketed comments — and comments are quote-opaque
+    # (the apostrophe in a comment must not open a string)
+    stmts = split_statements(
+        'SELECT "a;b" AS x; SELECT \'don\\\'t; stop\' AS y;\n'
+        "/* block; comment 'unclosed */ SELECT 2;\n"
+        "-- don't trip on this apostrophe\n"
+        "SELECT 'a -- not a comment' AS z"
+    )
+    assert stmts == [
+        'SELECT "a;b" AS x',
+        "SELECT 'don\\'t; stop' AS y",
+        "SELECT 2",
+        "SELECT 'a -- not a comment' AS z",
+    ]

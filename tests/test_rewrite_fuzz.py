@@ -48,7 +48,14 @@ _ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True).filter(
     lambda s: s.lower() not in ("t1", "snap")
 )
 _text = st.text(
-    alphabet=st.characters(blacklist_characters="'"), min_size=0, max_size=20
+    # a quote would close the literal the templates wrap these in, and a
+    # trailing backslash would escape that closing quote (backslash
+    # escapes are live in Spark's default lexer, which the scanner
+    # mirrors) — both change the statement's lexical shape, which is
+    # not what these properties are about
+    alphabet=st.characters(blacklist_characters="'\\"),
+    min_size=0,
+    max_size=20,
 )
 
 

@@ -170,26 +170,21 @@ def _strip_stmt(sql: str) -> str:
 
 def _match_paren_block(text: str, start: int) -> tuple[str, int]:
     """Return (inner, index_after_close) for the paren group opening at
-    ``start`` (which must be '('), honoring nesting and single-quoted
-    strings."""
+    ``start`` (which must be '('), honoring nesting and the full
+    literal/comment dialect (:func:`_sql_char_states`)."""
     assert text[start] == "("
+    states = _sql_char_states(text)
     depth = 0
-    i = start
-    in_str = False
-    while i < len(text):
+    for i in range(start, len(text)):
+        if states[i] != "code":
+            continue
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
                 return text[start + 1 : i], i + 1
-        i += 1
     raise SqlDdlError(f"unbalanced parentheses in statement: {text!r}")
 
 
@@ -286,19 +281,18 @@ _UPDATE_RE = re.compile(
 
 def _split_where(text: str) -> tuple[str, str | None]:
     """Split ``text`` into (before, predicate) on the first top-level WHERE
-    keyword — at paren depth 0 and outside single-quoted strings — so a
-    literal like ``'x WHERE y'`` is never misread as a predicate boundary."""
+    keyword — at paren depth 0, outside string literals and comments
+    (:func:`_sql_char_states`) — so a literal like ``'x WHERE y'`` is
+    never misread as a predicate boundary."""
+    states = _sql_char_states(text)
     depth = 0
-    in_str = False
     i, n = 0, len(text)
     while i < n:
+        if states[i] != "code":
+            i += 1
+            continue
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -964,29 +958,21 @@ def _rewrite_version_clauses(store: TableStore, stmt: str) -> str:
 
 
 def _split_top(text: str) -> list[str]:
-    """Split on commas at paren depth 0, outside single-quoted strings."""
+    """Split on commas at paren depth 0, outside string literals and
+    comments (:func:`_sql_char_states`)."""
     parts: list[str] = []
     depth = 0
-    in_str = False
     token = ""
-    for ch in text:
-        if in_str:
-            token += ch
-            if ch == "'":
-                in_str = False
-            continue
-        if ch == "'":
-            in_str = True
-            token += ch
-            continue
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append(token)
-            token = ""
-            continue
+    for ch, state in zip(text, _sql_char_states(text)):
+        if state == "code":
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(token)
+                token = ""
+                continue
         token += ch
     if token.strip():
         parts.append(token)
@@ -1059,26 +1045,20 @@ _CLAUSE_HEAD_RE = re.compile(
 
 def _find_boundary_then(text: str) -> int:
     """Index of the clause-level THEN in ``AND <cond> THEN <action>`` —
-    the first THEN at paren depth 0, outside single-quoted strings, and
-    outside any CASE...END expression (a CASE in the condition owns its
-    own THENs), or -1.  The naive lazy-regex split mis-parsed ANSI-valid
+    the first THEN at paren depth 0, outside string literals and
+    comments, and outside any CASE...END expression (a CASE in the
+    condition owns its own THENs), or -1.  The naive lazy-regex split mis-parsed ANSI-valid
     conditions like ``AND CASE WHEN x THEN 1 ELSE 0 END = 1 THEN DELETE``
     (r16 review)."""
     depth = case_depth = 0
-    in_str = False
+    states = _sql_char_states(text)
     word = re.compile(r"\b(CASE|END|THEN)\b", re.IGNORECASE)
     i = 0
     while i < len(text):
+        if states[i] != "code":
+            i += 1
+            continue
         ch = text[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-            i += 1
-            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -1170,32 +1150,29 @@ def _guard_null_keys(df: DataFrame, key_columns) -> DataFrame:
 
 def _split_keyword(text: str, pattern: str) -> list[str]:
     """Split ``text`` on regex ``pattern`` at paren depth 0, outside
-    single-quoted strings, case-insensitively.  Segment 0 is the text
-    before the first occurrence."""
+    string literals and comments (:func:`_sql_char_states`),
+    case-insensitively.  Segment 0 is the text before the first
+    occurrence."""
     pat = re.compile(pattern, re.IGNORECASE)
+    states = _sql_char_states(text)
     parts: list[str] = []
     depth = 0
-    in_str = False
     last = 0
     i = 0
     while i < len(text):
-        ch = text[i]
-        if in_str:
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0:
-            m = pat.match(text, i)
-            if m:
-                parts.append(text[last:i])
-                last = m.end()
-                i = m.end()
-                continue
+        if states[i] == "code":
+            ch = text[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pat.match(text, i)
+                if m:
+                    parts.append(text[last:i])
+                    last = m.end()
+                    i = m.end()
+                    continue
         i += 1
     parts.append(text[last:])
     return parts

@@ -1379,3 +1379,26 @@ def test_split_statements_quote_and_comment_aware():
         "SELECT 2",
         "SELECT 'a -- not a comment' AS z",
     ]
+
+
+def test_fragment_parsers_honor_full_literal_dialect(spark):
+    """SET/VALUES fragment parsing must not split inside double-quoted
+    or backslash-escaped literals (Spark's lexer treats both as
+    strings): commas, parens, and keywords inside them are content."""
+    import shutil as _shutil
+
+    from hivekudu_handler_spark.operators.ddl import _scratch_store
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store, d = _scratch_store(spark)
+    try:
+        execute(store, "CREATE TABLE t (id int, v string, w string) "
+                       "TBLPROPERTIES ('kudu.key_columns'='id')")
+        execute(store, "INSERT INTO t VALUES (1, 'a', 'b')")
+        execute(store, 'UPDATE t SET v = "x,y(z", w = \'p\\\',q\' WHERE id = 1')
+        row = store.scan("t").first()
+        assert (row.v, row.w) == ("x,y(z", "p',q")
+        execute(store, 'INSERT INTO t VALUES (2, "c;(,d", \'e\')')
+        assert store.scan("t").filter("id = 2").first().v == "c;(,d"
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

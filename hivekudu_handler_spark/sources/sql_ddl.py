@@ -130,11 +130,16 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hivekudu_handler_spark.sources.sql_lex import sql_char_states
 from hivekudu_handler_spark.sources.table_store import (
     NOT_NULL_MSG_PREFIX,
     TableStore,
     TableStoreError,
 )
+
+# module-private alias: every splitter below lexes through the shared
+# scanner (see sql_lex.py for the dialect decision)
+_sql_char_states = sql_char_states
 
 # the reference's property names (HiveKuduConstants.java:28-30) plus the
 # bare spelling for convenience
@@ -793,59 +798,6 @@ def _parse_travel_ts(raw: str) -> float:
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return dt.timestamp()
-
-
-def _sql_char_states(text: str) -> list[str]:
-    """Per-character lexical state of SQL text — ``'str'`` inside a
-    string literal (quotes included), ``'comment'`` inside a ``--`` line
-    or ``/* */`` bracketed comment (markers included), ``'code'``
-    otherwise.  One scanner, one dialect decision, shared by the rewrite
-    mask and the script splitter so they can never diverge:
-
-    * BOTH quote characters open string literals — this engine runs
-      Spark SQL in non-ANSI mode where ``"..."`` is a string, not an
-      identifier (``session.py`` pins ``ansi.enabled=false``).
-    * Doubling (``''`` / ``""``) and backslash escapes are honored
-      inside literals (both are live in Spark's default lexer).
-    * Comments are quote-opaque (``-- don't`` doesn't open a string)
-      and strings are comment-opaque (``'a -- b'`` keeps its tail).
-    """
-    states = ["code"] * len(text)
-    i, n = 0, len(text)
-    quote: str | None = None
-    while i < n:
-        ch = text[i]
-        if quote:
-            states[i] = "str"
-            if ch == "\\" and i + 1 < n:
-                states[i + 1] = "str"
-                i += 2
-                continue
-            if ch == quote:
-                if i + 1 < n and text[i + 1] == quote:
-                    states[i + 1] = "str"
-                    i += 1
-                else:
-                    quote = None
-        elif ch in ("'", '"'):
-            states[i] = "str"
-            quote = ch
-        elif ch == "-" and text[i : i + 2] == "--":
-            j = text.find("\n", i)
-            j = n if j == -1 else j
-            for k in range(i, j):
-                states[k] = "comment"
-            i = j
-            continue
-        elif ch == "/" and text[i : i + 2] == "/*":
-            j = text.find("*/", i + 2)
-            j = n if j == -1 else j + 2
-            for k in range(i, j):
-                states[k] = "comment"
-            i = j
-            continue
-        i += 1
-    return states
 
 
 def _in_string_mask(text: str) -> list[bool]:

@@ -416,28 +416,25 @@ class TableStore:
         loud error — and ``DEFAULT <literal>`` records the expression a
         column-list INSERT fills in when the column is omitted.
         Returns ``(schema, defaults)``."""
+        from hivekudu_handler_spark.sources.sql_lex import sql_char_states
+
         fields = []
         defaults: dict[str, str] = {}
         depth = 0
         token = ""
         parts: list[str] = []
-        in_str = False
-        for ch in ddl:
-            if in_str:
-                token += ch
-                if ch == "'":
-                    in_str = False
+        # shared lexer: a comma inside a DEFAULT literal (either quote
+        # style, escapes honored) is content, not a column separator
+        for ch, state in zip(ddl, sql_char_states(ddl)):
+            if state == "comment":
                 continue
-            if ch == "'":
-                in_str = True
-                token += ch
-                continue
-            if ch == "," and depth == 0:
-                parts.append(token)
-                token = ""
-                continue
-            depth += ch in "(<"
-            depth -= ch in ")>"
+            if state == "code":
+                if ch == "," and depth == 0:
+                    parts.append(token)
+                    token = ""
+                    continue
+                depth += ch in "(<"
+                depth -= ch in ")>"
             token += ch
         if token.strip():
             parts.append(token)

@@ -2135,3 +2135,16 @@ def test_rebucket_preserves_rows_pruning_and_history(spark, store):
     )
     with _pytest.raises(TableStoreError, match="range tables"):
         store.rebucket("r", 8)
+
+
+def test_ddl_schema_default_literal_with_separator_chars(spark, store):
+    """The DDL column splitter lexes through the shared scanner: commas
+    and angle brackets inside DEFAULT literals (either quote style) are
+    content, not separators."""
+    from hivekudu_handler_spark.sources.sql_ddl import execute
+
+    store.create_table(
+        "t", 'id int, v string DEFAULT "a,b<c", w string DEFAULT \'d,e\'', ["id"]
+    )
+    execute(store, "INSERT INTO t (id) VALUES (1)")
+    assert [tuple(r) for r in store.scan("t").collect()] == [(1, "a,b<c", "d,e")]

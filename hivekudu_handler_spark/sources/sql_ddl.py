@@ -135,6 +135,7 @@ from hivekudu_handler_spark.sources.table_store import (
     NOT_NULL_MSG_PREFIX,
     TableStore,
     TableStoreError,
+    changefeed_segmented,
 )
 
 # module-private alias: every splitter below lexes through the shared
@@ -236,6 +237,21 @@ _CREATE_LIKE_RE = re.compile(
 # a statement/predicate carries a subquery (IN/EXISTS/scalar all spell
 # an opening paren before SELECT)
 _SUBQUERY_RE = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
+
+
+def _has_subquery(text: str) -> bool:
+    """True when ``text`` contains a subquery opener in a CODE region.
+    The raw regex alone would fire on a string literal like
+    ``SET v = '(select x)'`` and pay the register_views() re-plan (and
+    its temp-view clobbering) for a plain literal DML — so literals and
+    comments are masked to spaces first (:func:`_sql_char_states`),
+    consistent with every other fragment parser.  Spaces preserve the
+    match across an inline comment: ``( /*c*/ SELECT`` still counts."""
+    states = _sql_char_states(text)
+    masked = "".join(
+        ch if s == "code" else " " for ch, s in zip(text, states)
+    )
+    return _SUBQUERY_RE.search(masked) is not None
 # the name must be separated from VALUES by whitespace or a column list
 # — 'INSERT INTO docsVALUES (...)' must NOT backtrack-parse as table
 # 'docs' (r17 review)
@@ -471,12 +487,12 @@ def execute(store: TableStore, sql: str) -> DataFrame | None:
         # them — only when a subquery is present (registration re-plans
         # every stored view, and a plain literal DELETE shouldn't pay
         # that or clobber same-named session temp views)
-        if _SUBQUERY_RE.search(m.group("pred")):
+        if _has_subquery(m.group("pred")):
             store.register_views()
         store.delete_where(m.group("name"), m.group("pred"))
         return None
     if verb == "UPDATE":
-        if _SUBQUERY_RE.search(stmt):  # WHERE or SET, as in DELETE
+        if _has_subquery(stmt):  # WHERE or SET, as in DELETE
             store.register_views()
         return _update(store, stmt)
     if verb == "MERGE":
@@ -721,13 +737,22 @@ def split_statements(text: str) -> list[str]:
     separator only in plain code — string literals (either quote style,
     doubling and backslash escapes honored) keep their semicolons, and
     ``--`` line / ``/* */`` bracketed comments are stripped.  Lexing is
-    :func:`_sql_char_states`, the same scanner the rewrite mask uses."""
+    :func:`_sql_char_states`, the same scanner the rewrite mask uses.
+
+    A comment is a TOKEN SEPARATOR in SQL, so each stripped span emits
+    one space — dropping the characters outright merged the neighbors
+    (``SELECT 1/*c*/FROM t`` became ``SELECT 1FROM t``, r17 advice)."""
     states = _sql_char_states(text)
     out: list[str] = []
     token: list[str] = []
+    in_comment = False
     for ch, state in zip(text, states):
         if state == "comment":
+            if not in_comment:
+                token.append(" ")
+                in_comment = True
             continue
+        in_comment = False
         if state == "code" and ch == ";":
             stmt = "".join(token).strip()
             if stmt:
@@ -877,7 +902,14 @@ def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
         if not store.has_table(table):
             return None
         alias = f"__cf_{table.lower()}_v{frm}_v{to}"
-        store.changefeed(table, frm, to).createOrReplaceTempView(alias)
+        # segmented: a deep range (CHANGES BETWEEN 0 AND 5000 on a
+        # long-lived table) is read in 64-commit spans with lineage cut
+        # between them, so plan width is O(range/64) instead of
+        # O(range); small incremental tails delegate to the plain feed
+        # (see changefeed_segmented's docstring for the full shape)
+        changefeed_segmented(store, table, frm, to).createOrReplaceTempView(
+            alias
+        )
         return alias
 
     return _splice_rewrite(stmt, _CHANGES_RE, bind)
@@ -1100,25 +1132,51 @@ def _guard_null_keys(df: DataFrame, key_columns) -> DataFrame:
     )
 
 
+_CASE_RE = re.compile(r"CASE\b", re.IGNORECASE)
+_END_RE = re.compile(r"END\b", re.IGNORECASE)
+
+
 def _split_keyword(text: str, pattern: str) -> list[str]:
     """Split ``text`` on regex ``pattern`` at paren depth 0, outside
-    string literals and comments (:func:`_sql_char_states`),
-    case-insensitively.  Segment 0 is the text before the first
-    occurrence."""
+    string literals and comments (:func:`_sql_char_states`) and outside
+    ``CASE ... END`` expressions, case-insensitively.  Segment 0 is the
+    text before the first occurrence.
+
+    CASE tracking closes the last lexical hole in the MERGE clause
+    splitter (r16/r17 advice): ``CASE WHEN matched THEN ...`` inside an
+    ON condition or SET expression spells ``WHEN`` + an identifier
+    literally named ``matched`` at paren depth 0 — indistinguishable
+    from a clause head by regex alone.  A ``CASE`` expression is a
+    bracketed region exactly like parens, so it gets the same depth
+    counter."""
     pat = re.compile(pattern, re.IGNORECASE)
     states = _sql_char_states(text)
     parts: list[str] = []
     depth = 0
+    case_depth = 0
     last = 0
     i = 0
     while i < len(text):
         if states[i] == "code":
             ch = text[i]
+            word_start = ch.isalpha() and (
+                i == 0
+                or states[i - 1] != "code"
+                or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            )
             if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0:
+            elif word_start and _CASE_RE.match(text, i):
+                case_depth += 1
+                i += 4
+                continue
+            elif word_start and case_depth and _END_RE.match(text, i):
+                case_depth -= 1
+                i += 3
+                continue
+            elif depth == 0 and case_depth == 0:
                 m = pat.match(text, i)
                 if m:
                     parts.append(text[last:i])

@@ -2777,3 +2777,78 @@ class TableStore:
         if bak.exists():
             self._archive_displaced(meta, bak)
         self._commit_version(meta, "insert_overwrite")
+
+
+def changefeed_segmented(
+    store: TableStore,
+    name: str,
+    from_version: int,
+    to_version: int,
+    *,
+    segment_commits: int = 64,
+) -> DataFrame:
+    """:meth:`TableStore.changefeed` with BOUNDED PLAN WIDTH for deep
+    commit histories (r17 verdict).
+
+    ``changefeed`` builds one union term (a per-commit manifest-diff
+    join) per commit in the range — the right DATA scale shape (each
+    term reads only the tablets that commit touched), but the PLAN is
+    O(commits) terms wide, and chained ``unionByName`` analysis cost
+    grows superlinearly with term count on the driver: a consumer
+    tailing ``CHANGES BETWEEN 0 AND 5000`` on a long-lived table would
+    pay minutes of driver-side analysis before any data moves.
+
+    This wrapper slices the range into ``segment_commits``-sized spans
+    and cuts lineage between them with an eager ``localCheckpoint``:
+    each span's O(K)-term plan is analyzed and executed on its own, the
+    materialized span becomes a single leaf, and the final feed is a
+    union over ceil(range/K) leaves — plan width O(range/K), analysis
+    linear in range.  Row set, ordering columns and schema are
+    IDENTICAL to ``changefeed`` (pinned by tests/test_snapshots.py).
+
+    Tradeoff, stated: ``localCheckpoint`` pins each span to executor
+    block storage, so a lost executor invalidates the feed mid-read on
+    a real cluster — acceptable for a CDC tail (re-tail the range; the
+    feed is deterministic for fixed versions).  A durability-critical
+    consumer should instead stage spans to a table (CTAS over
+    ``CHANGES BETWEEN`` per span), which this function deliberately
+    does not do implicitly: writing into the store from a read API
+    would surprise VACUUM accounting.
+
+    Small ranges (``<= segment_commits``) delegate untouched — the SQL
+    surface routes every ``CHANGES BETWEEN`` read here, and the common
+    incremental tail (a few commits) must not pay a checkpoint.
+
+    Segments materialize CONCURRENTLY (a small thread pool submitting
+    independent Spark jobs — the scheduler interleaves them across the
+    executor pool), so on a cluster the deep-tail wall is bounded by
+    total changed data, not segment count x per-job latency.  Measured
+    at a 200-real-commit history on local[8] (SCALE.md "CDC plan
+    width"): raw DataFrame BUILD alone is superlinear in depth (4.9 s
+    at 25 commits -> 44 s at 200, pure driver analysis before any data
+    moves, re-paid on EVERY action), while the segmented feed's
+    driver cost is linear, its first materialization is comparable
+    (~78 s vs raw's 83 s build+count), and every subsequent action
+    re-reads checkpointed blocks in ~0.3 s.
+    """
+    if segment_commits < 1:
+        raise TableStoreError("segment_commits must be >= 1")
+    if to_version - from_version <= segment_commits:
+        return store.changefeed(name, from_version, to_version)
+    spans = [
+        (lo, min(lo + segment_commits, to_version))
+        for lo in range(from_version, to_version, segment_commits)
+    ]
+
+    def _materialize(span: tuple[int, int]) -> DataFrame:
+        lo, hi = span
+        return store.changefeed(name, lo, hi).localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(spans))) as pool:
+        segs = list(pool.map(_materialize, spans))
+    out = segs[0]
+    for seg in segs[1:]:
+        out = out.unionByName(seg)
+    return out

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hivekudu_handler_spark.sources.table_store import (
     TableStore,
     TableStoreError,
+    changefeed_segmented,
 )
 
 
@@ -463,3 +464,91 @@ def test_mvcc_layer_randomized_against_model(spark, store, seed):
         _replay(store.scan_snapshot("t", frm), store.changefeed("t", frm, to))
     )
     assert got == sorted(snap_by_version[to].items()), (frm, to)
+
+
+# ---- changefeed_segmented (bounded plan width over deep histories) --------
+#
+# r17 verdict: changefeed builds one union term per commit, so a deep
+# CHANGES BETWEEN range pays superlinear driver analysis before any
+# data moves (measured: raw build 4.9 s at 25 commits -> 44 s at 200).
+# changefeed_segmented cuts lineage every K commits; these tests pin
+# (a) row-for-row equality with the raw feed, (b) the O(range/K) plan
+# width, (c) bounded wall time tailing a 200-commit history.
+
+def _deep_history(store, spark, n_commits=200):
+    """A deep commit history, cheaply: a handful of real mutations (so
+    the feed carries real insert/delete events) padded with truncates —
+    a truncate commits a version without a Spark job, so 200 commits
+    build in well under a second."""
+    store.create_table("deep", "id int, v string", ["id"])
+    store.insert_values("deep", [(1, "a"), (2, "b")])
+    store.insert_values("deep", [(3, "c")])
+    store.truncate("deep")  # deletes 3 rows
+    while store.current_version("deep") < n_commits:
+        store.truncate("deep")  # version advances, empty diff
+    return store.current_version("deep")
+
+
+def test_changefeed_segmented_equals_raw(spark, store):
+    meta = _mk(store, spark)
+    store.upsert("t", spark.createDataFrame([(2, "X"), (9, "nine")], meta.schema))
+    store.delete_where("t", "id <= 3")
+    store.insert_values("t", [(20, "twenty")])
+    to_v = store.current_version("t")
+    raw = _rows(store.changefeed("t", 0, to_v))
+    for k in (1, 2, 64):
+        assert _rows(changefeed_segmented(store, "t", 0, to_v, segment_commits=k)) == raw
+
+
+def test_changefeed_segmented_bounds_plan_width(spark, store):
+    to_v = _deep_history(store, spark, 200)
+    import time
+
+    t0 = time.time()
+    feed = changefeed_segmented(store, "deep", 0, to_v, segment_commits=32)
+    events = feed.count()
+    wall = time.time() - t0
+    # 3 inserts + 3 deletes from the real commits; truncates of an
+    # already-empty table contribute no events
+    assert events == 6
+    # plan width: ceil(200/32) = 7 checkpointed leaves, not 200 terms
+    import math
+
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == math.ceil(to_v / 32)
+    # First-touch wall is dominated by the irreducible per-commit diff
+    # fixed cost (driver-side manifest reads + scan planning), paid
+    # once; the raw feed re-pays ~44 s of driver analysis on EVERY
+    # action at this depth.  Generous bound for loaded CI boxes.
+    assert wall < 240, f"segmented deep tail took {wall:.1f}s"
+    # steady state: subsequent actions re-read checkpointed blocks
+    t0 = time.time()
+    assert feed.count() == events
+    assert time.time() - t0 < 5
+
+
+def test_changefeed_segmented_error_passthrough(spark, store):
+    _mk(store, spark)
+    with pytest.raises(TableStoreError):
+        changefeed_segmented(store, "t", 2, 1)
+    with pytest.raises(TableStoreError):
+        changefeed_segmented(store, "t", 0, 1, segment_commits=0)
+
+
+def test_sql_changes_between_routes_segmented(spark, store):
+    """The SQL surface's CHANGES BETWEEN rides the segmented feed: a
+    deep range stays readable and correct end-to-end."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    # just past the 64-commit segmentation threshold: the rewrite must
+    # take the segmented path without paying a 200-commit wall here
+    to_v = _deep_history(store, spark, 70)
+    df = run_sql(
+        store,
+        f"SELECT _change_type, count(*) AS n FROM deep "
+        f"CHANGES BETWEEN 0 AND {to_v} GROUP BY _change_type",
+    )
+    assert {(r["_change_type"], r["n"]) for r in df.collect()} == {
+        ("insert", 3),
+        ("delete", 3),
+    }

@@ -380,19 +380,36 @@ def sql_merge_cdc_apply_phases(spark: SparkSession, sf_dir: str):
 def sql_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``TIMESTAMP AS OF`` — wall-clock time travel, the addressing mode
     Kudu's READ_AT_SNAPSHOT natively uses (HybridTime): querying at
-    exactly v1's commit instant resolves to v1 (newest commit <= ts),
-    reproducing the pre-upsert, pre-delete state."""
+    v1's commit instant resolves to v1 (newest commit <= ts),
+    reproducing the pre-upsert, pre-delete state.
+
+    The literal here is a NAIVE ISO datetime, deliberately: a naive
+    literal is interpreted as UTC, matching the session timezone pin —
+    the classic Spark-vs-DuckDB differential trap (DIVERGENCES.md
+    "TIMESTAMP AS OF naive literal"; resolution test
+    ``tests/test_new_surface_r17.py`` exercises the aware-ISO and epoch
+    spellings).  Queried 1 ms after the commit instant because
+    ``datetime`` truncates to microseconds, which could land a hair
+    BEFORE the float commit timestamp — still well inside the v1→v2 gap
+    (the v2 upsert is a full Spark write, orders of magnitude slower)."""
+    from datetime import datetime, timezone
+
     from hivekudu_handler_spark.sources.sql_ddl import sql
 
     store, d = _mutated_store(spark)
     try:
         ts = store.commit_timestamp("snap", 1)
+        naive_iso = (
+            datetime.fromtimestamp(ts + 0.001, tz=timezone.utc)
+            .replace(tzinfo=None)
+            .isoformat()
+        )
         return _materialize(
             spark,
             sql(
                 store,
                 f"SELECT id, name, score FROM snap TIMESTAMP AS OF "
-                f"'{ts}' ORDER BY id",
+                f"'{naive_iso}' ORDER BY id",
             ),
         )
     finally:

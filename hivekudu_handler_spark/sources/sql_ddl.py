@@ -560,7 +560,12 @@ _QUERY_RE = re.compile(
     # EXPLAIN [EXTENDED|FORMATTED|...] <query> rides the query path:
     # Spark SQL executes EXPLAIN natively (one plan-text row), and the
     # version-clause rewrites apply to the inner query first so a user
-    # can EXPLAIN a time-travel or changefeed read
+    # can EXPLAIN a time-travel or changefeed read.  Known fidelity
+    # limit (r17 verdict, documented not fixed): the plan text shows
+    # the bound rewrite views (`__tt_<table>_v<n>` / `__cf_<table>_...`)
+    # where the user wrote `t VERSION AS OF n` etc. — the alias encodes
+    # table and version, so the plan stays readable, and re-aliasing
+    # would mislead when one query joins two versions of the same table
     r"^(SELECT|WITH|VALUES|EXPLAIN)\b",
     re.IGNORECASE,
 )

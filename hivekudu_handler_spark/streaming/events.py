@@ -852,6 +852,23 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def stage_cdc_files(feed: DataFrame, stage_dir: str, n_files: int) -> None:
+    """Stage a changefeed as commit-range files for a file-source
+    stream, with strictly increasing mtimes forced in staged order —
+    ``FileStreamSource`` orders candidates by MODIFICATION TIME, so on
+    a coarse-mtime filesystem two sequentially staged files could
+    otherwise tie and batch out of commit order (r17 advice); 1 s
+    spacing stays distinct even at 1 s mtime granularity."""
+    import glob
+    import os
+    import time
+
+    stage_stream_files(feed, stage_dir, n_files, col="_commit_version")
+    now = time.time()
+    for i, part in enumerate(sorted(glob.glob(f"{stage_dir}/f*/*.parquet"))):
+        os.utime(part, (now + i, now + i))
+
+
 def run_cdc_mirror(
     spark: SparkSession,
     feed: DataFrame,
@@ -860,6 +877,8 @@ def run_cdc_mirror(
     checkpoint_dir: str,
     stage_dir: str,
     n_files: int = 2,
+    *,
+    pre_staged: bool = False,
 ) -> int:
     """Drive a CDC changefeed stream into a managed mirror table through
     ``foreachBatch`` — the streaming leg of the CDC surface
@@ -873,16 +892,27 @@ def run_cdc_mirror(
     winners and deletes in ONE ``store.upsert(..., delete_keys=...)``
     bucket-scoped commit.  Batches must arrive in commit order (CDC
     apply is order-sensitive — a tombstone forgotten is a key
-    resurrected); the availableNow file source preserves the staged
-    commit-range file order, and a production deployment gets the same
-    guarantee from any per-key-ordered log.  Within a batch any number
-    of commits collapse correctly through the per-key window.
+    resurrected).  ``FileStreamSource`` orders candidate files by
+    MODIFICATION TIME, not name, so on a filesystem with coarse mtime
+    granularity two sequentially staged files can tie and batch out of
+    order (r17 advice) — two defenses below: staged files get strictly
+    increasing mtimes forced in staged order (1 s apart, distinct even
+    at 1 s granularity), and the apply loop keeps a commit-version
+    watermark that FAILS LOUDLY on a non-monotone batch instead of
+    silently resurrecting keys.  A production deployment gets the
+    ordering itself from any per-key-ordered log; the watermark
+    tripwire pattern carries over unchanged.  Within a batch any
+    number of commits collapse correctly through the per-key window.
 
     Scale: per micro-batch the work is one window over the batch plus a
     bucket-scoped upsert of the touched keys — the mirror pays for
-    change volume, never table size.  Returns the micro-batch count.
+    change volume, never table size.  (The watermark check is one
+    min/max aggregate over the micro-batch — change volume again; it is
+    a separate tiny action because the DRIVER needs the value to carry
+    across batches.)  Returns the micro-batch count.
     """
-    stage_stream_files(feed, stage_dir, n_files, col="_commit_version")
+    if not pre_staged:
+        stage_cdc_files(feed, stage_dir, n_files)
     stream = (
         spark.readStream.schema(feed.schema)
         .option("maxFilesPerTrigger", 1)
@@ -895,9 +925,22 @@ def run_cdc_mirror(
         F.col("_commit_version").desc()
     )
     n_batches = {"n": 0}
+    applied_through = {"v": None}
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         n_batches["n"] += 1
+        lo, hi = batch.agg(
+            F.min("_commit_version"), F.max("_commit_version")
+        ).first()
+        if lo is None:
+            return  # empty batch: nothing to apply, watermark unchanged
+        if applied_through["v"] is not None and lo <= applied_through["v"]:
+            raise RuntimeError(
+                f"CDC mirror batch out of commit order: batch {batch_id} "
+                f"covers versions [{lo}, {hi}] but versions through "
+                f"{applied_through['v']} were already applied — refusing "
+                "to resurrect keys; re-seed the mirror and re-tail"
+            )
         latest = (
             batch.filter(F.col("_change_type") != "update_before")
             .withColumn("_rn", F.row_number().over(w_latest))
@@ -906,6 +949,7 @@ def run_cdc_mirror(
         dels = latest.filter(F.col("_change_type") == "delete").select(*keys)
         ups = latest.filter(F.col("_change_type") != "delete").select(*cols)
         store.upsert(mirror, ups, delete_keys=dels)
+        applied_through["v"] = hi
 
     q = (
         stream.writeStream.foreachBatch(apply)
@@ -993,3 +1037,47 @@ def stream_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def stream_cdc_mirror_phases(spark: SparkSession, sf_dir: str):
+    """Bench phase-split for ``stream_cdc_mirror`` (r17 verdict item 7):
+    the scenario wall is ~19 s of DML scaffold (4-commit history over
+    ``customer``) plus fixed availableNow engine latency; ``operate()``
+    is the steady-state leg alone — the two commit-ordered micro-batches
+    of CDC apply into the mirror plus the final mirror scan — against a
+    scaffold (source history + staged commit-range files) this function
+    already built, untimed."""
+    import shutil
+
+    from hivekudu_handler_spark.operators.ddl import _materialize
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    store, d = _cdc_mirror_scaffold(spark, sf_dir)
+    try:
+        feed = store.changefeed("acct", 0, store.current_version("acct"))
+        stage_cdc_files(feed, str(d / "stage"), n_files=2)
+    except BaseException:
+        # cleanup() is only handed out on success — reap the half-built
+        # scaffold here or the scratch dir leaks (r9 ADVICE)
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+
+    def operate() -> DataFrame:
+        run_cdc_mirror(
+            spark, feed, store, "acct_mirror",
+            checkpoint_dir=str(d / "ckpt"), stage_dir=str(d / "stage"),
+            n_files=2, pre_staged=True,
+        )
+        return _materialize(
+            spark,
+            store.scan("acct_mirror")
+            .select("c_custkey", "name", "bal")
+            .orderBy("c_custkey"),
+        )
+
+    def cleanup() -> None:
+        shutil.rmtree(d, ignore_errors=True)
+
+    return operate, cleanup

@@ -525,3 +525,74 @@ def test_stream_cdc_mirror_equals_source_across_batches(spark, sf_dir, tmp_path)
     finally:
         import shutil
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_cdc_mirror_forces_distinct_staged_mtimes(spark, sf_dir, tmp_path):
+    """FileStreamSource orders candidates by MODIFICATION TIME; on a
+    coarse-mtime filesystem two sequentially staged files can tie and
+    batch out of order (r17 advice).  run_cdc_mirror forces strictly
+    increasing mtimes in staged (= commit) order."""
+    import glob
+    import os
+
+    from hivekudu_handler_spark.streaming.events import (
+        _cdc_mirror_scaffold,
+        run_cdc_mirror,
+    )
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    store, d = _cdc_mirror_scaffold(spark, sf_dir)
+    try:
+        feed = store.changefeed("acct", 0, store.current_version("acct"))
+        run_cdc_mirror(
+            spark, feed, store, "acct_mirror",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stage_dir=str(tmp_path / "stage"),
+            n_files=4,
+        )
+        parts = sorted(glob.glob(str(tmp_path / "stage" / "f*" / "*.parquet")))
+        mtimes = [os.stat(p).st_mtime for p in parts]
+        assert len(parts) == 4
+        assert mtimes == sorted(mtimes)
+        assert len(set(mtimes)) == len(mtimes), "staged mtimes must be distinct"
+        assert min(b - a for a, b in zip(mtimes, mtimes[1:])) >= 1.0
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_cdc_mirror_rejects_out_of_order_batches(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The commit-version watermark fails LOUDLY on a non-monotone
+    batch instead of silently resurrecting deleted keys: staging the
+    commit ranges in reverse order (late commits in f00) must abort the
+    stream with the named error."""
+    from hivekudu_handler_spark.streaming import events as ev
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    store, d = ev._cdc_mirror_scaffold(spark, sf_dir)
+    orig = ev.stage_stream_files
+    monkeypatch.setattr(
+        ev,
+        "stage_stream_files",
+        lambda *a, **k: orig(*a, reverse_order=True, **k),
+    )
+    try:
+        import pytest
+
+        feed = store.changefeed("acct", 0, store.current_version("acct"))
+        with pytest.raises(Exception, match="out of commit order"):
+            ev.run_cdc_mirror(
+                spark, feed, store, "acct_mirror",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+                stage_dir=str(tmp_path / "stage"),
+                n_files=2,
+            )
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)

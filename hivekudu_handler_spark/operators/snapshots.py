@@ -1095,3 +1095,51 @@ def table_restore_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize(spark, src_store.scan("replica").orderBy("id"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "table_changefeed_deep",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "('delete', 4, 3, 4), ('insert', 4, 1, 2), "
+        "('update_after', 1, 2, 2), ('update_before', 1, 2, 2)) "
+        "AS t(_change_type, n_events, min_commit, max_commit) "
+        "ORDER BY _change_type"
+    ),
+    tags=("table", "snapshot", "cdc"),
+)
+def table_changefeed_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEGMENTED changefeed over a deep commit history (r18;
+    SCALE.md "r18: CDC plan width"): the canonical 3-commit mutation
+    history padded with truncates to 20 commits (the first truncate
+    deletes the 3 surviving keys; the rest commit empty diffs —
+    versions still advance), read via ``changefeed_segmented`` in
+    8-commit spans.  The per-type event counts and commit-version
+    bounds must equal the raw feed's — segmentation changes plan shape
+    (3 checkpointed leaves instead of a 20-term union), never content.
+    """
+    from hivekudu_handler_spark.sources.table_store import (
+        changefeed_segmented,
+    )
+
+    store, d = _mutated_store(spark)
+    try:
+        store.truncate("snap")  # v4: deletes surviving keys {2, 3, 4}
+        while store.current_version("snap") < 20:
+            store.truncate("snap")  # empty diff, version advances
+        feed = changefeed_segmented(
+            store, "snap", 0, store.current_version("snap"),
+            segment_commits=8,
+        )
+        return _materialize(
+            spark,
+            feed.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("_commit_version").alias("min_commit"),
+                F.max("_commit_version").alias("max_commit"),
+            )
+            .orderBy("_change_type"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

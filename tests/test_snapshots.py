@@ -552,3 +552,27 @@ def test_sql_changes_between_routes_segmented(spark, store):
         ("insert", 3),
         ("delete", 3),
     }
+
+
+def test_sql_changefeed_small_range_skips_checkpoint(spark, store):
+    """The common incremental tail (range <= 64 commits) must NOT pay a
+    checkpoint: the rewrite's segmented path delegates to the raw feed,
+    whose plan carries the per-commit diff joins, not LogicalRDD
+    leaves."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    meta = _mk(store, spark)
+    store.upsert("t", spark.createDataFrame([(1, "one")], meta.schema))
+    df = run_sql(
+        store,
+        f"SELECT * FROM t CHANGES BETWEEN 0 AND {store.current_version('t')}",
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the raw per-commit terms are still visible: the update->(before,
+    # after) explode and the parquet tablet scans survive in the plan
+    # (a checkpointed segment would flatten both into a LogicalRDD leaf
+    # — note plain LogicalRDD also appears in the raw feed via the v0
+    # empty-snapshot frame, so its absence is NOT the discriminator)
+    assert "Generate explode" in plan
+    assert "parquet" in plan
+    assert df.count() > 0

@@ -596,3 +596,35 @@ def test_stream_cdc_mirror_rejects_out_of_order_batches(
     finally:
         import shutil
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_cdc_mirror_handles_empty_staged_batch(spark, sf_dir, tmp_path):
+    """A staged commit-range file can be EMPTY (range buckets with no
+    events); the apply loop must skip it without advancing the
+    commit-version watermark or crashing, and still converge the
+    mirror.  n_files=4 over a 4-commit history leaves at least the
+    delete-only tail ranges sparse."""
+    from hivekudu_handler_spark.streaming.events import (
+        _cdc_mirror_scaffold,
+        run_cdc_mirror,
+    )
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    store, d = _cdc_mirror_scaffold(spark, sf_dir)
+    try:
+        feed = store.changefeed("acct", 0, store.current_version("acct"))
+        n = run_cdc_mirror(
+            spark, feed, store, "acct_mirror",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stage_dir=str(tmp_path / "stage"),
+            n_files=4,
+        )
+        assert n == 4  # every staged file triggered a micro-batch
+        src = sorted(tuple(r) for r in store.scan("acct").collect())
+        mir = sorted(tuple(r) for r in store.scan("acct_mirror").collect())
+        assert mir == src and len(src) > 0
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)

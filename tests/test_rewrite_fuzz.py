@@ -114,3 +114,49 @@ def test_version_and_timestamp_clauses_bind_tt_views(n):
         store, "SELECT * FROM snap TIMESTAMP AS OF '5.0'"
     )
     assert "__tt_snap_v1" in out and store.bound == ["__tt_snap_v1"]
+
+
+# ---- MERGE WHEN-clause splitter (CASE-aware since r18) ---------------------
+
+from hivekudu_handler_spark.sources.sql_ddl import _split_keyword
+
+_WHEN_HEAD = r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)"
+
+# ON-condition noise: every known way to spell WHEN/MATCHED where it is
+# NOT a clause head — CASE expressions (nested, parenthesized), string
+# literals, comments, a column literally named `matched`
+_on_noise = st.sampled_from([
+    "t.k = s.k",
+    "t.k = s.k AND CASE WHEN matched THEN 1 ELSE 0 END = 1",
+    "t.k = s.k AND v = 'WHEN MATCHED'",
+    'CASE WHEN CASE WHEN matched THEN 1 END = 1 THEN 2 ELSE 3 END = 2',
+    "t.k = s.k AND (CASE WHEN matched THEN 1 END) = 1",
+    "t.k = s.k -- WHEN MATCHED\n AND 1 = 1",
+    "t.k = s.k /* WHEN NOT MATCHED */ AND matched = matched",
+])
+_clause_bodies = st.lists(
+    st.sampled_from([
+        "MATCHED THEN UPDATE SET v = CASE WHEN matched THEN s.v ELSE t.v END",
+        "NOT MATCHED THEN INSERT VALUES (s.k, 'WHEN MATCHED')",
+        "MATCHED AND t.v = 'when matched' THEN DELETE",
+        "NOT MATCHED AND CASE WHEN matched THEN 1 ELSE 0 END = 0 "
+        "THEN INSERT VALUES (s.k, s.v)",
+    ]),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(on=_on_noise, bodies=_clause_bodies)
+@settings(max_examples=300, deadline=None)
+def test_merge_when_splitter_splits_exactly_at_clause_heads(on, bodies):
+    """The splitter fires on every real clause head and ONLY there: the
+    segment count is 1 + #clauses, segment 0 is the ON condition, and
+    each clause body survives byte-for-byte (CASE...END interiors,
+    literals and comments included)."""
+    text = on + " " + " ".join("WHEN " + b for b in bodies)
+    segs = _split_keyword(text, _WHEN_HEAD)
+    assert len(segs) == 1 + len(bodies), segs
+    assert segs[0].strip() == on.strip()
+    for seg, body in zip(segs[1:], bodies):
+        assert seg.strip() == body.strip()

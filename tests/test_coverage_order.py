@@ -315,3 +315,49 @@ def test_per_key_hash_granularity():
 
     orc = hashes({agg_rel: edit_oracle})
     assert orc["agg_count_star"] != base["agg_count_star"]
+
+
+def test_fn_level_import_following_flag():
+    """r18: the walker can follow FUNCTION-level package imports (the
+    r19 flip).  Three pins:
+
+    1. flag OFF (the default) produces byte-identical hashes to the
+       historical algorithm — the r18 window must not shift;
+    2. flag ON, an edit inside sql_ddl.execute moves exactly the keys
+       that bind it via a function-level import (sql_describe_history),
+       not bystanders in the same module (table_history);
+    3. flag OFF, the same edit moves nothing — the documented blind
+       spot this flag exists to close.
+    """
+    import os
+
+    from tools.source_hashes import _ClosureWalker, _fs_reader
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    read = _fs_reader(root)
+    rel = "hivekudu_handler_spark/operators/snapshots.py"
+    dep = "hivekudu_handler_spark/sources/sql_ddl.py"
+    target = b'if verb == "TRUNCATE":'  # inside execute()'s body
+    assert target in read(dep)
+
+    def hashes(flag, patch=False):
+        def pread(r):
+            data = read(r)
+            if patch and data is not None and r == dep:
+                return data.replace(target, b'if verb == "TRUNCATED":', 1)
+            return data
+
+        w = _ClosureWalker(pread, follow_fn_imports=flag)
+        return {
+            k: w.closure_hash(rel, f) for k, f in w.query_keys(rel).items()
+        }
+
+    off_base, off_edit = hashes(False), hashes(False, patch=True)
+    on_base, on_edit = hashes(True), hashes(True, patch=True)
+
+    # 1. default identical regardless of the new code path existing
+    assert off_base == off_edit  # blind spot: edit invisible (pin 3)
+    # 2. flag ON sees through the function-level import ...
+    assert on_base["sql_describe_history"] != on_edit["sql_describe_history"]
+    # ... without staling same-module bystanders
+    assert on_base["table_history"] == on_edit["table_history"]

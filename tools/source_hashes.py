@@ -145,8 +145,23 @@ class _ClosureWalker:
     when one unrelated line is added (r7 verdict: 159/209 keys stale,
     almost all collateral)."""
 
-    def __init__(self, read_bytes):
+    def __init__(self, read_bytes, follow_fn_imports: bool = False):
+        # follow_fn_imports (r18, OFF by default — flip scheduled r19):
+        # the walker historically followed MODULE-level imports only, so
+        # a key binding its dependency inside the function body (`def
+        # key(): from pkg.sources.sql_ddl import sql; ...` — most sql_*
+        # scenario keys) did not include that module in its closure:
+        # r18's split_statements/_split_keyword/_merge edits staled ZERO
+        # keys despite changing behavior those keys exercise.  Enabling
+        # this walks Import/ImportFrom nodes inside each def body with
+        # the same per-name/module-hash rules as module-level imports.
+        # Default stays OFF because flipping changes most sql-surface
+        # keys' hashes on BOTH sides (backfill recomputes history under
+        # the same algorithm) and the resulting tier-2 re-record flood
+        # must be scheduled around the certification window (BENCH_NOTES
+        # "r18: certification-window discipline").
         self.read = read_bytes
+        self.follow_fn_imports = follow_fn_imports
         self._mods: dict[str, dict | None] = {}
         self._mod_hash: dict[str, str | None] = {}
 
@@ -213,6 +228,27 @@ class _ClosureWalker:
             self._mod_hash[dotted] = h
         return self._mod_hash[dotted]
 
+    def _follow_from_import(self, mod, attr, stack, mod_deps) -> None:
+        """``from pkg.mod import attr`` — recurse per-name when the
+        target module defines ``attr`` at top level, else fall back to
+        the module-closure hash (submodule or dynamically-defined)."""
+        for cand in self._module_rel(mod):
+            tinfo = self.info(cand)
+            if tinfo is None:
+                continue
+            tb = tinfo["binds"].get(attr)
+            if tb is not None and tb[0] == "def":
+                stack.append((cand, attr))
+            else:
+                h = self.module_hash(f"{mod}.{attr}") or self.module_hash(mod)
+                if h is not None:
+                    mod_deps[f"{mod}.{attr}"] = h
+            break
+        else:
+            h = self.module_hash(f"{mod}.{attr}") or self.module_hash(mod)
+            if h is not None:
+                mod_deps[f"{mod}.{attr}"] = h
+
     # -- closure -------------------------------------------------------
     def closure_hash(self, rel: str, name: str) -> str | None:
         """Hash of the cross-module source closure of top-level ``name``
@@ -244,29 +280,31 @@ class _ClosureWalker:
                 for n in ast.walk(node):
                     if isinstance(n, ast.Name):
                         stack.append((mrel, n.id))
+                    elif self.follow_fn_imports and isinstance(
+                        n, ast.ImportFrom
+                    ):
+                        # function-level `from pkg.mod import name`: the
+                        # statement text is already inside this def's
+                        # segment (external imports need nothing more);
+                        # package-internal targets recurse exactly like
+                        # module-level import bindings
+                        fmod = n.module or ""
+                        if fmod.startswith(_PKG):
+                            for a in n.names:
+                                self._follow_from_import(
+                                    fmod, a.name, stack, mod_deps
+                                )
+                    elif self.follow_fn_imports and isinstance(n, ast.Import):
+                        for a in n.names:
+                            if a.name.startswith(_PKG):
+                                h = self.module_hash(a.name)
+                                if h is not None:
+                                    mod_deps[a.name] = h
                 continue
             # import binding
             _, mod, attr, imp_stmt = bound
             if attr is not None and mod.startswith(_PKG):
-                # `from pkg.mod import attr` — recurse per-name when the
-                # target module defines attr at top level
-                for cand in self._module_rel(mod):
-                    tinfo = self.info(cand)
-                    if tinfo is None:
-                        continue
-                    tb = tinfo["binds"].get(attr)
-                    if tb is not None and tb[0] == "def":
-                        stack.append((cand, attr))
-                    else:
-                        # attr is a submodule or dynamic: module-level
-                        h = self.module_hash(f"{mod}.{attr}") or self.module_hash(mod)
-                        if h is not None:
-                            mod_deps[f"{mod}.{attr}"] = h
-                    break
-                else:
-                    h = self.module_hash(f"{mod}.{attr}") or self.module_hash(mod)
-                    if h is not None:
-                        mod_deps[f"{mod}.{attr}"] = h
+                self._follow_from_import(mod, attr, stack, mod_deps)
             elif attr is None and mod.startswith(_PKG):
                 # whole-module import: which attrs are used is not
                 # statically tracked — whole-module hash

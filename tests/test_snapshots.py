@@ -464,6 +464,13 @@ def test_mvcc_layer_randomized_against_model(spark, store, seed):
         _replay(store.scan_snapshot("t", frm), store.changefeed("t", frm, to))
     )
     assert got == sorted(snap_by_version[to].items()), (frm, to)
+    # 4. the segmented feed is row-identical to the raw feed on this
+    #    RANDOM history (K=2 forces real segmentation on any range > 2
+    #    — the fixed-history equality test can't cover arbitrary
+    #    mutation interleavings)
+    assert _rows(
+        changefeed_segmented(store, "t", frm, to, segment_commits=2)
+    ) == _rows(store.changefeed("t", frm, to)), (frm, to)
 
 
 # ---- changefeed_segmented (bounded plan width over deep histories) --------
@@ -576,3 +583,16 @@ def test_sql_changefeed_small_range_skips_checkpoint(spark, store):
     assert "Generate explode" in plan
     assert "parquet" in plan
     assert df.count() > 0
+
+
+def test_changefeed_segmented_surfaces_vacuumed_manifest_error(spark, store):
+    """A vacuumed-away manifest inside the range must surface as the
+    store's named error even though the failing span materializes on a
+    POOL THREAD — the pool must propagate, not swallow."""
+    meta = _mk(store, spark)
+    for i in range(10, 18):
+        store.insert_values("t", [(i, f"v{i}")])
+    store.vacuum("t", keep_last=2)  # drops manifests before current-2
+    to_v = store.current_version("t")
+    with pytest.raises(TableStoreError):
+        changefeed_segmented(store, "t", 0, to_v, segment_commits=2).count()

@@ -318,16 +318,17 @@ def test_per_key_hash_granularity():
 
 
 def test_fn_level_import_following_flag():
-    """r18: the walker can follow FUNCTION-level package imports (the
-    r19 flip).  Three pins:
+    """r18 landed the flag; r19 flipped the DEFAULT to ON (with a full
+    historical backfill under the same algorithm).  Three pins:
 
-    1. flag OFF (the default) produces byte-identical hashes to the
-       historical algorithm — the r18 window must not shift;
-    2. flag ON, an edit inside sql_ddl.execute moves exactly the keys
-       that bind it via a function-level import (sql_describe_history),
-       not bystanders in the same module (table_history);
-    3. flag OFF, the same edit moves nothing — the documented blind
-       spot this flag exists to close.
+    1. explicit flag OFF still reproduces the historical (pre-r19)
+       algorithm — the backfill's reference semantics stay available;
+    2. flag ON (now the default), an edit inside sql_ddl.execute moves
+       exactly the keys that bind it via a function-level import
+       (sql_describe_history), not bystanders in the same module
+       (table_history);
+    3. flag OFF, the same edit moves nothing — the blind spot the
+       default flip closed.
     """
     import os
 
@@ -355,8 +356,10 @@ def test_fn_level_import_following_flag():
     off_base, off_edit = hashes(False), hashes(False, patch=True)
     on_base, on_edit = hashes(True), hashes(True, patch=True)
 
-    # 1. default identical regardless of the new code path existing
+    # 1. historical algorithm (explicit OFF) stays blind to the edit
     assert off_base == off_edit  # blind spot: edit invisible (pin 3)
+    # ... and the constructor default IS the ON behavior since r19
+    assert _ClosureWalker(read).follow_fn_imports is True
     # 2. flag ON sees through the function-level import ...
     assert on_base["sql_describe_history"] != on_edit["sql_describe_history"]
     # ... without staling same-module bystanders

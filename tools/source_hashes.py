@@ -145,21 +145,22 @@ class _ClosureWalker:
     when one unrelated line is added (r7 verdict: 159/209 keys stale,
     almost all collateral)."""
 
-    def __init__(self, read_bytes, follow_fn_imports: bool = False):
-        # follow_fn_imports (r18, OFF by default — flip scheduled r19):
-        # the walker historically followed MODULE-level imports only, so
-        # a key binding its dependency inside the function body (`def
-        # key(): from pkg.sources.sql_ddl import sql; ...` — most sql_*
-        # scenario keys) did not include that module in its closure:
-        # r18's split_statements/_split_keyword/_merge edits staled ZERO
-        # keys despite changing behavior those keys exercise.  Enabling
-        # this walks Import/ImportFrom nodes inside each def body with
-        # the same per-name/module-hash rules as module-level imports.
-        # Default stays OFF because flipping changes most sql-surface
-        # keys' hashes on BOTH sides (backfill recomputes history under
-        # the same algorithm) and the resulting tier-2 re-record flood
-        # must be scheduled around the certification window (BENCH_NOTES
-        # "r18: certification-window discipline").
+    def __init__(self, read_bytes, follow_fn_imports: bool = True):
+        # follow_fn_imports (landed r18 behind a flag, DEFAULT ON since
+        # r19): the walker historically followed MODULE-level imports
+        # only, so a key binding its dependency inside the function body
+        # (`def key(): from pkg.sources.sql_ddl import sql; ...` — most
+        # sql_* scenario keys) did not include that module in its
+        # closure: r18's split_statements/_split_keyword/_merge edits
+        # staled ZERO keys despite changing behavior those keys
+        # exercise.  ON walks Import/ImportFrom nodes inside each def
+        # body with the same per-name/module-hash rules as module-level
+        # imports.  The r19 flip restamped ALL historical records via
+        # ``backfill`` (same algorithm on both sides of the staleness
+        # comparison), so post-flip staleness = genuine drift since each
+        # record's round, not the mechanical hash change of the flip
+        # itself.  ``follow_fn_imports=False`` remains available for the
+        # historical-algorithm pin in tests/test_coverage_order.py.
         self.read = read_bytes
         self.follow_fn_imports = follow_fn_imports
         self._mods: dict[str, dict | None] = {}

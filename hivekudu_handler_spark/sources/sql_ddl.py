@@ -1054,7 +1054,7 @@ def _find_boundary_then(text: str) -> int:
             depth -= 1
         elif depth == 0:
             m = word.match(text, i)
-            if m:
+            if m and not _dot_qualified(text, states, i, m.end()):
                 kw = m.group(1).upper()
                 if kw == "CASE":
                     case_depth += 1
@@ -1141,6 +1141,47 @@ _CASE_RE = re.compile(r"CASE\b", re.IGNORECASE)
 _END_RE = re.compile(r"END\b", re.IGNORECASE)
 
 
+def _dot_qualified(text: str, states: list[str], start: int, end: int) -> bool:
+    """True when the word at ``[start, end)`` is part of a dot-qualified
+    reference — the nearest non-space character on EITHER side is a
+    ``.`` (``s.case``, ``t.end``, ``end.col``; SQL allows whitespace
+    around the dot).  CASE/END are non-reserved words in Spark SQL, so
+    ``s.case`` is a column reference, not a CASE-expression opener — a
+    depth counter that treats it as one swallows every later clause
+    head (r18 advice).  Backtick-quoted spellings never get here (the
+    shared lexer marks them ``'ident'``).
+
+    A preceding dot only qualifies when what precedes IT can be a
+    reference: ``THEN 1. END`` is a trailing-dot NUMERIC literal before
+    a real END (identifiers can't be all digits), so the dot there must
+    not suppress the bracket."""
+    j = start - 1
+    while j >= 0 and (states[j] != "code" or text[j].isspace()):
+        j -= 1
+    if j >= 0 and text[j] == ".":
+        t = j - 1
+        while t >= 0 and states[t] == "code" and text[t].isspace():
+            t -= 1
+        tok_end = t + 1
+        while t >= 0 and states[t] == "code" and (
+            text[t].isalnum() or text[t] == "_"
+        ):
+            t -= 1
+        tok = text[t + 1 : tok_end]
+        if t >= 0 and states[t] == "ident":
+            return True  # `quoted`.case — backtick-qualified reference
+        if tok and not tok.isdigit():
+            return True  # alias.case — identifiers can't be all-digits
+        if not tok and t >= 0 and text[t] == ")":
+            return True  # (struct_expr).case — field access
+        # trailing-dot numeric literal (or start of text): not a
+        # qualifier — fall through to the following-dot check
+    k = end
+    while k < len(text) and (states[k] != "code" or text[k].isspace()):
+        k += 1
+    return k < len(text) and text[k] == "."
+
+
 def _split_keyword(text: str, pattern: str) -> list[str]:
     """Split ``text`` on regex ``pattern`` at paren depth 0, outside
     string literals and comments (:func:`_sql_char_states`) and outside
@@ -1173,17 +1214,26 @@ def _split_keyword(text: str, pattern: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif word_start and _CASE_RE.match(text, i):
+            elif (
+                word_start
+                and _CASE_RE.match(text, i)
+                and not _dot_qualified(text, states, i, i + 4)
+            ):
                 case_depth += 1
                 i += 4
                 continue
-            elif word_start and case_depth and _END_RE.match(text, i):
+            elif (
+                word_start
+                and case_depth
+                and _END_RE.match(text, i)
+                and not _dot_qualified(text, states, i, i + 3)
+            ):
                 case_depth -= 1
                 i += 3
                 continue
             elif depth == 0 and case_depth == 0:
                 m = pat.match(text, i)
-                if m:
+                if m and not _dot_qualified(text, states, i, m.end()):
                     parts.append(text[last:i])
                     last = m.end()
                     i = m.end()

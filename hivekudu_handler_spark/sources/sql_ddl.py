@@ -902,19 +902,32 @@ def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
     of a nonexistent table surfaces as Spark's unresolved-relation
     error, not a TableStoreError."""
 
+    explain = bool(re.match(r"\s*EXPLAIN\b", stmt, re.IGNORECASE))
+
     def bind(m: re.Match):
         table, frm, to = m.group(1), int(m.group(2)), int(m.group(3))
         if not store.has_table(table):
             return None
         alias = f"__cf_{table.lower()}_v{frm}_v{to}"
-        # segmented: a deep range (CHANGES BETWEEN 0 AND 5000 on a
-        # long-lived table) is read in 64-commit spans with lineage cut
-        # between them, so plan width is O(range/64) instead of
-        # O(range); small incremental tails delegate to the plain feed
-        # (see changefeed_segmented's docstring for the full shape)
-        changefeed_segmented(store, table, frm, to).createOrReplaceTempView(
-            alias
-        )
+        if explain:
+            # EXPLAIN must not run jobs: the segmented feed eagerly
+            # materializes each span (localCheckpoint) at BIND time, so
+            # explaining a deep range would pay the full read before any
+            # plan text is shown (r18 advice).  Bind the plain lazy feed
+            # instead — the plan shown is the true unsegmented logical
+            # shape; a deep range pays driver-side analysis only.
+            feed = store.changefeed(table, frm, to)
+        else:
+            # segmented: a deep range (CHANGES BETWEEN 0 AND 5000 on a
+            # long-lived table) is read in 64-commit spans with lineage
+            # cut between them, so plan width is O(range/64) instead of
+            # O(range); small incremental tails delegate to the plain
+            # feed (see changefeed_segmented's docstring).  Re-issued
+            # statements over the same range serve the cached
+            # materialization (invalidated on DROP/VACUUM) instead of
+            # re-paying the spans' first-touch cost.
+            feed = changefeed_segmented(store, table, frm, to)
+        feed.createOrReplaceTempView(alias)
         return alias
 
     return _splice_rewrite(stmt, _CHANGES_RE, bind)

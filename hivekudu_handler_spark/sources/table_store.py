@@ -77,7 +77,7 @@ import time
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -189,6 +189,12 @@ class TableStore:
         # misleadingly named range_partitions through r5; it always was
         # the hash fan-out — real range partitioning is range_splits)
         self.num_buckets = num_buckets
+        # materialized segmented-changefeed reads, keyed
+        # (table, from_version, to_version, segment_commits) — a fixed
+        # committed range is immutable, so re-issued deep CHANGES
+        # BETWEEN reads serve the checkpointed blocks (see
+        # changefeed_segmented); entries drop on DROP TABLE and VACUUM
+        self._segfeed_cache: dict[tuple, DataFrame] = {}
 
     # ------------------------------------------------------------------ paths
     @staticmethod
@@ -486,6 +492,18 @@ class TableStore:
         # a stale session temp view would keep serving the dropped table's
         # last file listing
         self.spark.catalog.dropTempView(self._norm_name(name))
+        self._invalidate_segfeeds(name)
+
+    def _invalidate_segfeeds(self, name: str) -> None:
+        """Drop (and best-effort unpersist) cached segmented-changefeed
+        reads of ``name`` — called on DROP TABLE and VACUUM."""
+        norm = self._norm_name(name)
+        for key in [k for k in self._segfeed_cache if k[0] == norm]:
+            df = self._segfeed_cache.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped / blocks already freed
 
     def table_meta(self, name: str) -> TableMeta:
         if not self._meta_path(name).exists():
@@ -883,13 +901,26 @@ class TableStore:
             self._stats_path(meta.name).unlink(missing_ok=True)
         versions = self._version_numbers(meta.name)
         nxt = (versions[-1] + 1) if versions else 0
+        # commit wall-clock (epoch seconds): what TIMESTAMP AS OF
+        # resolves against — Kudu's scans are themselves
+        # timestamp-addressed (READ_AT_SNAPSHOT at a HybridTime).
+        # Stamped as max(previous commit ts, now): version_at's
+        # newest-first early exit (and the meaning of "newest version at
+        # or before ts") requires commit timestamps non-decreasing in
+        # version order, which a backwards wall-clock step (NTP
+        # correction, VM migration) would otherwise break.  Kudu solves
+        # the same problem with HybridTime's logical component; for a
+        # file-manifest log the clamp is the whole fix (r17 advice,
+        # shipped r19).
+        ts = time.time()
+        if versions:
+            prev_ts = self._read_manifest(meta.name, versions[-1]).get("ts")
+            if prev_ts is not None:
+                ts = max(ts, float(prev_ts))
         manifest = {
             "version": nxt,
             "op": op,
-            # commit wall-clock (epoch seconds): what TIMESTAMP AS OF
-            # resolves against — Kudu's scans are themselves
-            # timestamp-addressed (READ_AT_SNAPSHOT at a HybridTime)
-            "ts": time.time(),
+            "ts": ts,
             "files": self._list_data_files(meta.name),
         }
         vdir = self._versions_dir(meta.name)
@@ -1292,6 +1323,7 @@ class TableStore:
             raise TableStoreError("external tables have no snapshots")
         if keep_last < 0:
             raise TableStoreError("keep_last must be >= 0")
+        self._invalidate_segfeeds(meta.name)
         versions = self._version_numbers(meta.name)
         if not versions:
             return {"dropped_versions": [], "deleted_files": 0}
@@ -2779,6 +2811,182 @@ class TableStore:
         self._commit_version(meta, "insert_overwrite")
 
 
+def _segment_runs(
+    store: TableStore, name: str, lo: int, hi: int
+) -> dict[tuple[int, int], list[str]]:
+    """Per-file contiguous presence runs across manifests ``lo..hi``:
+    ``{(first_v, last_v): [data-relative paths]}``.
+
+    Data files are immutable and enter/leave a manifest exactly once
+    (rewrites mint new part names), so a file's presence across the
+    segment is one contiguous version interval — the grouping below is
+    nevertheless robust to gaps.  Files present in EVERY version of the
+    segment are EXCLUDED: an immutable file spanning the whole range
+    means none of its keys changed state inside it (a key lives in
+    exactly one tablet file per version), the same cancellation
+    :meth:`TableStore.diff` applies to the two-manifest common set —
+    extended here to ``hi - lo`` manifests at once."""
+    present: dict[str, list[int]] = {}
+    for v in range(lo, hi + 1):
+        for rel in store._read_manifest(name, v)["files"]:
+            present.setdefault(rel, []).append(v)
+    groups: dict[tuple[int, int], list[str]] = {}
+    for rel in sorted(present):
+        vs = present[rel]
+        start = prev = vs[0]
+        for v in vs[1:] + [None]:  # sentinel flushes the last run
+            if v is not None and v == prev + 1:
+                prev = v
+                continue
+            if (start, prev) != (lo, hi):
+                groups.setdefault((start, prev), []).append(rel)
+            if v is not None:
+                start = prev = v
+    return groups
+
+
+def _changefeed_batched(
+    store: TableStore, name: str, lo: int, hi: int
+) -> DataFrame:
+    """One segment of the change feed as a SINGLE window pass — the
+    batched alternative to :meth:`TableStore.changefeed`'s one
+    manifest-diff join per commit.
+
+    Motivation (measured, BENCH_NOTES r18): each per-commit diff join
+    carries ~0.4-0.75 s of fixed scheduling/shuffle overhead, so a
+    400-commit tail pays 400 tiny joins regardless of how the plan is
+    segmented.  Here each changed tablet file is read ONCE, tagged with
+    its presence interval ``[_first_v, _last_v]`` from the manifests
+    (:func:`_segment_runs`), and the whole segment's events fall out of
+    one ``lag``/``lead`` window over the key — one shuffle per segment
+    instead of K joins.
+
+    Event reconstruction: a key's history inside the segment is a set
+    of disjoint presence runs.  Comparing each run with its
+    predecessor/successor over the key window yields exactly the
+    per-commit diff events:
+
+    * run starts at ``a > lo`` with the previous run ending at ``a-1``
+      and different values → ``update_before``/``update_after`` @ a;
+      identical values → no event (pure file rewrite — the same
+      cancellation diff's unchanged-filter applies);
+    * run starts at ``a > lo`` with no adjacent predecessor →
+      ``insert`` @ a;
+    * run ends at ``b < hi`` with no adjacent successor → ``delete``
+      @ b+1 carrying the departing values (diff's delete rows likewise
+      carry OLD values).
+
+    Row set, column names and per-event semantics are IDENTICAL to
+    ``changefeed`` over the same range (pinned by the fixed-history
+    equality test and the randomized MVCC model differential in
+    tests/test_snapshots.py)."""
+    meta = store.table_meta(name)
+    keys = meta.key_columns
+    vals = [f.name for f in meta.schema.fields if f.name not in keys]
+    logical = [f.name for f in meta.schema.fields]
+    out_schema = T.StructType(
+        [*meta.schema.fields]
+        + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_commit_version", T.IntegerType(), False),
+        ]
+    )
+    groups = _segment_runs(store, meta.name, lo, hi)
+    if not groups:
+        return store.spark.createDataFrame([], out_schema)
+    parts = []
+    for (a, b), rels in sorted(groups.items()):
+        parts.append(
+            store._snapshot_df(meta, b, rels)
+            .select(*logical)
+            .withColumn("_first_v", F.lit(a).cast("int"))
+            .withColumn("_last_v", F.lit(b).cast("int"))
+        )
+    runs = parts[0]
+    for p in parts[1:]:
+        runs = runs.unionByName(p)
+    # window columns are materialized into the row BEFORE the event
+    # array is built: lag/lead must sit directly under a Window
+    # operator — nesting them inside array/when under the explode
+    # Project is an unsupported-expression analysis error
+    kw = Window.partitionBy(*keys).orderBy("_first_v")
+    runs = runs.withColumn("_prev_last", F.lag("_last_v").over(kw)).withColumn(
+        "_next_first", F.lead("_first_v").over(kw)
+    )
+    prev_last, next_first = F.col("_prev_last"), F.col("_next_first")
+    continuation = prev_last.isNotNull() & (
+        prev_last == F.col("_first_v") - F.lit(1)
+    )
+    gap_after = next_first.isNull() | (
+        next_first > F.col("_last_v") + F.lit(1)
+    )
+    arriving = F.col("_first_v") > F.lit(lo)
+    departing = F.col("_last_v") < F.lit(hi)
+    if vals:
+        img = F.struct(*[F.col(c).alias(c) for c in vals])
+        runs = runs.withColumn("_img", img).withColumn(
+            "_prev_img", F.lag("_img").over(kw)
+        )
+        # same per-column null-safe rule as diff's unchanged-filter
+        changed = F.lit(False)
+        for c in vals:
+            changed = changed | ~F.col(f"_prev_img.{c}").eqNullSafe(
+                F.col(f"_img.{c}")
+            )
+        ev = lambda tag, im, v: F.struct(  # noqa: E731
+            F.lit(tag).alias("t"), im.alias("img"), v.cast("int").alias("v")
+        )
+        at_first = F.col("_first_v")
+        events = F.array(
+            F.when(
+                arriving & continuation & changed,
+                ev("update_before", F.col("_prev_img"), at_first),
+            ),
+            F.when(
+                arriving & continuation & changed,
+                ev("update_after", F.col("_img"), at_first),
+            ),
+            F.when(
+                arriving & ~continuation,
+                ev("insert", F.col("_img"), at_first),
+            ),
+            F.when(
+                departing & gap_after,
+                ev("delete", F.col("_img"), F.col("_last_v") + F.lit(1)),
+            ),
+        )
+        out = runs.select(
+            *keys, F.explode(F.filter(events, lambda e: e.isNotNull())).alias("_e")
+        ).select(
+            *keys,
+            *[F.col(f"_e.img.{c}").alias(c) for c in vals],
+            F.col("_e.t").alias("_change_type"),
+            F.col("_e.v").alias("_commit_version"),
+        )
+    else:
+        # key-only table: updates cannot exist (nothing to change), so
+        # the feed is inserts at non-adjacent arrivals and deletes at
+        # non-adjacent departures
+        ev = lambda tag, v: F.struct(  # noqa: E731
+            F.lit(tag).alias("t"), v.cast("int").alias("v")
+        )
+        events = F.array(
+            F.when(arriving & ~continuation, ev("insert", F.col("_first_v"))),
+            F.when(
+                departing & gap_after,
+                ev("delete", F.col("_last_v") + F.lit(1)),
+            ),
+        )
+        out = runs.select(
+            *keys, F.explode(F.filter(events, lambda e: e.isNotNull())).alias("_e")
+        ).select(
+            *keys,
+            F.col("_e.t").alias("_change_type"),
+            F.col("_e.v").alias("_commit_version"),
+        )
+    return out.select(*logical, "_change_type", "_commit_version")
+
+
 def changefeed_segmented(
     store: TableStore,
     name: str,
@@ -2835,6 +3043,23 @@ def changefeed_segmented(
         raise TableStoreError("segment_commits must be >= 1")
     if to_version - from_version <= segment_commits:
         return store.changefeed(name, from_version, to_version)
+    # the feed for a FIXED, committed version range is immutable (later
+    # commits extend history, never rewrite it) and each span below is
+    # materialized by the checkpoint — so a re-issued read of the same
+    # deep range (the shape of a re-run CHANGES BETWEEN statement) can
+    # serve the already-pinned blocks instead of re-paying the spans'
+    # first-touch cost.  Invalidated on DROP TABLE (a recreated table
+    # must not serve its predecessor's feed) and VACUUM (a range whose
+    # manifests are gone must fail loudly like the raw feed, not serve
+    # silently from cache).
+    cache_key = (store._norm_name(name), from_version, to_version, segment_commits)
+    cached = store._segfeed_cache.get(cache_key)
+    if cached is not None:
+        return cached
+    # surface missing/vacuumed endpoints before any span job runs
+    norm = store._norm_name(name)
+    store._read_manifest(norm, from_version)
+    store._read_manifest(norm, to_version)
     spans = [
         (lo, min(lo + segment_commits, to_version))
         for lo in range(from_version, to_version, segment_commits)
@@ -2842,7 +3067,13 @@ def changefeed_segmented(
 
     def _materialize(span: tuple[int, int]) -> DataFrame:
         lo, hi = span
-        return store.changefeed(name, lo, hi).localCheckpoint(eager=True)
+        # batched: the span's events come from ONE window pass over
+        # run-tagged tablet reads (see _changefeed_batched) — the
+        # per-commit manifest-diff joins were the measured fixed cost
+        # of a deep first touch (~0.4-0.75 s/commit, BENCH_NOTES r18)
+        return _changefeed_batched(store, name, lo, hi).localCheckpoint(
+            eager=True
+        )
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -2851,4 +3082,5 @@ def changefeed_segmented(
     out = segs[0]
     for seg in segs[1:]:
         out = out.unionByName(seg)
+    store._segfeed_cache[cache_key] = out
     return out

@@ -518,20 +518,33 @@ def test_changefeed_segmented_bounds_plan_width(spark, store):
     # 3 inserts + 3 deletes from the real commits; truncates of an
     # already-empty table contribute no events
     assert events == 6
-    # plan width: ceil(200/32) = 7 checkpointed leaves, not 200 terms
+    # plan width: at most ceil(200/32) = 7 checkpointed span leaves,
+    # not 200 diff-join terms.  Counted STRUCTURALLY (collectLeaves on
+    # the optimized plan) as an upper bound — string-matching the plan
+    # text for "LogicalRDD" was brittle across Spark's leaf rendering
+    # (r18 advice).
     import math
 
-    plan = feed._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("LogicalRDD") == math.ceil(to_v / 32)
-    # First-touch wall is dominated by the irreducible per-commit diff
-    # fixed cost (driver-side manifest reads + scan planning), paid
-    # once; the raw feed re-pays ~44 s of driver analysis on EVERY
-    # action at this depth.  Generous bound for loaded CI boxes.
-    assert wall < 240, f"segmented deep tail took {wall:.1f}s"
+    n_leaves = (
+        feed._jdf.queryExecution().optimizedPlan().collectLeaves().size()
+    )
+    assert n_leaves <= math.ceil(to_v / 32)
+    # Timing claims are load-gated (r18 advice: hard walls flake on a
+    # contended box): asserted only when the box is quieter than its
+    # core count at launch.
+    import os
+
+    quiet = os.getloadavg()[0] < (os.cpu_count() or 8)
+    if quiet:
+        # First-touch wall is paid once; the raw feed re-pays ~44 s of
+        # driver analysis on EVERY action at this depth.
+        assert wall < 240, f"segmented deep tail took {wall:.1f}s"
     # steady state: subsequent actions re-read checkpointed blocks
     t0 = time.time()
     assert feed.count() == events
-    assert time.time() - t0 < 5
+    steady = time.time() - t0
+    if quiet:
+        assert steady < 5, f"steady-state re-read took {steady:.1f}s"
 
 
 def test_changefeed_segmented_error_passthrough(spark, store):

@@ -357,6 +357,34 @@ def main() -> None:
         line = _slim_line(*digits)
         if len(line) <= 1900:
             break
+    else:
+        # terminal fallback (r18 advice): if even (1,1) digits overflow
+        # (the suite kept growing), degrade structurally rather than
+        # print an over-window line that reverts the record to
+        # parsed:null — drop the load array first, then truncate the
+        # per-query map to the slowest entries that fit (headline value
+        # and sf always survive; the FULL record is in BENCH_LOCAL.json
+        # either way).
+        print(
+            f"bench: stdout line {len(line)} chars exceeds the driver's "
+            "~2000-char window even at minimum rounding — degrading "
+            "structurally (see BENCH_LOCAL.json for the full record)",
+            file=sys.stderr,
+            flush=True,
+        )
+        slim = json.loads(line)
+        slim.pop("load", None)
+        line = json.dumps(slim, separators=(",", ":"))
+        by_cost = sorted(
+            timings.items(), key=lambda kv: kv[1], reverse=True
+        )
+        while len(line) > 1900 and by_cost:
+            by_cost.pop()  # drop the cheapest remaining entry
+            slim["queries"] = {
+                k: round(v, 1) for k, v in sorted(by_cost)
+            }
+            slim["queries_truncated"] = len(timings) - len(by_cost)
+            line = json.dumps(slim, separators=(",", ":"))
     print(line)
 
 

@@ -3023,9 +3023,13 @@ def changefeed_segmented(
     does not do implicitly: writing into the store from a read API
     would surprise VACUUM accounting.
 
-    Small ranges (``<= segment_commits``) delegate untouched — the SQL
-    surface routes every ``CHANGES BETWEEN`` read here, and the common
-    incremental tail (a few commits) must not pay a checkpoint.
+    Small ranges (``<= 4`` commits) delegate to the plain per-commit
+    feed — the SQL surface routes every ``CHANGES BETWEEN`` read here,
+    and the common incremental tail must pay neither a checkpoint nor
+    a window shuffle.  Mid-size ranges (5..``segment_commits``) take
+    the batched single-window builder LAZILY (no checkpoint: the plan
+    is one window over O(runs) reads, cheap to analyze) — only deep
+    ranges pay materialization, and only once (see the cache below).
 
     Segments materialize CONCURRENTLY (a small thread pool submitting
     independent Spark jobs — the scheduler interleaves them across the
@@ -3041,8 +3045,17 @@ def changefeed_segmented(
     """
     if segment_commits < 1:
         raise TableStoreError("segment_commits must be >= 1")
-    if to_version - from_version <= segment_commits:
+    if to_version - from_version <= min(4, segment_commits):
+        # the common incremental tail (a few commits): the plain
+        # per-commit feed — no checkpoint, no window, and it keeps the
+        # independent reference implementation on the hot differential
+        # path (the model test compares it against the batched builder)
         return store.changefeed(name, from_version, to_version)
+    if to_version - from_version <= segment_commits:
+        # mid-size range: ONE lazy window pass (no checkpoint — plan
+        # width is O(runs), small enough to analyze directly) instead
+        # of up to `segment_commits` manifest-diff joins
+        return _changefeed_batched(store, name, from_version, to_version)
     # the feed for a FIXED, committed version range is immutable (later
     # commits extend history, never rewrite it) and each span below is
     # materialized by the checkpoint — so a re-issued read of the same

@@ -179,6 +179,34 @@ def test_vacuum_and_drop_invalidate_segfeed_cache(spark, store):
     assert not store._segfeed_cache
 
 
+def test_midsize_range_takes_lazy_batched_path(spark, store):
+    """5..segment_commits commits: one LAZY window pass — no checkpoint
+    (no LogicalRDD leaf, no cache entry), no per-commit diff joins
+    (no join operator in the optimized plan)."""
+    to_v = _history(store, 10)
+    feed = changefeed_segmented(store, "deep", 0, to_v, segment_commits=64)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan          # the K per-commit joins are gone
+    assert "Window" in plan            # one run-reconstruction window
+    assert "LogicalRDD" not in plan    # nothing was checkpointed
+    assert not store._segfeed_cache    # and nothing was cached
+    assert _rows(feed) == _rows(store.changefeed("deep", 0, to_v))
+
+
+def test_tiny_range_keeps_plain_per_commit_feed(spark, store):
+    """<= 4 commits: the plain reference feed — its per-commit diff
+    joins ARE the independent implementation the model differential
+    checks the batched builder against."""
+    store.create_table("t", "id int, v string", ["id"])
+    store.insert_values("t", [(1, "a")])
+    store.upsert("t", spark.createDataFrame([(1, "b")], "id int, v string"))
+    to_v = store.current_version("t")
+    assert to_v <= 4
+    feed = changefeed_segmented(store, "t", 0, to_v)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan  # per-commit manifest-diff joins
+
+
 # ---- EXPLAIN binds lazily ---------------------------------------------------
 
 def test_explain_changes_between_materializes_nothing(spark, store):

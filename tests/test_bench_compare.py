@@ -57,3 +57,14 @@ def test_best_reference_is_per_key_min(tmp_path):
     p1.write_text(json.dumps({"queries": {"a": 2.0, "b": 1.0}}))
     p2.write_text(json.dumps({"queries": {"a": 1.5, "c": 3.0}}))
     assert best_reference([str(p1), str(p2)]) == {"a": 1.5, "b": 1.0, "c": 3.0}
+
+
+def test_contended_launch_marks_run_not_quiet():
+    rec = {"queries": {"a": 5.0}, "loadavg": {"start_1m": 3.1}}
+    v = compare(rec, {"a": 1.0})
+    assert v["run_quiet"] is False and v["start_1m"] == 3.1
+    # the key still lands in flagged (the band is the band) — the
+    # run-level bit tells the caller to re-run, and the CLI exits 0
+    assert [e["key"] for e in v["flagged"]] == ["a"]
+    rec["loadavg"]["start_1m"] = 0.2
+    assert compare(rec, {"a": 1.0})["run_quiet"] is True

@@ -73,7 +73,16 @@ def compare(
     if loads:
         vals = sorted(loads.values())
         med = vals[len(vals) // 2]
+    # run-level quietness: the policy compares quiet runs to quiet
+    # references.  A launch 1-minute load >= 2 means the box was busy
+    # BEFORE the bench's own work started — per-key flags from such a
+    # run are contention candidates wholesale (the r18/r19 notes'
+    # "start_1m plus q_min far above the repo's own concurrency" rule)
+    # and the run should be repeated, not bisected.
+    start_1m = (candidate.get("loadavg") or {}).get("start_1m")
+    run_quiet = start_1m is None or start_1m < 2.0
     out = {"band": f"{BAND_RATIO}x+{BAND_FLOOR_S}s", "load_median_1m": med,
+           "run_quiet": run_quiet, "start_1m": start_1m,
            "flagged": [], "excused": [], "new": [], "ok": 0}
     for key in sorted(timings):
         cand = timings[key]
@@ -116,7 +125,14 @@ def main(argv: list[str]) -> int:
             return 2
     verdict = compare(_load(cand_path), best_reference(refs), load_margin)
     print(json.dumps(verdict, indent=1))
-    return 1 if verdict["flagged"] else 0
+    if verdict["flagged"] and not verdict["run_quiet"]:
+        print(
+            f"note: candidate launched at 1m load {verdict['start_1m']} — "
+            "NOT a quiet run; repeat on a quiet box before bisecting "
+            "any of the flags above",
+            file=sys.stderr,
+        )
+    return 1 if verdict["flagged"] and verdict["run_quiet"] else 0
 
 
 if __name__ == "__main__":

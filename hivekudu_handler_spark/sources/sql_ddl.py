@@ -913,10 +913,25 @@ def _rewrite_changefeed(store: TableStore, stmt: str) -> str:
             # EXPLAIN must not run jobs: the segmented feed eagerly
             # materializes each span (localCheckpoint) at BIND time, so
             # explaining a deep range would pay the full read before any
-            # plan text is shown (r18 advice).  Bind the plain lazy feed
-            # instead — the plan shown is the true unsegmented logical
-            # shape; a deep range pays driver-side analysis only.
-            feed = store.changefeed(table, frm, to)
+            # plan text is shown (r18 advice).  Bind, in order: the
+            # already-materialized cached range if one exists (the plan
+            # shown is then exactly what a read would execute), else the
+            # lazy batched builder — linear driver-side analysis in
+            # range depth (one window over run-tagged reads), where the
+            # plain per-commit feed's chained-union-of-joins analysis is
+            # superlinear (SCALE.md r18 curve).  Tiny ranges keep the
+            # plain feed, matching what a read would run.
+            from hivekudu_handler_spark.sources.table_store import (
+                _changefeed_batched,
+            )
+
+            cached = store._segfeed_cache.get((table.lower(), frm, to, 64))
+            if cached is not None:
+                feed = cached
+            elif to - frm <= 4:
+                feed = store.changefeed(table, frm, to)
+            else:
+                feed = _changefeed_batched(store, table, frm, to)
         else:
             # segmented: a deep range (CHANGES BETWEEN 0 AND 5000 on a
             # long-lived table) is read in 64-commit spans with lineage

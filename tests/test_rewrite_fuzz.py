@@ -91,10 +91,15 @@ def test_changes_predicate_on_nontable_identifier_passes_through(col, a, b):
     pre=_text,
     post=_text,
     frm=st.integers(0, 9),
-    to=st.integers(0, 9),
+    delta=st.integers(0, 4),
 )
 @settings(max_examples=200, deadline=None)
-def test_surrounding_text_survives_byte_for_byte(pre, post, frm, to):
+def test_surrounding_text_survives_byte_for_byte(pre, post, frm, delta):
+    # gap bounded at 4: this property is about the SPLICE, and the stub
+    # store only implements the plain-feed surface — a wider range would
+    # (correctly) route to the batched builder, which needs a real
+    # store/session and is pinned by tests/test_mvcc_r19.py instead
+    to = frm + delta
     stmt = f"SELECT '{pre}' AS a, x FROM snap CHANGES BETWEEN {frm} AND {to} WHERE y = '{post}'"
     store = _StubStore()
     out = _rewrite_changefeed(store, stmt)

@@ -339,23 +339,46 @@ def main() -> None:
         )
     ]
 
+    # Keys withheld from the STDOUT line only — full timings always
+    # land in BENCH_LOCAL.json and tools/bench_history.  At 79 suite
+    # entries the (1,1)-rounded line hit 1939 chars in r19, so the
+    # structural fallback fired and dropped the load array — blinding
+    # driver-side load gating (r19 verdict item 4).  A STATIC list
+    # keeps stdout membership deterministic across rounds (per-key
+    # driver history stays comparable key-for-key); each omitted key
+    # has a same-family sibling still on the line, so no operator
+    # family loses its driver-side signal.
+    stdout_omit = {
+        "sql_q2_min_cost_supplier",   # 11 sql_q* siblings remain
+        "sql_q21_waiting_supplier",
+        "join_asof_nearest",          # join_asof / join_asof_forward stay
+        "events_volume_anomaly",      # 3 events_* siblings remain
+        "sample_global_shuffle",      # sub-0.3 s; curation family stays
+    }
+
     def _slim_line(ndigits_small: int, ndigits_big: int) -> str:
+        shown = {k: v for k, v in timings.items() if k not in stdout_omit}
         slim = {
             "metric": record["metric"],
             "value": round(record["value"], 1),
             "unit": "sec",
             "queries": {
                 k: round(v, ndigits_small if v < 1 else ndigits_big)
-                for k, v in timings.items()
+                for k, v in shown.items()
             },
             "load": load_arr,
             "sf": record["sf"],
         }
+        if len(shown) != len(timings):
+            slim["q_omitted"] = len(timings) - len(shown)
         return json.dumps(slim, separators=(",", ":"))
 
+    # accept at <= 1850, not the window-proxy 1900: the driver caps at
+    # ~2000 and the r20 verdict contract wants >= 50 chars of headroom
+    # on the EMITTED line, not just on the cutoff
     for digits in ((2, 2), (2, 1), (1, 1)):
         line = _slim_line(*digits)
-        if len(line) <= 1900:
+        if len(line) <= 1850:
             break
     else:
         # terminal fallback (r18 advice): if even (1,1) digits overflow
@@ -378,7 +401,7 @@ def main() -> None:
         by_cost = sorted(
             timings.items(), key=lambda kv: kv[1], reverse=True
         )
-        while len(line) > 1900 and by_cost:
+        while len(line) > 1850 and by_cost:
             by_cost.pop()  # drop the cheapest remaining entry
             slim["queries"] = {
                 k: round(v, 1) for k, v in sorted(by_cost)

@@ -2987,6 +2987,68 @@ def _changefeed_batched(
     return out.select(*logical, "_change_type", "_commit_version")
 
 
+_SEGFEED_CACHE_MAX = 64
+"""Default LRU capacity of a store's ``_segfeed_cache``: materialized
+K-commit spans held across ALL tables of one store (r19 advice: the
+cache was unbounded, so a session sweeping many distinct deep ranges
+accumulated checkpoint blocks with no eviction).  64 spans x 64-commit
+default segmentation covers a 4096-commit working set per store; a
+test or an unusual session can override per instance via a
+``_segfeed_cache_max`` attribute on the store (an attribute, not a
+constructor knob, so the class body stays untouched)."""
+
+
+class _SegfeedSpan:
+    """One cached, materialized changefeed span: the
+    ``localCheckpoint``'d DataFrame plus a release handle that actually
+    frees the pinned executor blocks.
+
+    ``DataFrame.unpersist()`` does NOT release localCheckpoint blocks —
+    it talks to the SQL cache manager, while the checkpoint pins the
+    query's internal RDD in the BlockManager (verified empirically:
+    ``sc.getPersistentRDDs`` keeps the entry after ``df.unpersist()``).
+    Release digs the ``LogicalRDD``'s wrapped RDD out of the analyzed
+    plan and unpersists THAT.  The handle is spelled ``unpersist()`` so
+    :meth:`TableStore._invalidate_segfeeds`'s existing best-effort
+    ``entry.unpersist()`` on DROP TABLE / VACUUM frees blocks too."""
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame) -> None:
+        self.df = df
+
+    def unpersist(self) -> None:
+        try:
+            # analyzed plan of a localCheckpoint result IS the
+            # LogicalRDD node; .rdd() is the checkpointed RDD itself
+            self.df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            try:
+                self.df.unpersist()
+            except Exception:
+                pass  # session already stopped / blocks already freed
+
+
+def _segfeed_cache_put(
+    store: TableStore, key: tuple, span: _SegfeedSpan, protect: set
+) -> None:
+    """Insert ``key`` as most-recent and evict least-recently-used
+    entries past the cap, unpersisting each evicted span's blocks.
+    Keys in ``protect`` (the spans of the feed being assembled RIGHT
+    NOW) are never evicted — evicting one would hand the caller a union
+    over freed blocks — so a single range wider than the cap may exceed
+    it until the next put."""
+    cache = store._segfeed_cache
+    cache[key] = span
+    cap = max(1, getattr(store, "_segfeed_cache_max", _SEGFEED_CACHE_MAX))
+    if len(cache) <= cap:
+        return
+    for old_key in [k for k in cache if k not in protect]:
+        if len(cache) <= cap:
+            break
+        cache.pop(old_key).unpersist()
+
+
 def changefeed_segmented(
     store: TableStore,
     name: str,
@@ -2994,6 +3056,7 @@ def changefeed_segmented(
     to_version: int,
     *,
     segment_commits: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """:meth:`TableStore.changefeed` with BOUNDED PLAN WIDTH for deep
     commit histories (r17 verdict).
@@ -3013,6 +3076,38 @@ def changefeed_segmented(
     union over ceil(range/K) leaves — plan width O(range/K), analysis
     linear in range.  Row set, ordering columns and schema are
     IDENTICAL to ``changefeed`` (pinned by tests/test_snapshots.py).
+
+    Spans are aligned to ABSOLUTE ``segment_commits`` boundaries (r19
+    advice): the materialized unit cached for ``CHANGES BETWEEN 0 AND
+    128`` is the same unit ``0 AND 192`` needs for its first two spans,
+    so the natural CDC pattern — re-issuing the feed with an advancing
+    upper bound — re-pays only the NEW spans, and distinct overlapping
+    ranges share entries instead of each pinning a full-history copy.
+    Cache entries are therefore bounded at O(history / K) per table,
+    and a global LRU cap (``_SEGFEED_CACHE_MAX``, per-store override
+    via a ``_segfeed_cache_max`` attribute) unpersists the
+    least-recently-used spans' blocks on eviction.  A feed handle stays
+    valid while its spans are live; a handle whose spans were evicted
+    or invalidated (DROP TABLE / VACUUM) must be re-issued — the feed
+    of a fixed committed range is deterministic, so a re-issue is
+    always safe.  The partial head/tail of a misaligned range (< K
+    commits each) stay LAZY and uncached.
+
+    Cache keys carry the COMMIT TIMESTAMPS of the span's endpoint
+    manifests alongside the table name (r19 advice): a rename followed
+    by re-creating a table under the old name yields manifests with new
+    commit timestamps, so the recreated table can never serve its
+    predecessor's cached spans — without requiring ``rename_table``
+    itself to hook invalidation.  (Entries orphaned by a rename are
+    unreachable and age out of the LRU.)
+
+    ``materialize=False`` assembles the same union WITHOUT running
+    anything: cached spans bind their pinned blocks, missing spans bind
+    the lazy batched builder, and nothing is checkpointed or cached —
+    the EXPLAIN path binds through this, so the plan it shows is
+    exactly what a read would execute, with the span routing and cache
+    probing owned HERE instead of duplicated at the SQL layer (r19
+    advice).
 
     Tradeoff, stated: ``localCheckpoint`` pins each span to executor
     block storage, so a lost executor invalidates the feed mid-read on
@@ -3056,44 +3151,86 @@ def changefeed_segmented(
         # width is O(runs), small enough to analyze directly) instead
         # of up to `segment_commits` manifest-diff joins
         return _changefeed_batched(store, name, from_version, to_version)
-    # the feed for a FIXED, committed version range is immutable (later
-    # commits extend history, never rewrite it) and each span below is
-    # materialized by the checkpoint — so a re-issued read of the same
-    # deep range (the shape of a re-run CHANGES BETWEEN statement) can
-    # serve the already-pinned blocks instead of re-paying the spans'
-    # first-touch cost.  Invalidated on DROP TABLE (a recreated table
-    # must not serve its predecessor's feed) and VACUUM (a range whose
-    # manifests are gone must fail loudly like the raw feed, not serve
-    # silently from cache).
-    cache_key = (store._norm_name(name), from_version, to_version, segment_commits)
-    cached = store._segfeed_cache.get(cache_key)
-    if cached is not None:
-        return cached
+    # deep range.  Same preamble as the raw feed: a dropped or
+    # renamed-away name raises NoSuchTableError here — never a silent
+    # answer from a surviving cache entry (r19 advice)
+    meta = store.table_meta(name)
+    if meta.external:
+        raise TableStoreError("external tables have no snapshots")
+    norm = meta.name
     # surface missing/vacuumed endpoints before any span job runs
-    norm = store._norm_name(name)
     store._read_manifest(norm, from_version)
     store._read_manifest(norm, to_version)
-    spans = [
-        (lo, min(lo + segment_commits, to_version))
-        for lo in range(from_version, to_version, segment_commits)
-    ]
+    k = segment_commits
+    lo_aligned = -(-from_version // k) * k  # first k-boundary >= from
+    hi_aligned = (to_version // k) * k      # last k-boundary <= to
+    spans: list[tuple[int, int, bool]] = []  # (lo, hi, aligned-full?)
+    if lo_aligned > from_version:
+        spans.append((from_version, min(lo_aligned, to_version), False))
+    spans.extend((m, m + k, True) for m in range(lo_aligned, hi_aligned, k))
+    if hi_aligned < to_version and hi_aligned >= from_version:
+        spans.append((hi_aligned, to_version, False))
 
-    def _materialize(span: tuple[int, int]) -> DataFrame:
-        lo, hi = span
-        # batched: the span's events come from ONE window pass over
-        # run-tagged tablet reads (see _changefeed_batched) — the
-        # per-commit manifest-diff joins were the measured fixed cost
-        # of a deep first touch (~0.4-0.75 s/commit, BENCH_NOTES r18)
-        return _changefeed_batched(store, name, lo, hi).localCheckpoint(
-            eager=True
+    def _lazy(lo: int, hi: int) -> DataFrame:
+        # same routing as the tiny/mid-size top-level paths
+        if hi - lo <= 4:
+            return store.changefeed(name, lo, hi)
+        return _changefeed_batched(store, name, lo, hi)
+
+    # the feed for a FIXED, committed version range is immutable (later
+    # commits extend history, never rewrite it), so an aligned span
+    # materialized once serves every later range that contains it.  The
+    # endpoint-manifest timestamps in the key are the table's identity
+    # across rename/re-create (see docstring).
+    segs: list[DataFrame | None] = []
+    fresh: list[tuple[int, tuple[int, int], tuple]] = []
+    touched: set = set()
+    for lo, hi, full in spans:
+        if not full:
+            segs.append(_lazy(lo, hi))
+            continue
+        key = (
+            norm, lo, hi,
+            store._read_manifest(norm, lo).get("ts"),
+            store._read_manifest(norm, hi).get("ts"),
         )
+        touched.add(key)
+        hit = store._segfeed_cache.get(key)
+        if hit is not None:
+            # refresh LRU recency
+            store._segfeed_cache[key] = store._segfeed_cache.pop(key)
+            segs.append(hit.df)
+        elif materialize:
+            segs.append(None)
+            fresh.append((len(segs) - 1, (lo, hi), key))
+        else:
+            segs.append(_lazy(lo, hi))
 
-    from concurrent.futures import ThreadPoolExecutor
+    if fresh:
 
-    with ThreadPoolExecutor(max_workers=min(8, len(spans))) as pool:
-        segs = list(pool.map(_materialize, spans))
+        def _materialize(item: tuple) -> tuple:
+            idx, (lo, hi), key = item
+            # batched: the span's events come from ONE window pass over
+            # run-tagged tablet reads (see _changefeed_batched) — the
+            # per-commit manifest-diff joins were the measured fixed
+            # cost of a deep first touch (~0.4-0.75 s/commit,
+            # BENCH_NOTES r18)
+            df = _changefeed_batched(store, name, lo, hi).localCheckpoint(
+                eager=True
+            )
+            return idx, key, df
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(fresh))) as pool:
+            done = list(pool.map(_materialize, fresh))
+        # cache insertion on the caller thread, in span order, with this
+        # call's spans protected from its own evictions
+        for idx, key, df in done:
+            segs[idx] = df
+            _segfeed_cache_put(store, key, _SegfeedSpan(df), touched)
+
     out = segs[0]
     for seg in segs[1:]:
         out = out.unionByName(seg)
-    store._segfeed_cache[cache_key] = out
     return out

@@ -155,15 +155,36 @@ def _history(store, n):
     return store.current_version("deep")
 
 
-def test_segmented_feed_cached_for_repeated_reads(spark, store):
+def test_segmented_feed_cached_for_repeated_reads(spark, store, monkeypatch):
+    """Materialized spans are cached per ALIGNED SPAN (r20): a re-issued
+    range re-materializes nothing, and an overlapping misaligned range
+    reuses the aligned spans it contains — only its lazy head partial
+    differs."""
+    import hivekudu_handler_spark.sources.table_store as ts_mod
+
     to_v = _history(store, 8)
+    calls: list = []
+    orig = ts_mod._changefeed_batched
+
+    def counting(store_, name_, lo, hi):
+        calls.append((lo, hi))
+        return orig(store_, name_, lo, hi)
+
+    monkeypatch.setattr(ts_mod, "_changefeed_batched", counting)
     f1 = changefeed_segmented(store, "deep", 0, to_v, segment_commits=2)
+    assert len(store._segfeed_cache) == 4  # aligned spans (0,2)..(6,8)
+    n_first = len(calls)
+    assert n_first == 4
+    # re-issued same range: every span serves the pinned materialization
     f2 = changefeed_segmented(store, "deep", 0, to_v, segment_commits=2)
-    assert f2 is f1  # second read serves the pinned materialization
-    # a different range is its own entry
+    assert len(calls) == n_first
+    assert _rows(f2) == _rows(f1)
+    # overlapping misaligned range: aligned spans reused, the 1-commit
+    # head partial (1,2) rides the plain feed — no new cache entry
     f3 = changefeed_segmented(store, "deep", 1, to_v, segment_commits=2)
-    assert f3 is not f1
-    assert len(store._segfeed_cache) == 2
+    assert len(calls) == n_first
+    assert len(store._segfeed_cache) == 4
+    assert _rows(f3) == _rows(store.changefeed("deep", 1, to_v))
 
 
 def test_vacuum_and_drop_invalidate_segfeed_cache(spark, store):

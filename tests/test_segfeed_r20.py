@@ -192,6 +192,28 @@ def test_materialize_false_binds_cached_spans(spark, store):
     assert _rows(lazy) == _rows(store.changefeed("deep", 0, to_v))
 
 
+def test_leading_comment_never_hides_statement_verb(spark, store):
+    """``_strip_stmt`` drops leading comments for EVERY dispatcher, so
+    DDL/DML/SELECT behind a ``/* hint */`` or ``-- note`` route exactly
+    like their bare spellings (a comment before the first token is
+    legal SQL; pre-r20 the verb dispatch saw ``/*`` and refused)."""
+    from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
+
+    run_sql(
+        store,
+        "/* setup */ CREATE TABLE t (id INT, v STRING) "
+        "TBLPROPERTIES ('kudu.key_columns'='id')",
+    )
+    assert store.has_table("t")
+    run_sql(store, "-- seed\nINSERT INTO t VALUES (1, 'a'), (2, 'b')")
+    assert store.scan("t").count() == 2
+    assert run_sql(store, "/* q */ SELECT count(*) AS n FROM t").collect()[0][0] == 2
+    run_sql(store, "/* lww */ UPSERT INTO t VALUES (1, 'z')")
+    assert sorted(r.v for r in store.scan("t").collect()) == ["b", "z"]
+    run_sql(store, "/* bye */ DROP TABLE t")
+    assert not store.has_table("t")
+
+
 def test_explain_behind_leading_comment_stays_lazy(spark, store):
     from hivekudu_handler_spark.sources.sql_ddl import sql as run_sql
 

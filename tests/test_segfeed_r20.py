@@ -136,6 +136,33 @@ def test_misaligned_partials_stay_lazy_and_uncached(spark, store, monkeypatch):
     assert _rows(feed) == _rows(store.changefeed("deep", 3, 13))
 
 
+def test_random_ranges_equal_raw_feed(spark, store):
+    """Randomized differential over the span decomposition: for random
+    (from, to, K) — aligned, misaligned, head-only, tail-only, K larger
+    than the range — the assembled feed's row set equals the raw
+    per-commit feed's, with and without materialization.  Deterministic
+    seed; the alignment arithmetic is the newest code in the path."""
+    import random
+
+    to_all = _history(store, "deep", 14)
+    rng = random.Random(20)
+    raw_cache: dict = {}
+    for trial in range(12):
+        frm = rng.randrange(0, to_all - 1)
+        to = rng.randrange(frm + 1, to_all + 1)
+        k = rng.choice([1, 2, 3, 4, 5, 8, 16])
+        if (frm, to) not in raw_cache:
+            raw_cache[(frm, to)] = _rows(store.changefeed("deep", frm, to))
+        raw = raw_cache[(frm, to)]
+        mat = trial % 2 == 0
+        got = _rows(
+            changefeed_segmented(
+                store, "deep", frm, to, segment_commits=k, materialize=mat
+            )
+        )
+        assert got == raw, (frm, to, k, mat)
+
+
 # ---- rename identity --------------------------------------------------------
 
 def test_renamed_away_name_raises_not_serves_cache(spark, store):

@@ -68,3 +68,15 @@ def test_contended_launch_marks_run_not_quiet():
     assert [e["key"] for e in v["flagged"]] == ["a"]
     rec["loadavg"]["start_1m"] = 0.2
     assert compare(rec, {"a": 1.0})["run_quiet"] is True
+
+
+def test_stdout_omit_subset_of_headline():
+    """The bench stdout omit list (r20: keeps the load array under the
+    driver's output window) must name real HEADLINE keys — a typo or a
+    headline rename would silently omit nothing/shrink nothing."""
+    import bench
+
+    assert bench.STDOUT_OMIT <= set(bench.HEADLINE)
+    # the omit list exists to create headroom; it must never grow to
+    # the point of hiding a meaningful share of the suite
+    assert len(bench.STDOUT_OMIT) <= 8

@@ -777,7 +777,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pair set the SQL oracle computes.  A fixture change
     that produced an LSH miss would fail the oracle loudly (and the
     recall pin in tests/test_pipeline.py first)."""
-    sh = doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0).persist()
+    # the size filter sits ABOVE the persist: applied below it, filter
+    # pushdown substitutes the whole tokenize→shingle chain into the
+    # predicate and sinks it below doc_shingles' repartition exchange,
+    # tokenizing the corpus twice — the first time at input-split
+    # parallelism (r21 measurement: shingle materialization 5.0 s →
+    # 0.5 s).  On the cache the filter is a cheap size() probe, and the
+    # handful of empty-shingle docs cached alongside cost nothing.
+    sh = doc_shingles(spark, sf_dir).persist().filter(F.size("shingles") > 0)
     sh.count()  # materialize before the consumer branches race
     bands = _minhash_band_table(sh)
     a = bands.alias("a")
@@ -846,11 +853,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
     )
+    # size filter above the persist — see dedup_minhash (pushed below
+    # the cache build it would re-tokenize the corpus pre-exchange)
     sh = (
         doc_shingles(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
         .join(d, "doc_id")
         .persist()
+        .filter(F.size("shingles") > 0)
     )
     sh.count()  # materialize before the consumer branches race
     bands = _minhash_band_table(sh.select("doc_id", "shingles")).join(d, "doc_id")
@@ -934,11 +943,12 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         flags = load_table(spark, sf_dir, "documents").select(
             "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
         )
+        # size filter above the persist — see dedup_minhash
         sh = (
             doc_shingles(spark, sf_dir)
-            .filter(F.size("shingles") > 0)
             .join(flags, "doc_id")
             .persist()
+            .filter(F.size("shingles") > 0)
         )
         sh.count()
         sig_cols = ", ".join(f"s{i} bigint" for i in range(_MH_K))
@@ -1100,7 +1110,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
         term = F.shiftleft(bit, j)
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
-    sigs = bit_sums.select("doc_id", sig_expr.alias("sig"))
+    # persist: both sides of the band self-join consume the signature
+    # table, and the r20 plan (0 ReusedExchange) rebuilt the entire
+    # tokenize → term-count → 60-bit-sum pipeline for the broadcast side
+    # — the cache is doc_id+sig (16 B/doc, model-of-the-corpus sized)
+    sigs = bit_sums.select("doc_id", sig_expr.alias("sig")).persist()
     band_mask = (1 << _SIMHASH_BAND_BITS) - 1
     chunks = sigs.select(
         "doc_id",
@@ -1472,14 +1486,15 @@ def cluster_pairs(
         .toDF("u", "v")
         .persist()
     )
-    edges.count()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
         .persist()
     )
-    labels.count()
+    # no standalone counts: the initial _label_sum action below
+    # materializes the label cache and, through it, the edge cache —
+    # the two warm-up jobs the r20 shape paid bought nothing (r21)
 
     def _label_sum(lb: DataFrame):
         return lb.agg(
@@ -1496,12 +1511,15 @@ def cluster_pairs(
         # localCheckpoint, not persist: each round is materialized anyway
         # (the label-sum fixpoint check), and checkpointing also cuts the
         # join lineage so plan depth stays O(1) in rounds — a large budget
-        # must cost rounds, never a driver-side plan-tree blowup
+        # must cost rounds, never a driver-side plan-tree blowup.  LAZY
+        # checkpoint (r21): the label-sum action right below materializes
+        # it, so eager=True would spend a second Spark job per round on
+        # pure scheduling overhead — one job per round, not two.
         new_labels = (
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = _label_sum(new_labels)
         if labels.is_cached:
@@ -1643,7 +1661,9 @@ def connected_components_star(
     )
     prev_sig = None
     for rnd in range(max_rounds):
-        cur = _small_star(_large_star(_sym(cur))).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum action materializes it (one
+        # Spark job per round instead of two — see cluster_pairs)
+        cur = _small_star(_large_star(_sym(cur))).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if trace is not None:
             # per-round telemetry rides the checksum the loop pays anyway:

@@ -169,7 +169,11 @@ def pq_encode(norm: DataFrame, books: np.ndarray) -> DataFrame:
 def _fit_encode(spark: SparkSession, sf_dir: str):
     e = load_table(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()["embedding"])
-    norm = _normalize(e)
+    # persist the normalized vectors: every PQ key evaluates ``norm``
+    # several times (train sample, query collect, the encode pass, both
+    # sides of the exact re-rank join) and the normalize chain is a
+    # per-row HOF fold — cache it once, reads are columnar (r21)
+    norm = _normalize(e).persist()
     books = pq_train(norm, dim)
     return norm, books, pq_encode(norm, books)
 

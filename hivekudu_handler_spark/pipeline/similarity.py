@@ -273,7 +273,17 @@ def _hyperplanes(corpus: DataFrame, n: int) -> DataFrame:
 
 
 def _signatures(vectors: DataFrame, planes: DataFrame) -> DataFrame:
-    """16-bit sign signature per vector (bit j = sign of dot with plane j)."""
+    """16-bit sign signature per vector (bit j = sign of dot with plane j).
+
+    Shape note (r21 optimization round, measured): embedding the planes
+    as array literals — one giant projection of n_planes interpreted
+    HOF folds per row, no crossJoin, no shuffle — benched 4× SLOWER at
+    sf0.1 (4.0 s vs 1.0 s warm for 48 planes) than this crossJoin +
+    groupBy: higher-order functions are CodegenFallback expressions, so
+    the "zero-exchange" plan trades a tiny vec×plane shuffle for losing
+    whole-stage codegen on the hot path.  Kept as the expanded form
+    deliberately (guide §1.1: the ideal-looking plan lost to the
+    measured one)."""
     joined = vectors.crossJoin(F.broadcast(planes))
     bit = F.when(_dot(F.col("v"), F.col("plane")) > 0, F.lit(1)).otherwise(F.lit(0))
     return (

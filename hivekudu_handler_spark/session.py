@@ -46,6 +46,21 @@ _DEFAULT_CONF: dict[str, str] = {
     # ANSI off: the engine mirrors Hive's permissive overflow/parse
     # semantics (reference delegates execution to Hive 1.1, pom.xml:27-32).
     "spark.sql.ansi.enabled": "false",
+    # InferFiltersFromGenerate infers `size(arr) > 0` below every
+    # explode/posexplode.  When the generator input is an expensive
+    # derived array (tokenize→shingle chains here), filter pushdown then
+    # substitutes the WHOLE expression into the inferred predicate and
+    # sinks it below the pre-tokenize repartition exchange — the corpus
+    # is tokenized twice, the first time at input-split (not cluster)
+    # parallelism.  Generate with outer=false already skips empty arrays,
+    # so the inferred filter is row-count-neutral at every scale; at
+    # 100 TB the duplicate evaluation would double the pipeline's
+    # dominant cost.  Measured at sf0.1 (r21): shingle-explode
+    # materialization 4.7 s → 0.4 s with the rule excluded
+    # (OPTIMIZATION_r21.md).
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

@@ -2575,20 +2575,35 @@ class TableStore:
         reads only the buckets the batch hashes into (partition pruning on
         ``kb``), and no existing file is ever rewritten."""
         meta = self._writable_meta(name)
-        batch = self._dedup_batch(meta, self._validate_batch(meta, df))
-        affected = self._affected_buckets(meta, batch)
-        if not affected:
-            return
-        existing_keys = (
-            self._scan_raw(meta)
-            .filter(self._part_filter(meta, affected))
-            .select(*meta.key_columns)
-        )
-        # hint-free: AQE sizes the anti-join at runtime (the key set of a
-        # few buckets is usually broadcastable; at scale it may not be)
-        fresh = batch.join(existing_keys, on=meta.key_columns, how="left_anti")
-        self._write_partitioned(meta, fresh, self._data_dir(meta.name), "append")
-        self._commit_version(meta, "insert")
+        # persist the deduped batch: it feeds two actions (the bucket-id
+        # collect and the write), and unpersisted the dedup window (and
+        # the caller's whole upstream plan) would execute twice (r21,
+        # guide §5 "reused and recomputing is more expensive")
+        batch = self._dedup_batch(meta, self._validate_batch(meta, df)).persist()
+        try:
+            affected = self._affected_buckets(meta, batch)
+            if not affected:
+                return
+            fresh = batch
+            if self._has_data(meta):
+                existing_keys = (
+                    self._scan_raw(meta)
+                    .filter(self._part_filter(meta, affected))
+                    .select(*meta.key_columns)
+                )
+                # hint-free: AQE sizes the anti-join at runtime (the key
+                # set of a few buckets is usually broadcastable; at scale
+                # it may not be).  Skipped entirely on an empty table —
+                # the anti-join against a zero-file scan is dead plan.
+                fresh = batch.join(
+                    existing_keys, on=meta.key_columns, how="left_anti"
+                )
+            self._write_partitioned(
+                meta, fresh, self._data_dir(meta.name), "append"
+            )
+            self._commit_version(meta, "insert")
+        finally:
+            batch.unpersist()
 
     def insert_values(self, name: str, rows: list[tuple]) -> None:
         """INSERT INTO ... VALUES — the reference demo's ingest path
@@ -2614,30 +2629,38 @@ class TableStore:
         existing rows only.  Partition exprs derive from key columns, so
         key-only delete frames prune to their buckets like any batch."""
         meta = self._writable_meta(name)
-        batch = self._dedup_batch(meta, self._validate_batch(meta, df))
-        drop = (
-            delete_keys.select(*meta.key_columns).distinct()
-            if delete_keys is not None
-            else None
-        )
-        affected = self._affected_buckets(meta, batch)
-        if drop is not None:
-            affected = sorted(
-                set(affected) | set(self._affected_buckets(meta, drop))
+        # persist: the deduped batch feeds three plan branches (bucket-id
+        # collect, the anti-join key set, the rewritten-bucket union) —
+        # unpersisted, the dedup window and the caller's upstream plan
+        # would run once per branch (r21)
+        batch = self._dedup_batch(meta, self._validate_batch(meta, df)).persist()
+        drop = None
+        try:
+            if delete_keys is not None:
+                drop = delete_keys.select(*meta.key_columns).distinct()
+            affected = self._affected_buckets(meta, batch)
+            if drop is not None:
+                drop = drop.persist()
+                affected = sorted(
+                    set(affected) | set(self._affected_buckets(meta, drop))
+                )
+            if not affected:
+                return
+            existing = (
+                self._scan_raw(meta)
+                .filter(self._part_filter(meta, affected))
+                .drop(*self._part_cols(meta))
             )
-        if not affected:
-            return
-        existing = (
-            self._scan_raw(meta)
-            .filter(self._part_filter(meta, affected))
-            .drop(*self._part_cols(meta))
-        )
-        gone = batch.select(*meta.key_columns)
-        if drop is not None:
-            gone = gone.unionByName(drop)
-        kept = existing.join(gone, on=meta.key_columns, how="left_anti")
-        self._replace_buckets(meta, affected, kept.unionByName(batch))
-        self._commit_version(meta, "upsert")
+            gone = batch.select(*meta.key_columns)
+            if drop is not None:
+                gone = gone.unionByName(drop)
+            kept = existing.join(gone, on=meta.key_columns, how="left_anti")
+            self._replace_buckets(meta, affected, kept.unionByName(batch))
+            self._commit_version(meta, "upsert")
+        finally:
+            batch.unpersist()
+            if drop is not None:
+                drop.unpersist()
 
     def truncate(self, name: str) -> int:
         """TRUNCATE TABLE: archive every data file and commit ONE new

@@ -46,6 +46,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
+        # plan-shape pin, not semantics: InferFiltersFromGenerate
+        # duplicates expensive generator-input expressions below the
+        # pre-tokenize exchange (see session.py for the measurement);
+        # runtime-settable, so queries keep the fixed shape under an
+        # embedding application's own session too
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ):
         try:
             spark.conf.set(k, v)

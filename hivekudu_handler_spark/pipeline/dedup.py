@@ -1313,7 +1313,18 @@ def ann_verified_pairs(
     # cosine would pass >= τ under Spark NaN semantics while DuckDB's
     # list_cosine_similarity returns −1.0 (see similarity._nonzero)
     planes = _hyperplanes(e_all, bits)
-    e = _nonzero(e_all).persist()
+    # per-vector norm cached alongside the vector (r21): the exact
+    # verify previously evaluated THREE interpreted array folds per
+    # candidate pair (dot + both norms); the norms depend only on the
+    # vector, so computing them once per vector and multiplying two
+    # cached doubles per pair is bit-identical (same fold, same sqrt,
+    # same single multiply) at a third of the per-pair expression cost
+    # — and candidate pairs outnumber vectors ~1000× at this banding.
+    e = (
+        _nonzero(e_all)
+        .withColumn("nrm", _norm(F.col("v")))
+        .persist()
+    )
     e.count()  # one materialization feeds signatures and both verify sides
     sigs = _signatures(e, planes).persist()
     sigs.count()  # both sides of the band self-join read the cached
@@ -1344,11 +1355,17 @@ def ann_verified_pairs(
         )
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        _norm(F.col("va")) * _norm(F.col("vb"))
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     scored = cand.join(ea, "vec_a").join(eb, "vec_b").withColumn("cos_raw", cos)
     if threshold is not None:
         # threshold=None means truly unthresholded: skipping the filter
@@ -1486,10 +1503,17 @@ def cluster_pairs(
         .toDF("u", "v")
         .persist()
     )
+    # initial labels fold propagation round 1 into the node-dedup
+    # aggregate the init pays anyway (r21): label₀ = min(self ∪
+    # neighbors) instead of self.  Same fixpoint, same per-round rule —
+    # the loop just starts one step ahead, which on the shallow
+    # clique/chain graphs real near-dup corpora form is one whole
+    # join+agg round saved.  (The symmetrized edge list lists every
+    # node as a ``u``, so no node is lost vs the old distinct.)
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
+        edges.groupBy("u")
+        .agg(F.least(F.first("u"), F.min("v")).alias("lab"))
+        .select(F.col("u").alias("node"), "lab")
         .persist()
     )
     # no standalone counts: the initial _label_sum action below

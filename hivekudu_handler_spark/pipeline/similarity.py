@@ -158,12 +158,22 @@ def brute_force_topk(
 
 def _score_pairs(corpus: DataFrame, queries: DataFrame) -> DataFrame:
     """(query_id, vec_id, cos_raw) for every query×corpus pair except
-    self-pairs: queries broadcast, cosine computed JVM-side in codegen."""
+    self-pairs: queries broadcast, cosine computed JVM-side.
+
+    Norms are computed once per side BEFORE the pair join (r21): the
+    per-pair expression is then one dot fold plus a multiply of two
+    precomputed doubles — bit-identical to folding both norms per pair
+    (same fold, same sqrt, one multiply either way) at a third of the
+    per-pair cost, and the corpus-side norm is evaluated |corpus| times
+    instead of |corpus|×|queries| times."""
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
-    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    c = corpus.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    pairs = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))
     return pairs.select("query_id", "vec_id", cos.alias("cos_raw"))
 
 
@@ -340,12 +350,17 @@ def ann_lsh_topk(
         .distinct()
     )
     qv = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
+    # per-vector norms computed once per side, one fold per pair — see
+    # _score_pairs (bit-identical, a third of the per-pair cost)
+    en = e.select("vec_id", "v", _norm(F.col("v")).alias("vn"))
     scored = (
-        cand.join(e, "vec_id")
+        cand.join(en, "vec_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cos_raw", _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))))
+        .withColumn("cos_raw", _dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn")))
     )
     # candidates-only input (bucket collisions), so the plain window rank
     # is shuffle-safe here
@@ -446,18 +461,28 @@ def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     centroid fold).  The prior form windowed over corpus×k rows
     partitioned by vec_id — cosmetic at 8 centroids, a full corpus
     shuffle at 65k (r4 verdict #5)."""
-    cent_row = cents.agg(F.collect_list(F.struct("cent_id", "cv")).alias("cs"))
+    # norms hoisted out of the per-centroid lambda (r21): the row's own
+    # norm folds once per row instead of once per (row, centroid), and
+    # each centroid's norm folds once per centroid at fold time — the
+    # division sees the same two doubles either way, so assignments are
+    # bit-identical at 1/k of the per-row norm cost.
+    cent_row = cents.agg(
+        F.collect_list(
+            F.struct("cent_id", "cv", _norm(F.col("cv")).alias("cn"))
+        ).alias("cs")
+    )
     best = F.array_max(
         F.transform(
             F.col("cs"),
             lambda c: F.struct(
-                (_dot(F.col("v"), c["cv"]) / (_norm(F.col("v")) * _norm(c["cv"]))).alias("sim"),
+                (_dot(F.col("v"), c["cv"]) / (F.col("__vn") * c["cn"])).alias("sim"),
                 (-c["cent_id"]).alias("neg_id"),
             ),
         )
     )
     return (
-        e.crossJoin(F.broadcast(cent_row))
+        e.withColumn("__vn", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cent_row))
         .withColumn("best", best)
         .select("vec_id", "v", (-F.col("best.neg_id")).alias("cent_id"))
     )
@@ -503,12 +528,14 @@ def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> Data
     corpus vectors and queries are excluded (``_nonzero``; the replay
     oracles' ``en``/filtered ``n`` CTEs mirror this)."""
     e = _nonzero(e)
-    assigned = _ivf_assign(e, cents)
+    # per-row/per-query norms once, not once per scored pair — see
+    # _score_pairs (bit-identical)
+    assigned = _ivf_assign(e, cents).withColumn("vn", _norm(F.col("v")))
     # queries probe their nprobe nearest cells
     probes = (
         _probe_ranking(e, cents)
         .filter(F.col("r") <= nprobe)
-        .select("query_id", "qv", "cent_id")
+        .select("query_id", "qv", "cent_id", _norm(F.col("qv")).alias("qn"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "cent_id")
@@ -516,7 +543,7 @@ def _ivf_topk(e: DataFrame, cents: DataFrame, nprobe: int = _IVF_NPROBE) -> Data
         .select(
             "query_id",
             "vec_id",
-            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cos_raw"),
+            (_dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))).alias("cos_raw"),
         )
     )
     # probed cells are a corpus fraction (nprobe/centroids); run the

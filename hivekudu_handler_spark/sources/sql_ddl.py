@@ -1667,7 +1667,19 @@ def _merge(store: TableStore, stmt: str) -> None:
     dk: DataFrame | None = None
     for d in delete_frames:
         dk = d if dk is None else dk.unionByName(d)
-    _run_guarded(lambda: store.upsert(target, batch, delete_keys=dk))
+    # persist the SOURCE for the upsert's duration: every clause frame
+    # (update/insert batches AND delete-key frames) re-embeds the
+    # source query, so an unpersisted source — often an expensive
+    # subquery (a CHANGES feed, a staging join) — executed once per
+    # upsert action; measured 1.1 s of pure source re-execution on the
+    # sql_merge_cdc_apply merge leg at sf0.1 (r21).  MEMORY_AND_DISK
+    # (the default) spills rather than OOMs if a production source is
+    # large; released in the finally.
+    src = src.persist()
+    try:
+        _run_guarded(lambda: store.upsert(target, batch, delete_keys=dk))
+    finally:
+        src.unpersist()
 
 
 _ALTER_RE = re.compile(

@@ -31,7 +31,15 @@ from hivekudu_handler_spark.sources.table_store import (
 
 @pytest.fixture()
 def store(spark, tmp_path):
-    return TableStore(spark, str(tmp_path / "wh"))
+    s = TableStore(spark, str(tmp_path / "wh"))
+    yield s
+    # teardown: release this store's cached spans so a later test's
+    # absolute persistent-RDD counts don't race the ContextCleaner
+    # asynchronously reclaiming them (r20 advice: the flake reproduced
+    # when the block-release test followed the LRU test in one run)
+    for span in list(s._segfeed_cache.values()):
+        span.unpersist()
+    s._segfeed_cache.clear()
 
 
 def _rows(df):
@@ -69,12 +77,33 @@ def _n_persistent(spark):
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+def _settled_persistent(spark, polls: int = 25, interval: float = 0.2):
+    """Persistent-RDD count after ContextCleaner churn settles (r20
+    advice): GC driver-side references (Python then JVM), then poll
+    until two consecutive reads agree.  Absolute-count assertions
+    sampled mid-churn race the cleaner's asynchronous unpersists of
+    previous tests' garbage."""
+    import gc
+    import time
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    prev = _n_persistent(spark)
+    for _ in range(polls):
+        time.sleep(interval)
+        cur = _n_persistent(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 # ---- LRU bound + block release ---------------------------------------------
 
 def test_lru_evicts_and_releases_blocks(spark, store, monkeypatch):
     store._segfeed_cache_max = 2
     _history(store, "deep", 12)
-    base = _n_persistent(spark)
+    base = _settled_persistent(spark)
     raw_head = _rows(store.changefeed("deep", 0, 6))
     calls = _counter(monkeypatch)
 
@@ -82,14 +111,14 @@ def test_lru_evicts_and_releases_blocks(spark, store, monkeypatch):
     # own evictions (evicting one would break the union being returned)
     f1 = changefeed_segmented(store, "deep", 0, 6, segment_commits=2)
     assert len(store._segfeed_cache) == 3
-    assert _n_persistent(spark) == base + 3
+    assert _settled_persistent(spark) == base + 3
     assert _rows(f1) == raw_head
 
     # a later sweep over a disjoint deep range evicts the old spans and
     # RELEASES their blocks — total pinned storage stays bounded
     changefeed_segmented(store, "deep", 6, 12, segment_commits=2)
     assert len(store._segfeed_cache) == 3
-    assert _n_persistent(spark) == base + 3
+    assert _settled_persistent(spark) == base + 3
     assert {k[1:3] for k in store._segfeed_cache} == {(6, 8), (8, 10), (10, 12)}
 
     # the newest range still serves from cache: no re-materialization
@@ -103,13 +132,13 @@ def test_drop_table_releases_blocks(spark, store):
     """DROP TABLE invalidation frees the evicted spans' executor blocks
     through the entry's unpersist handle (r19: ``DataFrame.unpersist``
     alone left localCheckpoint blocks pinned)."""
-    base = _n_persistent(spark)
+    base = _settled_persistent(spark)
     to_v = _history(store, "deep", 8)
     changefeed_segmented(store, "deep", 0, to_v, segment_commits=2)
-    assert _n_persistent(spark) == base + 4
+    assert _settled_persistent(spark) == base + 4
     store.drop_table("deep")
     assert not store._segfeed_cache
-    assert _n_persistent(spark) == base
+    assert _settled_persistent(spark) == base
 
 
 # ---- span alignment: advancing-range reuse ---------------------------------
@@ -194,7 +223,7 @@ def test_recreated_table_never_serves_predecessor_feed(spark, store):
 
 def test_materialize_false_runs_nothing_and_caches_nothing(spark, store):
     to_v = _history(store, "deep", 12)
-    base = _n_persistent(spark)
+    base = _settled_persistent(spark)
     lazy = changefeed_segmented(
         store, "deep", 0, to_v, segment_commits=2, materialize=False
     )
@@ -202,7 +231,7 @@ def test_materialize_false_runs_nothing_and_caches_nothing(spark, store):
     # nothing was checkpointed: no RDD got pinned (the plan-text
     # LogicalRDD spelling is NOT the discriminator — the plain feed's
     # empty-snapshot frames render as LogicalRDD leaves too)
-    assert _n_persistent(spark) == base
+    assert _settled_persistent(spark) == base
     assert _rows(lazy) == _rows(store.changefeed("deep", 0, to_v))
 
 

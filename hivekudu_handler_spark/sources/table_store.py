@@ -838,6 +838,11 @@ class TableStore:
             )
         new_norm = self._norm_name(new_name)
         self._dir(name).rename(self.root / new_norm)
+        # release the renamed-away name's cached feed spans eagerly
+        # (r20 advice): the timestamp-keyed identity already prevents
+        # stale serves, but the orphaned entries would otherwise keep
+        # their executor blocks pinned until LRU churn ages them out
+        self._invalidate_segfeeds(name)
         meta.name = new_norm
         self._write_meta(meta)
         self.spark.catalog.dropTempView(self._norm_name(name))
@@ -2575,6 +2580,22 @@ class TableStore:
         reads only the buckets the batch hashes into (partition pruning on
         ``kb``), and no existing file is ever rewritten."""
         meta = self._writable_meta(name)
+        if not self._has_data(meta):
+            # empty-table fast path (r21): with no existing rows the
+            # anti-join is dead plan AND the bucket-id collect has no
+            # pruning consumer — its only remaining use was the
+            # empty-batch guard.  Write in ONE action (no persist:
+            # nothing reads the batch twice), then commit only if the
+            # write landed files — an empty batch writes no part files
+            # (dynamic partitioning skips empty partitions) and must not
+            # commit a version, exactly like the old early return.
+            batch = self._dedup_batch(meta, self._validate_batch(meta, df))
+            self._write_partitioned(
+                meta, batch, self._data_dir(meta.name), "append"
+            )
+            if self._has_data(meta):
+                self._commit_version(meta, "insert")
+            return
         # persist the deduped batch: it feeds two actions (the bucket-id
         # collect and the write), and unpersisted the dedup window (and
         # the caller's whole upstream plan) would execute twice (r21,
@@ -2584,20 +2605,17 @@ class TableStore:
             affected = self._affected_buckets(meta, batch)
             if not affected:
                 return
-            fresh = batch
-            if self._has_data(meta):
-                existing_keys = (
-                    self._scan_raw(meta)
-                    .filter(self._part_filter(meta, affected))
-                    .select(*meta.key_columns)
-                )
-                # hint-free: AQE sizes the anti-join at runtime (the key
-                # set of a few buckets is usually broadcastable; at scale
-                # it may not be).  Skipped entirely on an empty table —
-                # the anti-join against a zero-file scan is dead plan.
-                fresh = batch.join(
-                    existing_keys, on=meta.key_columns, how="left_anti"
-                )
+            existing_keys = (
+                self._scan_raw(meta)
+                .filter(self._part_filter(meta, affected))
+                .select(*meta.key_columns)
+            )
+            # hint-free: AQE sizes the anti-join at runtime (the key
+            # set of a few buckets is usually broadcastable; at scale
+            # it may not be).
+            fresh = batch.join(
+                existing_keys, on=meta.key_columns, how="left_anti"
+            )
             self._write_partitioned(
                 meta, fresh, self._data_dir(meta.name), "append"
             )
@@ -2636,14 +2654,17 @@ class TableStore:
         batch = self._dedup_batch(meta, self._validate_batch(meta, df)).persist()
         drop = None
         try:
+            # ONE bucket-id collect for batch ∪ delete keys (r21): the
+            # partition exprs derive from key columns only, so a key-only
+            # probe frame buckets identically to the full batch — the
+            # separate second collect over the delete keys was a whole
+            # extra Spark job per keyed-delete upsert (mview refresh,
+            # MERGE with DELETE clauses).
+            probe = batch.select(*meta.key_columns)
             if delete_keys is not None:
-                drop = delete_keys.select(*meta.key_columns).distinct()
-            affected = self._affected_buckets(meta, batch)
-            if drop is not None:
-                drop = drop.persist()
-                affected = sorted(
-                    set(affected) | set(self._affected_buckets(meta, drop))
-                )
+                drop = delete_keys.select(*meta.key_columns).distinct().persist()
+                probe = probe.unionByName(drop)
+            affected = sorted(set(self._affected_buckets(meta, probe)))
             if not affected:
                 return
             existing = (

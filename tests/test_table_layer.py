@@ -116,6 +116,31 @@ def test_insert_ignores_duplicate_keys(spark, store):
     assert rows == {1: "a", 2: "b", 3: "c"}
 
 
+def test_insert_empty_table_fast_path_commit_semantics(spark, store):
+    """The empty-table insert fast path (r21: one write action, no
+    bucket-id collect) must keep the old guard's semantics: an empty (or
+    all-NULL-key) batch commits NO version, a real batch commits exactly
+    one, and in-batch duplicate keys still collapse deterministically."""
+    store.create_table("t", "id int, name string", ["id"])
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), True),
+            T.StructField("name", T.StringType(), True),
+        ]
+    )
+    store.insert("t", spark.createDataFrame([], schema))
+    assert store._version_numbers("t") == [0]
+    store.insert("t", spark.createDataFrame([(None, "dropped")], schema))
+    assert store._version_numbers("t") == [0]
+    store.insert(
+        "t",
+        spark.createDataFrame([(1, "z"), (1, "a"), (None, "x"), (2, "b")], schema),
+    )
+    assert store._version_numbers("t") == [0, 1]
+    rows = {r["id"]: r["name"] for r in store.scan("t").collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
 def test_upsert_replaces_and_inserts(spark, store):
     store.create_table("t", "id int, name string", ["id"])
     store.insert_values("t", [(1, "a"), (2, "b")])

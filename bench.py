@@ -399,15 +399,24 @@ def main() -> None:
         slim = json.loads(line)
         slim.pop("load", None)
         line = json.dumps(slim, separators=(",", ":"))
+        # build from the omit-FILTERED map (r20 advice): rebuilding from
+        # the full `timings` dict reintroduced the STDOUT_OMIT keys
+        # while the (1,1) line's stale q_omitted rode along — the
+        # emitted metadata must stay self-consistent on this path, with
+        # q_omitted counting omit-list keys and queries_truncated
+        # counting the cost-dropped remainder
         by_cost = sorted(
-            timings.items(), key=lambda kv: kv[1], reverse=True
+            ((k, v) for k, v in timings.items() if k not in STDOUT_OMIT),
+            key=lambda kv: kv[1],
+            reverse=True,
         )
+        n_shown_full = len(by_cost)
         while len(line) > 1850 and by_cost:
             by_cost.pop()  # drop the cheapest remaining entry
             slim["queries"] = {
                 k: round(v, 1) for k, v in sorted(by_cost)
             }
-            slim["queries_truncated"] = len(timings) - len(by_cost)
+            slim["queries_truncated"] = n_shown_full - len(by_cost)
             line = json.dumps(slim, separators=(",", ":"))
     print(line)
 

@@ -332,10 +332,13 @@ def main() -> None:
     # complete record to a file so the official numbers are never
     # front-truncated; the stdout line is built adaptively below to fit
     # the window with margin.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as f:
+    # the local record lives under tools/bench_history/ (r21 verdict
+    # item: at repo root it could be mistaken for a driver artifact)
+    _hist_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_history"
+    )
+    os.makedirs(_hist_dir, exist_ok=True)
+    with open(os.path.join(_hist_dir, "BENCH_LOCAL.json"), "w") as f:
         json.dump(record, f)
         f.write("\n")
     print("loadavg_1m: " + json.dumps(loadavg), file=sys.stderr, flush=True)
@@ -387,12 +390,12 @@ def main() -> None:
         # print an over-window line that reverts the record to
         # parsed:null — drop the load array first, then truncate the
         # per-query map to the slowest entries that fit (headline value
-        # and sf always survive; the FULL record is in BENCH_LOCAL.json
+        # and sf always survive; the FULL record is in tools/bench_history/BENCH_LOCAL.json
         # either way).
         print(
             f"bench: stdout line {len(line)} chars exceeds the driver's "
             "~2000-char window even at minimum rounding — degrading "
-            "structurally (see BENCH_LOCAL.json for the full record)",
+            "structurally (see tools/bench_history/BENCH_LOCAL.json)",
             file=sys.stderr,
             flush=True,
         )

@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hivekudu_handler_spark import pins
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.pipeline.replay import (
     ANN_BITS,
@@ -784,7 +785,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism (r21 measurement: shingle materialization 5.0 s →
     # 0.5 s).  On the cache the filter is a cheap size() probe, and the
     # handful of empty-shingle docs cached alongside cost nothing.
-    sh = doc_shingles(spark, sf_dir).persist().filter(F.size("shingles") > 0)
+    sh = pins.pin("dedup.minhash.shingles", doc_shingles(spark, sf_dir)).filter(
+        F.size("shingles") > 0
+    )
     sh.count()  # materialize before the consumer branches race
     bands = _minhash_band_table(sh)
     a = bands.alias("a")
@@ -855,12 +858,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # size filter above the persist — see dedup_minhash (pushed below
     # the cache build it would re-tokenize the corpus pre-exchange)
-    sh = (
-        doc_shingles(spark, sf_dir)
-        .join(d, "doc_id")
-        .persist()
-        .filter(F.size("shingles") > 0)
-    )
+    sh = pins.pin(
+        "dedup.incremental.shingles", doc_shingles(spark, sf_dir).join(d, "doc_id")
+    ).filter(F.size("shingles") > 0)
     sh.count()  # materialize before the consumer branches race
     bands = _minhash_band_table(sh.select("doc_id", "shingles")).join(d, "doc_id")
     a = bands.filter("is_batch").alias("a")
@@ -944,12 +944,10 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
         )
         # size filter above the persist — see dedup_minhash
-        sh = (
-            doc_shingles(spark, sf_dir)
-            .join(flags, "doc_id")
-            .persist()
-            .filter(F.size("shingles") > 0)
-        )
+        sh = pins.pin(
+            "dedup.sigstore.shingles",
+            doc_shingles(spark, sf_dir).join(flags, "doc_id"),
+        ).filter(F.size("shingles") > 0)
         sh.count()
         sig_cols = ", ".join(f"s{i} bigint" for i in range(_MH_K))
         store.create_table("sig_store", f"doc_id bigint, {sig_cols}", ["doc_id"])
@@ -1113,8 +1111,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: both sides of the band self-join consume the signature
     # table, and the r20 plan (0 ReusedExchange) rebuilt the entire
     # tokenize → term-count → 60-bit-sum pipeline for the broadcast side
-    # — the cache is doc_id+sig (16 B/doc, model-of-the-corpus sized)
-    sigs = bit_sums.select("doc_id", sig_expr.alias("sig")).persist()
+    # — the cache is doc_id+sig (16 B/doc, model-of-the-corpus sized);
+    # pin-registered so repeated calls release the prior generation (r22)
+    sigs = pins.pin(
+        "dedup.simhash.sigs", bit_sums.select("doc_id", sig_expr.alias("sig"))
+    )
     band_mask = (1 << _SIMHASH_BAND_BITS) - 1
     chunks = sigs.select(
         "doc_id",
@@ -1320,13 +1321,12 @@ def ann_verified_pairs(
     # cached doubles per pair is bit-identical (same fold, same sqrt,
     # same single multiply) at a third of the per-pair expression cost
     # — and candidate pairs outnumber vectors ~1000× at this banding.
-    e = (
-        _nonzero(e_all)
-        .withColumn("nrm", _norm(F.col("v")))
-        .persist()
+    e = pins.pin(
+        "dedup.ann_verified.e",
+        _nonzero(e_all).withColumn("nrm", _norm(F.col("v"))),
     )
     e.count()  # one materialization feeds signatures and both verify sides
-    sigs = _signatures(e, planes).persist()
+    sigs = pins.pin("dedup.ann_verified.sigs", _signatures(e, planes))
     sigs.count()  # both sides of the band self-join read the cached
     # signatures: unpersisted, each side would re-run the full
     # hyperplane crossJoin + sign aggregation (measured 3× key cost)
@@ -1498,9 +1498,23 @@ def cluster_pairs(
     the current label), so the label sum strictly decreases until the
     fixpoint.  decimal(38,0) because at 10^11 nodes a bigint sum of
     doc_ids overflows; the check must stay exact."""
+    # symmetrize via ONE explode, not a self-union (r22): the union form
+    # evaluated the caller's whole pair-generation pipeline (for
+    # dedup_cluster: the minhash band join + Jaccard verify) once per
+    # branch when the edge cache is first materialized — exchange reuse
+    # covers identical exchange subtrees, not the post-exchange work.
+    # Same row multiset, one evaluation (guide §7.2).
+    c0, c1 = pairs.columns[0], pairs.columns[1]
     edges = (
-        pairs.union(pairs.select(pairs.columns[1], pairs.columns[0]))
-        .toDF("u", "v")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(c0).alias("u"), F.col(c1).alias("v")),
+                    F.struct(F.col(c1).alias("u"), F.col(c0).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .persist()
     )
     # initial labels fold propagation round 1 into the node-dedup

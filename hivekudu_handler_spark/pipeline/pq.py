@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from hivekudu_handler_spark import pins
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.pipeline.replay import (
     EMB_DIM,
@@ -172,8 +173,9 @@ def _fit_encode(spark: SparkSession, sf_dir: str):
     # persist the normalized vectors: every PQ key evaluates ``norm``
     # several times (train sample, query collect, the encode pass, both
     # sides of the exact re-rank join) and the normalize chain is a
-    # per-row HOF fold — cache it once, reads are columnar (r21)
-    norm = _normalize(e).persist()
+    # per-row HOF fold — cache it once, reads are columnar (r21);
+    # pin-registered so repeated calls release the prior generation (r22)
+    norm = pins.pin("pq.fit_encode.norm", _normalize(e))
     books = pq_train(norm, dim)
     return norm, books, pq_encode(norm, books)
 

@@ -786,17 +786,33 @@ def knn_graph(
     pairs = ann_verified_pairs(
         spark, sf_dir, threshold=None, bits=bits, tables=tables
     )
+    # symmetrize via ONE explode, not a self-union (r22): the union form
+    # embedded the whole candidate-generation + exact-verify pipeline in
+    # BOTH branches, and the physical plan (plans/r21/sim_knn_graph_*.txt)
+    # ran the band self-join, the distinct and the interpreted cosine
+    # fold TWICE — once per branch (the cached frames dedupe the leaf
+    # scans, not the post-cache joins).  Emitting both directions of each
+    # scored pair from a 2-element array keeps the pipeline in the plan
+    # exactly once; the row multiset is identical, so the rank window
+    # (deterministic: neighbor_id is unique per vec_id) and the oracle
+    # hash are unchanged.  At 100 TB this halves the dominant cost of the
+    # whole-corpus kNN graph (guide §7.2 "duplicated subtrees").
     sym = pairs.select(
-        F.col("vec_a").alias("vec_id"),
-        F.col("vec_b").alias("neighbor_id"),
-        "cosine",
-    ).unionAll(
-        pairs.select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("neighbor_id"),
-            "cosine",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("vec_a").alias("vec_id"),
+                    F.col("vec_b").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("vec_b").alias("vec_id"),
+                    F.col("vec_a").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.vec_id", "p.neighbor_id", "p.cosine")
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

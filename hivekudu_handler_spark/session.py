@@ -81,6 +81,17 @@ def get_spark(
     conf = dict(_DEFAULT_CONF)
     if extra_conf:
         conf.update(extra_conf)
+        # excludedRules is ONE comma-separated list: merge the engine's
+        # plan-shape exclusion with any rules the caller supplies instead
+        # of letting one overwrite the other (r21 ADVICE)
+        k = "spark.sql.optimizer.excludedRules"
+        if k in extra_conf and extra_conf[k] != _DEFAULT_CONF[k]:
+            merged = [
+                r.strip()
+                for r in f"{_DEFAULT_CONF[k]},{extra_conf[k]}".split(",")
+                if r.strip()
+            ]
+            conf[k] = ",".join(dict.fromkeys(merged))
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1894,8 +1894,17 @@ class TableStore:
                     ],
                 )
             )
-            self._reject_null_groups(full, group_cols, name)
-            self.insert(name, full)
+            # persist: the null-group check and the seeding insert both
+            # consume the aggregate, and unpersisted each ran the FULL
+            # base-table aggregation — at 100 TB, two complete passes
+            # over the base per CREATE MATERIALIZED VIEW (r22, guide §5;
+            # the refresh path already materializes its delta once)
+            full = full.persist()
+            try:
+                self._reject_null_groups(full, group_cols, name)
+                self.insert(name, full)
+            finally:
+                full.unpersist()
         except Exception:
             # no half-created materialization left behind
             shutil.rmtree(self._dir(name), ignore_errors=True)

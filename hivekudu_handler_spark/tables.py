@@ -46,18 +46,29 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
-        # plan-shape pin, not semantics: InferFiltersFromGenerate
-        # duplicates expensive generator-input expressions below the
-        # pre-tokenize exchange (see session.py for the measurement);
-        # runtime-settable, so queries keep the fixed shape under an
-        # embedding application's own session too
-        (
-            "spark.sql.optimizer.excludedRules",
-            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-        ),
     ):
         try:
             spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by host
+            pass
+    # plan-shape pin, not semantics: InferFiltersFromGenerate duplicates
+    # expensive generator-input expressions below the pre-tokenize
+    # exchange (see session.py for the measurement); runtime-settable, so
+    # queries keep the fixed shape under an embedding application's own
+    # session too.  APPEND to the session's list rather than SET (r21
+    # ADVICE): the conf is one comma-separated list, and overwriting it
+    # clobbered any exclusions the embedding application configured.
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    except Exception:  # pragma: no cover - conf locked by host
+        current = None
+    rules = [r.strip() for r in (current or "").split(",") if r.strip()]
+    if rule not in rules:
+        try:
+            spark.conf.set(
+                "spark.sql.optimizer.excludedRules", ",".join(rules + [rule])
+            )
         except Exception:  # pragma: no cover - conf locked by host
             pass
 

@@ -54,10 +54,27 @@ def best_reference(paths: list[str]) -> dict[str, float]:
     return best
 
 
+def load_quiet_band(path: str | None = None) -> dict[str, dict]:
+    """The committed per-key quiet-band reference (r22, verdict item 2):
+    ``{key: {quiet_min, quiet_max, n_samples, samples}}`` collected by
+    ``tools/quiet_band_r22.py`` on a quiet host.  Missing file → {}."""
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_history",
+            "quiet_band_r22.json",
+        )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def compare(
     candidate: dict,
     reference: dict[str, float],
     load_margin: float = 4.0,
+    quiet_band: dict[str, dict] | None = None,
 ) -> dict:
     """Classify every candidate key: ok / flagged / excused / new.
 
@@ -66,6 +83,12 @@ def compare(
     at the run's own load level, so it is evidence.
     ``excused``: band exceeded but sampled load is an outlier above the
     median — ambient contention; re-run before concluding anything.
+
+    When a committed quiet band covers a key, its limit is raised to at
+    least the key's observed ``quiet_max``: a timing inside the scatter
+    that a QUIET host has already produced is never evidence of a
+    regression (the adjudication rule every round's verdict applied by
+    hand — now mechanical, from committed data alone).
     """
     timings: dict[str, float] = candidate.get("queries", {})
     loads: dict[str, float] = candidate.get("loadavg_1m", {}) or {}
@@ -84,13 +107,22 @@ def compare(
     out = {"band": f"{BAND_RATIO}x+{BAND_FLOOR_S}s", "load_median_1m": med,
            "run_quiet": run_quiet, "start_1m": start_1m,
            "flagged": [], "excused": [], "new": [], "ok": 0}
+    quiet_band = quiet_band or {}
+    out["quiet_band_keys"] = sum(
+        1 for k in timings if "quiet_max" in quiet_band.get(k, {})
+    )
     for key in sorted(timings):
         cand = timings[key]
         ref = reference.get(key)
+        band = quiet_band.get(key, {})
+        if ref is None and "quiet_min" in band:
+            ref = band["quiet_min"]
         if ref is None:
             out["new"].append({"key": key, "cand": cand})
             continue
         limit = BAND_RATIO * ref + BAND_FLOOR_S
+        if "quiet_max" in band:
+            limit = max(limit, band["quiet_max"])
         if cand <= limit:
             out["ok"] += 1
             continue
@@ -98,6 +130,8 @@ def compare(
             "key": key, "cand": round(cand, 2), "ref": round(ref, 2),
             "limit": round(limit, 2), "load_1m": loads.get(key),
         }
+        if "quiet_max" in band:
+            entry["quiet_band"] = [band["quiet_min"], band["quiet_max"]]
         quiet = (
             med is None
             or loads.get(key) is None
@@ -123,7 +157,9 @@ def main(argv: list[str]) -> int:
         if not refs:
             print("no quiet reference records under tools/bench_history/")
             return 2
-    verdict = compare(_load(cand_path), best_reference(refs), load_margin)
+    verdict = compare(
+        _load(cand_path), best_reference(refs), load_margin, load_quiet_band()
+    )
     print(json.dumps(verdict, indent=1))
     if verdict["flagged"] and not verdict["run_quiet"]:
         print(

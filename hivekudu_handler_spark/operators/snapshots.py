@@ -556,18 +556,27 @@ def incr_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_b = store.current_version("ev")
 
         diff = store.diff("ev", v_a, v_b, include_old=True)
-        retract = diff.filter(F.col("change_type") != "insert").select(
+        # retract+assert via ONE explode, not a self-union (r22): the
+        # union form computed the manifest-diff join twice — see
+        # TableStore.refresh_materialized_view for the full rationale
+        retract_s = F.struct(
             F.col("old_event_type").alias("event_type"),
             F.lit(-1).cast("long").alias("dn"),
             (-F.floor(F.col("old_value") * 100)).alias("dcents"),
         )
-        assert_ = diff.filter(F.col("change_type") != "delete").select(
-            "event_type",
+        assert_s = F.struct(
+            F.col("event_type").alias("event_type"),
             F.lit(1).cast("long").alias("dn"),
             F.floor(F.col("value") * 100).alias("dcents"),
         )
+        signed = (
+            F.when(F.col("change_type") == "insert", F.array(assert_s))
+            .when(F.col("change_type") == "delete", F.array(retract_s))
+            .otherwise(F.array(retract_s, assert_s))
+        )
         delta = (
-            retract.unionByName(assert_)
+            diff.select(F.explode(signed).alias("_e"))
+            .select("_e.*")
             .groupBy("event_type")
             .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
         )
@@ -839,39 +848,46 @@ def join_view_delta_refresh(
     # the deltas' join-key column gets a reserved name so the terms stay
     # unambiguous when lkey == rkey (USING-style views)
     jk = "__jv_key"
+    # retract+assert via ONE explode per diff, not a self-union (r22):
+    # the union form embedded each manifest-diff join in BOTH branches,
+    # computing every delta twice per refresh — the explode emits an
+    # update row's retraction and assertion from one 2-element array
+    # (TableStore.changefeed's shape); identical signed-row multiset
+    def _signed(d, retract_s, assert_s):
+        arr = (
+            F.when(F.col("change_type") == "insert", F.array(assert_s))
+            .when(F.col("change_type") == "delete", F.array(retract_s))
+            .otherwise(F.array(retract_s, assert_s))
+        )
+        return d.select(F.explode(arr).alias("_e")).select("_e.*")
+
     # dL, pre-aggregated per join key (additive measures allow it)
-    l_delta = (
-        d_left.filter(F.col("change_type") != "insert")
-        .select(
+    l_delta = _signed(
+        d_left,
+        F.struct(
             old(lkey, lkeys).alias(jk),
             F.lit(-1).cast("long").alias("dn"),
             (-old(measure_col, lkeys)).alias("dm"),
-        )
-        .unionByName(
-            d_left.filter(F.col("change_type") != "delete").select(
-                F.col(lkey).alias(jk),
-                F.lit(1).cast("long").alias("dn"),
-                F.col(measure_col).alias("dm"),
-            )
-        )
-        .groupBy(jk)
-        .agg(F.sum("dn").alias("dn"), F.sum("dm").alias("dm"))
-    )
+        ),
+        F.struct(
+            F.col(lkey).alias(jk),
+            F.lit(1).cast("long").alias("dn"),
+            F.col(measure_col).alias("dm"),
+        ),
+    ).groupBy(jk).agg(F.sum("dn").alias("dn"), F.sum("dm").alias("dm"))
     # dR keeps rows (retract/assert may carry different group values)
-    r_delta = (
-        d_right.filter(F.col("change_type") != "insert")
-        .select(
+    r_delta = _signed(
+        d_right,
+        F.struct(
             old(rkey, rkeys).alias(jk),
             F.lit(-1).cast("long").alias("sign"),
             old(group_col, rkeys).alias(group_col),
-        )
-        .unionByName(
-            d_right.filter(F.col("change_type") != "delete").select(
-                F.col(rkey).alias(jk),
-                F.lit(1).cast("long").alias("sign"),
-                F.col(group_col),
-            )
-        )
+        ),
+        F.struct(
+            F.col(rkey).alias(jk),
+            F.lit(1).cast("long").alias("sign"),
+            F.col(group_col).alias(group_col),
+        ),
     )
 
     r_new = store.scan(right)

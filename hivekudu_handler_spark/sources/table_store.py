@@ -1991,18 +1991,32 @@ class TableStore:
             return F.col(c if c in base_keys else f"old_{c}")
 
         d = self.diff(base, mv["last_version"], cur, include_old=True)
-        retract = d.filter(F.col("change_type") != "insert").select(
+        # retract+assert via ONE explode, not a self-union (r22): the
+        # union form embedded the whole manifest-diff join in BOTH
+        # branches, so the delta-sized diff was computed twice per
+        # refresh — at 100 TB, twice the refresh's dominant cost.  An
+        # update row emits its retraction and assertion from a 2-element
+        # array instead (the same shape :meth:`changefeed` always used);
+        # same signed-row multiset, so the per-group sums are unchanged
+        # (guide §7.2 "duplicated subtrees").
+        retract_s = F.struct(
             *[old(c).alias(c) for c in gcols],
             F.lit(-1).cast("long").alias("dn"),
             *[(-old(c)).alias(f"d_{c}") for c in scols],
         )
-        assert_ = d.filter(F.col("change_type") != "delete").select(
-            *gcols,
+        assert_s = F.struct(
+            *[F.col(c).alias(c) for c in gcols],
             F.lit(1).cast("long").alias("dn"),
             *[F.col(c).alias(f"d_{c}") for c in scols],
         )
+        signed = (
+            F.when(F.col("change_type") == "insert", F.array(assert_s))
+            .when(F.col("change_type") == "delete", F.array(retract_s))
+            .otherwise(F.array(retract_s, assert_s))
+        )
         delta = (
-            retract.unionByName(assert_)
+            d.select(F.explode(signed).alias("_e"))
+            .select("_e.*")
             .groupBy(*gcols)
             .agg(
                 F.sum("dn").alias("dn"),

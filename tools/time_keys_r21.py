@@ -23,11 +23,24 @@ from hivekudu_handler_spark.session import default_sf_dir, get_spark  # noqa: E4
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # both `--n=3` and `--n 3` work: a bare `--n` consumes the following
+    # token as its value (r21 ADVICE: the value token used to leak into
+    # the key list and KeyError)
+    argv = sys.argv[1:]
+    args: list[str] = []
     n = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--n"):
-            n = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                n = int(a.split("=", 1)[1])
+            else:
+                n = int(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir = default_sf_dir()
     spark = get_spark("time-keys-r21")
     specs = load_all()

@@ -174,7 +174,7 @@ def shingle_pair_stats(
     the candidate side is small after thresholding and AQE picks the
     strategy from runtime sizes instead of a corpus-sized broadcast.
     """
-    sh = doc_shingles(spark, sf_dir).persist()
+    sh = pins.pin("dedup.pairstats.shingles", doc_shingles(spark, sf_dir))
     sh.count()  # materialize before the four consumer branches race
     ex = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
@@ -554,7 +554,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("source").isin(*_BATCH_SOURCES).alias("is_batch")
     )
-    sh = doc_shingles(spark, sf_dir).join(d, "doc_id").persist()
+    sh = pins.pin(
+        "dedup.incr_pairs.shingles", doc_shingles(spark, sf_dir).join(d, "doc_id")
+    )
     sh.count()  # materialize before the consumer branches race
     ex = (
         sh.select("doc_id", "is_batch", F.explode("shingles").alias("shingle"))
@@ -755,8 +757,9 @@ def _bands_from_sigs(sigs: DataFrame) -> DataFrame:
 
 def _minhash_band_table(sh: DataFrame) -> DataFrame:
     """Bands straight from shingles; the signature table is persisted
-    and materialized once — it feeds both sides of band joins."""
-    sigs = _minhash_sigs(sh).persist()
+    and materialized once — it feeds both sides of band joins
+    (pin-registered so repeated calls release the prior generation)."""
+    sigs = pins.pin("dedup.minhash.sigs", _minhash_sigs(sh))
     sigs.count()  # materialize once; feeds both sides of the band join
     return _bands_from_sigs(sigs)
 
@@ -956,9 +959,10 @@ def dedup_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         store.insert("sig_store", corpus_sigs)
         # batch ingest: batch-only signature compute + probe of the STORE
-        batch_sigs = _minhash_sigs(
-            sh.filter("is_batch").select("doc_id", "shingles")
-        ).persist()
+        batch_sigs = pins.pin(
+            "dedup.sigstore.batch_sigs",
+            _minhash_sigs(sh.filter("is_batch").select("doc_id", "shingles")),
+        )
         batch_sigs.count()
         stored = store.scan("sig_store")  # corpus side reads storage
         a = _bands_from_sigs(batch_sigs).alias("a")

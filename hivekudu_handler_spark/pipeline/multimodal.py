@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hivekudu_handler_spark import pins
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
@@ -634,9 +635,10 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all-pairs is oracle-side only; the engine side never materializes
     it)."""
     thumbs = mm_resize(spark, sf_dir).filter(F.col("src_side") > 0)
-    sigs = thumbs.mapInPandas(
-        _phash_batch, schema="doc_id bigint, sig bigint"
-    ).persist()
+    sigs = pins.pin(
+        "mm.phash.sigs",
+        thumbs.mapInPandas(_phash_batch, schema="doc_id bigint, sig bigint"),
+    )
     sigs.count()  # materialize: the decode→thumbnail Python path runs
     # ONCE; both sides of the band self-join read the 16-byte/doc
     # signature table (without this the whole two-pass image pipeline

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hivekudu_handler_spark import pins
 from hivekudu_handler_spark.registry import query
 from hivekudu_handler_spark.tables import load_table
 
@@ -234,9 +235,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hivekudu_handler_spark.pipeline.dedup import _SHINGLES_EXPR
 
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.filter(tokens(), lambda x: x != "").alias("toks")
-    ).persist()
+    t = pins.pin(
+        "text.repetition.toks",
+        d.select("doc_id", F.filter(tokens(), lambda x: x != "").alias("toks")),
+    )
     t.count()  # two consumers below
     base = t.select(
         "doc_id",

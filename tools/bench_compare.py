@@ -57,7 +57,10 @@ def best_reference(paths: list[str]) -> dict[str, float]:
 def load_quiet_band(path: str | None = None) -> dict[str, dict]:
     """The committed per-key quiet-band reference (r22, verdict item 2):
     ``{key: {quiet_min, quiet_max, n_samples, samples}}`` collected by
-    ``tools/quiet_band_r22.py`` on a quiet host.  Missing file → {}."""
+    ``tools/quiet_band_r22.py`` — quiet_min is the min over all recorded
+    samples (contention only inflates, so the min is the engine truth)
+    and quiet_max the median (robust typical; see that module's
+    docstring for why loadavg gating failed).  Missing file → {}."""
     if path is None:
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
